@@ -1,0 +1,59 @@
+"""String/identity column helpers (SURVEY.md §2.9 T4/T5/T8).
+
+Reference provenance:
+- normalize_name: reference names/helpers.py:15-19, reconcile_players.py:52-57
+  (lower, strip punctuation, collapse whitespace)
+- "Last, First" flip: names/helpers.py:6-12
+- salted 16-hex id: scripts/hash_player_ids.py:11-17
+- md5->int bucket hashing is this engine's portable hash for dedup/LSH
+  (same value computable in any SQL engine for oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_name(col: Column) -> Column:
+    """lower, strip non-alnum (keep spaces), collapse runs of whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def flip_last_first(col: Column) -> Column:
+    """"Last, First" -> "First Last" (passthrough when no comma)."""
+    last = F.trim(F.regexp_extract(col, r"^([^,]+),", 1))
+    first = F.trim(F.regexp_extract(col, r",(.*)$", 1))
+    return F.when(col.contains(","), F.concat_ws(" ", first, last)).otherwise(col)
+
+
+def hash_id(col: Column, salt: str = "d3d") -> Column:
+    """Deterministic 16-hex id: sha256("{salt}:{value}")[:16]
+    (reference hash_player_ids.py:11-17)."""
+    return F.substring(F.sha2(F.concat_ws(":", F.lit(salt), col.cast("string")), 256), 1, 16)
+
+
+def md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long.
+
+    Portable across engines (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``),
+    used as the hash family for minhash/simhash/LSH so every sketch has an
+    exact SQL oracle.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_int(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def md5_int_seeded(col: Column, seed: int) -> Column:
+    """Seeded variant: hash of "{seed}:{value}" — an independent hash per seed."""
+    return md5_int(F.concat_ws(":", F.lit(str(seed)), col))
+
+
+def sql_md5_int_seeded(expr: str, seed: int) -> str:
+    return sql_md5_int(f"'{seed}:' || {expr}")

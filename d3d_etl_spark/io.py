@@ -1,0 +1,95 @@
+"""IO layer: readers for the testdata star schema + partition-aware sinks.
+
+Reference sink semantics re-expressed Spark-first (SURVEY.md §2.1):
+- S1 CSV/parquet scan with projection  -> `spark.read` (Catalyst prunes)
+- S4/S5 delete-slice-then-insert upsert -> dynamic partition overwrite
+- S6 SQL dedup-on-load                  -> `dropDuplicates` before write
+- S17 incremental anti-join             -> `left_anti` helper
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet, schema embedded).
+
+    `events.ts` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long nanoseconds and
+    is converted to a microsecond timestamp here (integer division — the
+    values are µs-precision, so this is exact and matches DuckDB's read).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries run as-is."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink partitioned by storage keys (reference: filename-embedded
+    ``{division}_{year}`` partitioning, SURVEY.md §1.4). With the session's
+    ``partitionOverwriteMode=dynamic``, mode="overwrite" replaces only the
+    partitions present in `df` — exactly the reference's delete-slice/append
+    upsert (leaderboards/main.py:169-194) with no custom code."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def upsert_partition(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+    dedup_keys: tuple[str, ...] = (),
+) -> None:
+    """S5/S6 parity: dedup on keys then dynamically overwrite the touched
+    partitions (reference upload_to_db.py:64-138 dedups with
+    DELETE..GROUP BY after load; here it is a shuffle-free-if-bucketed
+    `dropDuplicates` before the write)."""
+    if dedup_keys:
+        df = df.dropDuplicates(list(dedup_keys))
+    write_partitioned(df, path, partition_by, mode="overwrite")
+
+
+def incremental_todo(all_items: DataFrame, done_items: DataFrame, key: str) -> DataFrame:
+    """S17 parity: `contest_ids - done_ids` (collect_game.py:197-198) as a
+    left-anti join — the distributed version of the reference's set
+    difference."""
+    return all_items.join(done_items.select(key).distinct(), on=key, how="left_anti")

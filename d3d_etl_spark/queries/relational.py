@@ -1,0 +1,337 @@
+"""Relational core: scans, filters, projections, the join family.
+
+SURVEY.md §2 coverage: S1/P1-P4/P6 (scan+filter+project), J1 (broadcast left
+join + coalesce fallback), J2 (enrichment join tree), J3 (left_semi),
+J4 (full outer), J5 (composite key), J8 (anti), O1/O2 (sorts), plus the
+TPC-H-shaped headline queries used by bench.py.
+
+Scale notes: every dimension join is broadcast (region/nation/customer fit in
+MBs even at 100 TB lineitem); fact-fact joins shuffle on their keys and rely
+on AQE for skew. Exact money math via functions.money (cents) keeps results
+partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.money import (
+    cents,
+    sql_avg_money,
+    sql_cents,
+    sql_sum_money,
+)
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan + filter + hash agg (A1/A2/M3)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)          AS sum_qty,
+  {sql_sum_money('l_extendedprice')}                        AS sum_base_price,
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE) / 10000.0
+                                                            AS sum_disc_price,
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}) * (100 + {sql_cents('l_tax')})) AS DOUBLE) / 1000000.0
+                                                            AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+  {sql_avg_money('l_extendedprice')}                        AS avg_price,
+  {sql_avg_money('l_discount')}                             AS avg_disc,
+  COUNT(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE, tags=("agg", "scan"), bench=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = cents(F.col("l_extendedprice"))
+    disc_pct = cents(F.col("l_discount"))  # 0.05 -> 5
+    tax_pct = cents(F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_pct)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (
+                F.sum(price_c * (100 - disc_pct) * (100 + tax_pct)).cast("double") / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*")).alias(
+                "avg_qty"
+            ),
+            (F.sum(price_c).cast("double") / F.count(F.col("l_extendedprice")) / 100.0).alias(
+                "avg_price"
+            ),
+            (F.sum(disc_pct).cast("double") / F.count(F.col("l_discount")) / 100.0).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3_top_orders — TPC-H Q3 shape: 3-way join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  CAST(o_orderdate AS DATE) AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_top_orders", _Q3_ORACLE, tags=("join", "agg", "topk"), bench=True)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5_nation_revenue — TPC-H Q5 shape: star join through region/nation (J1)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_nation_revenue", _Q5_ORACLE, tags=("join", "agg"), bench=True)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_left_coalesce — J1/P8: left join with null-preserving fallback
+# ---------------------------------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  COALESCE(o.n_orders, 0)  AS n_orders,
+  COALESCE(o.total_spent, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_left_coalesce", _LEFT_ORACLE, tags=("join",))
+def join_left_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_spent"),
+        )
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_semi — J3: existence filter as left_semi
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+@register("join_semi", _SEMI_ORACLE, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# join_anti — J8/U2: incremental "todo = all - done" as left_anti
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
+@register("join_anti", _ANTI_ORACLE, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.io import incremental_todo
+
+    cust = load_table(spark, sf_dir, "customer")
+    done = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return incremental_todo(cust, done, "c_custkey").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# join_outer — J4: full outer join of two per-key aggregates
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT
+  COALESCE(a.user_id, b.user_id) AS user_id,
+  COALESCE(a.n_clicks, 0)    AS n_clicks,
+  COALESCE(b.n_purchases, 0) AS n_purchases,
+  COALESCE(b.purchase_value, 0.0) AS purchase_value
+FROM (
+  SELECT user_id, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+) a
+FULL OUTER JOIN (
+  SELECT user_id,
+         COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+) b ON a.user_id = b.user_id
+"""
+
+
+@register("join_outer", _OUTER_ORACLE, tags=("join",))
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("purchase_value"),
+        )
+    )
+    a, b = clicks.alias("a"), purch.alias("b")
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "outer").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_composite_share — J5/W12: composite-key join back to a group rollup
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_ORACLE = """
+SELECT
+  l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+  CAST(l.l_quantity AS DOUBLE) / g.total_qty AS qty_share
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) g ON l.l_partkey = g.l_partkey AND l.l_suppkey = g.l_suppkey
+"""
+
+
+@register("join_composite_share", _COMPOSITE_ORACLE, tags=("join", "window"))
+def join_composite_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty")
+    )
+    return li.join(g, ["l_partkey", "l_suppkey"]).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("double") / F.col("total_qty")).alias("qty_share"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference engine is single-process pandas (SURVEY.md §4); here the
+execution substrate is Spark with AQE. Defaults are tuned so the same code
+runs on local[32] for tests and on a large cluster unchanged:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast).
+- `partitionOverwriteMode=dynamic` — the reference's delete-slice/append
+  upsert sinks (upload_to_db.py:120-128, leaderboards/main.py:169-194)
+  become plain `write.mode("overwrite")` on partitioned tables.
+- Arrow enabled — every pandas-UDF boundary is Arrow-batched.
+- Session timezone UTC so timestamp semantics are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "d3d-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    `master` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
+    driver harness and tests share one code path; on a real cluster the
+    caller passes master=None with spark-submit providing the master URL.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert at the scan (io.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
