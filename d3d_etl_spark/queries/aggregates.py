@@ -1,1 +1,213 @@
-"""(filled in incrementally)"""
+"""Aggregation family (SURVEY.md §2.4).
+
+A1/A2 named multi-metric group-aggs are exercised by q1 (relational.py);
+here: A3 count-distinct, A4 conditional counts, A5 filtered-subset sums,
+A6 global-scalar ratio, A8 pivot, A10 value_counts, A11 weighted average.
+All money/double sums go through exact integer cents (functions.money) so
+results are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.money import cents
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# agg_conditional — A4/A5: event-type conditional counts + sign-split sums
+# (reference: leaderboards/common.py:23-63 event counts; value.py:34-38
+# pos/neg WPA splits)
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+  CAST(COALESCE(SUM(CASE WHEN value > 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS big_value_sum,
+  CAST(COALESCE(SUM(CASE WHEN value <= 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS small_value_sum,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*) AS error_rate
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_conditional", _COND_ORACLE, tags=("agg",), bench=True)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vc = cents(F.col("value"))
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        n_err.alias("n_error"),
+        (F.coalesce(F.sum(F.when(F.col("value") > 10, vc)), F.lit(0)).cast("double") / 100.0).alias(
+            "big_value_sum"
+        ),
+        (
+            F.coalesce(F.sum(F.when(F.col("value") <= 10, vc)), F.lit(0)).cast("double") / 100.0
+        ).alias("small_value_sum"),
+        (n_err.cast("double") / F.count("*")).alias("error_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_count_distinct — A3: exact count-distinct per group
+# (reference: baserunning.py:120-133 games = nunique(contest_id))
+# ---------------------------------------------------------------------------
+
+_CD_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(DISTINCT o_custkey)       AS n_buyers,
+  COUNT(*)                        AS n_orders,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_count_distinct", _CD_ORACLE, tags=("agg",))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_pivot — A8: long->wide pivot (reference splits.py:8-23 per-slice boards)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT
+  l_linestatus,
+  COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_returnflag = 'A') AS BIGINT), 0) AS qty_a,
+  COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_returnflag = 'N') AS BIGINT), 0) AS qty_n,
+  COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_returnflag = 'R') AS BIGINT), 0) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("agg_pivot", _PIVOT_ORACLE, tags=("agg",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.coalesce(F.col("A"), F.lit(0)).alias("qty_a"),
+        F.coalesce(F.col("N"), F.lit(0)).alias("qty_n"),
+        F.coalesce(F.col("R"), F.lit(0)).alias("qty_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_global_ratio — A6: group metric vs league-wide scalar
+# (reference: batting.py:383-388 league OBP/SLG rates joined back per player)
+# ---------------------------------------------------------------------------
+
+_GLOBAL_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT
+  n_name,
+  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+  CAST(rev_cents AS DOUBLE) / CAST((SELECT SUM(rev_cents) FROM per_nation) AS DOUBLE) AS revenue_share
+FROM per_nation
+"""
+
+
+@register("agg_global_ratio", _GLOBAL_ORACLE, tags=("agg",))
+def agg_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    total = per_nation.agg(F.sum("rev_cents").alias("total_cents"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("rev_cents").cast("double") / F.col("total_cents").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted — A11: weighted average (reference get_linear_weights.py:90-103
+# wOBA-scale denominator Σ(w·n)/Σn)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS qty_weighted_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted", _WEIGHTED_ORACLE, tags=("agg",))
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    disc_pct = cents(F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(disc_pct * qty).cast("double") / F.sum(qty).cast("double") / 100.0).alias(
+            "qty_weighted_disc"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — A10: value_counts + share (reference get_linear_weights.py:86-92)
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+WITH h AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS share
+FROM h
+"""
+
+
+@register("agg_histogram", _HIST_ORACLE, tags=("agg",))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    total = h.agg(F.sum("n").alias("total"))
+    return h.crossJoin(F.broadcast(total)).select(
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+    )
