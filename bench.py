@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries (registry entries tagged
+bench=True) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+collect/serialization overhead measured). One warm-up of a trivial job runs
+first so JVM/codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from d3d_etl_spark import queries as qmod
+from d3d_etl_spark.queries.registry import REGISTRY
+from d3d_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    qmod.load_all()
+    bench_queries = {n: q for n, q in sorted(REGISTRY.items()) if q.bench}
+
+    spark = get_spark(app_name="d3d-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footer reads, codegen
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e wall-clock, {len(timings)} headline queries (joins/aggs/windows/dedup/simsearch/text), noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,9 @@ def ip_to_thirds(ip_str: Column) -> Column:
 
     Reference codec at war_calculation/common.py:10-36.
     """
-    whole = F.split(ip_str, r"\.").getItem(0).cast("long")
-    frac = F.coalesce(F.split(ip_str, r"\.").getItem(1).cast("long"), F.lit(0))
+    parts = F.split(ip_str, r"\.")
+    whole = F.get(parts, 0).cast("long")
+    frac = F.coalesce(F.get(parts, 1).cast("long"), F.lit(0))
     return whole * 3 + frac
 
 

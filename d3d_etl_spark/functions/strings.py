@@ -36,18 +36,21 @@ def hash_id(col: Column, salt: str = "d3d") -> Column:
     return F.substring(F.sha2(F.concat_ws(":", F.lit(salt), col.cast("string")), 256), 1, 16)
 
 
-def md5_int(col: Column) -> Column:
-    """First 32 bits of md5 as a non-negative long.
+def md5_int(col: Column, hex_chars: int = 8) -> Column:
+    """First `hex_chars*4` bits of md5 as a non-negative long (<= 15 hex
+    chars = 60 bits so the value fits a signed 64-bit int in any engine).
 
-    Portable across engines (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``),
+    Portable across engines (DuckDB: ``('0x' || substr(md5(x),1,n))::BIGINT``),
     used as the hash family for minhash/simhash/LSH so every sketch has an
     exact SQL oracle.
     """
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if hex_chars > 15:
+        raise ValueError("max 15 hex chars (60 bits) for signed-64 portability")
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
 
 
-def sql_md5_int(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+def sql_md5_int(expr: str, hex_chars: int = 8) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {hex_chars}))::BIGINT"
 
 
 def md5_int_seeded(col: Column, seed: int) -> Column:

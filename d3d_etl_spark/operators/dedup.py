@@ -1,0 +1,212 @@
+"""Deduplication operator library (north-star training-pipeline ops):
+exact content dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of each operator at 100 TB):
+
+- Exact dedup: one hash-groupBy on a digest — Spark's shuffle handles any
+  volume; the digest (md5) is computed map-side so only (digest, id) shuffles.
+- Jaccard pairs: inverted-index self-join on shingles. Quadratic in the
+  worst case; at scale you ALWAYS front it with LSH (below) so the verify
+  join only sees candidate pairs.
+- MinHash+LSH: signatures are computed with array expressions per document
+  (no explode, no shuffle); only (band_hash, doc_id) rows shuffle — b rows
+  per doc regardless of doc size. Bucket join finds candidates; exact
+  Jaccard verifies. This is the sub-quadratic scale path.
+- SimHash: 32-bit signature per doc from token-hash bit votes, again pure
+  array expressions; near-dup candidates via banded bytes (hamming<=k needs
+  a shared band by pigeonhole when k < bands), verified with bit_count(xor).
+
+Hash family: first-32-bits-of-md5 (functions.strings.md5_int) — chosen over
+xxhash/murmur because it is bit-reproducible in any engine, which makes every
+sketch here oracle-checkable in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.strings import md5_int
+
+
+def content_digest(cols: list[Column]) -> Column:
+    """Map-side content digest for exact dedup."""
+    return F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in cols]))
+
+
+def exact_dedup_groups(df: DataFrame, content: list[Column], id_col: str) -> DataFrame:
+    """Group identical content; emit canonical (min) id + multiplicity."""
+    return (
+        df.select(F.col(id_col), content_digest(content).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+    """(id, shingle) distinct rows — the inverted-index input."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, min_jaccard: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets.
+
+    `shingle_df`: (doc, shingle) distinct. With `candidates` (doc_a, doc_b)
+    given, only verifies those pairs (the LSH path); otherwise builds all
+    co-occurring pairs from the inverted index.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sizes = shingle_df.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = shingle_df.select(F.col("doc").alias("doc_a"), "shingle")
+    b = shingle_df.select(F.col("doc").alias("doc_b"), "shingle")
+    if candidates is not None:
+        # Candidate-driven intersection: fan each candidate pair out to
+        # doc_a's shingles, then equi-join doc_b's — cost is
+        # O(|candidates| · |doc|), never the quadratic inverted-index blowup.
+        joined = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+    else:
+        joined = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
+    inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(doc, sig0..sig{n-1}) minhash signatures from (doc, shingle) rows.
+
+    Each signature is the lexicographic min of a seeded md5 over the shingle
+    set (min over a uniform hash == a random permutation's minimum; the
+    string min is portable to any SQL engine). Computed as ONE pass over the
+    exploded shingle rows with n partial-aggregating min()s — array-expression
+    variants re-evaluate the (expensive) shingle construction once per hash
+    because higher-order functions defeat Catalyst subexpression elimination
+    (measured 16x slower at sf0.1).
+    """
+    sig_aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"sig{j}")
+        for j in range(n_hashes)
+    ]
+    return shingle_df.groupBy("doc").agg(*sig_aggs)
+
+
+def lsh_band_keys(df: DataFrame, id_col: str, shingles: Column,
+                  n_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(doc, band_idx, band_key) rows: signature -> bands -> bucket keys.
+
+    Output is (n_hashes/rows_per_band) rows per doc regardless of doc size.
+    Docs with no shingles produce no rows (they can never near-dup-match).
+    """
+    n_bands = n_hashes // rows_per_band
+    sigs = minhash_signatures(shingle_rows(df, id_col, shingles), n_hashes)
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"sig{j}") for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+            )
+        )
+        for i in range(n_bands)
+    ]
+    pairs = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(i) for i in range(n_bands)]).alias("band_idx"),
+            F.array(*bands).alias("band_key"),
+        )
+    )
+    return sigs.select("doc", pairs.alias("z")).select(
+        "doc", F.col("z.band_idx").alias("band_idx"), F.col("z.band_key").alias("band_key")
+    )
+
+
+def lsh_candidates(band_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one band bucket."""
+    a = band_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
+    b = band_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(token_hashes: Column, bits: int = 32) -> Column:
+    """SimHash from an array of token hash ints: per bit, majority vote of
+    token bits (+1/-1), bit set iff strictly positive. Pure array expressions.
+    """
+    def bit_set(i: int):
+        # single-arg lambda factory (a 2-arg lambda would make F.filter pass
+        # the array index as the second argument)
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size(token_hashes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        cnt = F.size(F.filter(token_hashes, bit_set(i)))
+        acc = acc + F.when(2 * cnt > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash_from_text_tokens(tok: Column, bits: int = 32) -> Column:
+    hex_chars = (bits + 3) // 4
+    return simhash(F.transform(tok, lambda t: md5_int(t, hex_chars)), bits)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, sim_col: str,
+                       max_hamming: int = 6, n_bands: int = 4, bits: int = 32) -> DataFrame:
+    """Banded byte-bucket candidates + exact hamming verify.
+
+    With n_bands > max_hamming/ (bits per band)... pigeonhole: any pair with
+    hamming <= n_bands - 1 must share a full band; pairs up to max_hamming
+    are found when their differing bits cluster. For exhaustive small-k
+    search use more/narrower bands.
+    """
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    bands = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(i) for i in range(n_bands)]).alias("band_idx"),
+            F.array(
+                *[
+                    F.shiftright(F.col(sim_col), i * band_width).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            ).alias("band_val"),
+        )
+    )
+    banded = df.select(F.col(id_col).alias("doc"), F.col(sim_col).alias("sh"), bands.alias("z")).select(
+        "doc", "sh", F.col("z.band_idx").alias("band_idx"), F.col("z.band_val").alias("band_val")
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,87 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the engine's scale doctrine:
+- brute-force cosine top-k: the exactness baseline. One broadcast of the
+  query vector, one narrow map (zip_with dot product), one top-k. Linear
+  scan — right answer, right plan for a single query over any data size
+  (top-k is a partial agg, no full sort).
+- IVF-style coarse assignment: k centroids from exact scaled-integer means
+  (deterministic under any partitioning), every vector assigned to its
+  nearest centroid. At query time you probe only the closest cells —
+  the list-pruning path that replaces the linear scan at 100 TB.
+
+Similarities are computed in double and rounded to 6 dp before any ordering
+or publication: the fold order of a 64-term dot product can differ across
+engines/partitionings by ~1e-14, and rounding makes downstream top-k cuts
+and hashes stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.vectors import cosine
+
+SIM_SCALE = 1_000_000  # embedding fixed-point scale for exact centroid sums
+
+
+def cosine_topk(
+    emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k rows of `emb` by cosine similarity to the single-row `query`
+    (columns: q_vec). Deterministic: rounded sim desc, then id asc."""
+    sim = F.round(cosine(F.col(vec_col), F.col("q_vec")), 6)
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def scaled_components(emb: DataFrame, id_cols: list[str], vec_col: str = "embedding") -> DataFrame:
+    """posexplode to (ids..., pos, comp) with exact fixed-point components."""
+    return emb.select(
+        *id_cols, F.posexplode(vec_col).alias("pos", "x")
+    ).select(*id_cols, "pos", F.round(F.col("x").cast("double") * SIM_SCALE).cast("long").alias("xs"))
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid components from exact integer sums:
+    (label, pos, c) with c = sum(scaled)/n/SCALE — deterministic under any
+    shuffle order, unlike a naive double mean."""
+    comps = scaled_components(emb, [label_col], vec_col)
+    return comps.groupBy(label_col, "pos").agg(
+        (F.sum("xs").cast("double") / F.count("*") / SIM_SCALE).alias("c")
+    )
+
+
+def assign_nearest_centroid(
+    emb: DataFrame, centroids: DataFrame, label_col: str, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine (rounded 6dp,
+    label-asc tiebreak). Centroids are tiny -> broadcast; the per-vector
+    work is a positional join + exact-shaped reduction."""
+    from pyspark.sql import Window
+
+    comps = emb.select(id_col, F.posexplode(vec_col).alias("pos", "x")).select(
+        id_col, "pos", F.col("x").cast("double").alias("x")
+    )
+    joined = comps.join(F.broadcast(centroids), "pos")
+    scores = joined.groupBy(id_col, label_col).agg(
+        F.sum(F.col("x") * F.col("c")).alias("dot"),
+        F.sum(F.col("x") * F.col("x")).alias("nx2"),
+        F.sum(F.col("c") * F.col("c")).alias("nc2"),
+    )
+    # NOTE: these per-vector sums are 64-term reductions; rounding to 6dp
+    # below absorbs fold-order noise exactly as in cosine_topk.
+    sim = F.round(F.col("dot") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6)
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(label_col))
+    return (
+        scores.select(id_col, F.col(label_col), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(id_col, F.col(label_col).alias("assigned_label"), F.col("sim").alias("sim"))
+    )

@@ -1,1 +1,227 @@
-"""(filled in incrementally)"""
+"""Deduplication queries over `events`/`documents` (north-star training-data
+ops): exact content dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Every sketch uses the md5-based portable hash family so DuckDB can compute
+the identical value — the full pipelines (signature -> bands -> candidates ->
+verified pairs) are oracle-checked end-to-end, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.money import cents
+from d3d_etl_spark.functions.text import sql_tokens, sql_word_shingles, tokens, word_shingles
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_band_keys,
+    lsh_candidates,
+    shingle_rows,
+    simhash_from_text_tokens,
+    simhash_near_pairs,
+)
+from d3d_etl_spark.queries.registry import register
+
+_SHINGLE_N = 3
+_JACCARD_T = 0.3
+_N_HASHES = 16
+_ROWS_PER_BAND = 4
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup (full event content)
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+  md5(concat_ws(chr(31),
+      CAST(user_id AS VARCHAR),
+      event_type,
+      CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR),
+      props)) AS digest,
+  MIN(event_id) AS canonical_id,
+  COUNT(*)      AS n_copies
+FROM events
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    content = [
+        F.col("user_id"),
+        F.col("event_type"),
+        cents(F.col("value")),
+        F.col("props"),
+    ]
+    return exact_dedup_groups(ev, content, "event_id").where(F.col("n_copies") > 1)
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTEs for shingle-based near-dup
+# ---------------------------------------------------------------------------
+
+_TOK = sql_tokens("text")
+_SH = sql_word_shingles("w", _SHINGLE_N)
+
+_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+sh_arr AS (SELECT doc_id, {_SH} AS sh FROM toks),
+d AS (SELECT DISTINCT doc_id AS doc, unnest(sh) AS shingle FROM sh_arr),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM d GROUP BY doc)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_jaccard_pairs", _JACCARD_ORACLE, tags=("dedup",), bench=True)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N))
+    return jaccard_pairs(sh, _JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — signatures -> bands -> candidate pairs -> verified
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    n_bands = _N_HASHES // _ROWS_PER_BAND
+    sig_exprs = ",\n  ".join(
+        f"COALESCE(list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min'), 'EMPTY') AS sig{j}"
+        for j in range(_N_HASHES)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"sig{j}" for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND))
+        + "))"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {sig_exprs} FROM sh_arr),
+bands AS (
+  SELECT doc_id,
+         unnest([{band_exprs}]) AS band_key,
+         unnest(range({n_bands})) AS band_idx
+  FROM sigs
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a
+  JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(), tags=("dedup",), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    bands = lsh_band_keys(docs, "doc_id", shingles, _N_HASHES, _ROWS_PER_BAND)
+    cand = lsh_candidates(bands)
+    sh = shingle_rows(docs, "doc_id", shingles)
+    return jaccard_pairs(sh, _JACCARD_T, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 32-bit simhash per doc + banded near-pairs by hamming
+# ---------------------------------------------------------------------------
+
+# 60-bit simhash: wide enough that unrelated docs over a shared vocabulary
+# stay ~30 bits apart while true near-dups land within a few bits (32 bits
+# was measured too coarse on this corpus: noise pairs flooded hamming<=6).
+_BITS = 60
+_HEXC = _BITS // 4
+
+
+def _simhash_sql_expr() -> str:
+    terms = []
+    for i in range(_BITS):
+        cnt = f"len(list_filter(hs, h -> ((h >> {i}) & 1) = 1))"
+        terms.append(f"CASE WHEN 2 * {cnt} > len(hs) THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_CTES = f"""
+toks AS (SELECT doc_id, {_TOK} AS w FROM documents),
+hashes AS (SELECT doc_id, list_transform(w, t -> ('0x' || substr(md5(t), 1, {_HEXC}))::BIGINT) AS hs FROM toks),
+sims AS (SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash FROM hashes)
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sims
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash_from_text_tokens(tokens(F.col("text")), _BITS)
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+# hamming<=5 with 6 bands of 10 bits: any pair within 5 differing bits must
+# share at least one exact band (pigeonhole) -> exhaustive recall at the
+# chosen radius; measured on this corpus: true near-dups sit at h<=5, noise
+# density there is ~4e-4 of all pairs.
+_MAX_HAMMING = 5
+_SIM_BANDS = 6
+_BAND_WIDTH = _BITS // _SIM_BANDS
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_CTES},
+banded AS (
+  SELECT doc_id, simhash,
+         unnest([{", ".join(f"(simhash >> {i * _BAND_WIDTH}) & {(1 << _BAND_WIDTH) - 1}" for i in range(_SIM_BANDS))}]) AS band_val,
+         unnest(range({_SIM_BANDS})) AS band_idx
+  FROM sims
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash_from_text_tokens(tokens(F.col("text")), _BITS)
+    with_sim = docs.select("doc_id", sim.alias("simhash"))
+    return simhash_near_pairs(
+        with_sim, "doc_id", "simhash", _MAX_HAMMING, _SIM_BANDS, _BITS
+    )

@@ -1,1 +1,138 @@
-"""(filled in incrementally)"""
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- sim_topk_bruteforce: exact cosine top-k for one query vector (the
+  baseline: broadcast query + narrow map + top-k partial agg).
+- sim_ivf_assign: IVF coarse quantizer step — exact-integer label centroids,
+  nearest-centroid assignment (the list-pruning scale path for ANN).
+- sim_near_pairs: thresholded all-pairs cosine (near-dup-by-embedding shape;
+  at scale this is always LSH/IVF-gated, shown here exact).
+
+Oracles unnest both vectors positionally (DuckDB zips parallel unnests) and
+mirror the dot/norm/round-6 formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.vectors import cosine
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.similarity import (
+    assign_nearest_centroid,
+    cosine_topk,
+    label_centroids,
+)
+from d3d_etl_spark.queries.registry import register
+
+_QUERY_ID = 0
+_TOPK = 10
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qx,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings WHERE vec_id = {_QUERY_ID}
+),
+e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings WHERE vec_id != {_QUERY_ID}
+),
+s AS (
+  SELECT vec_id,
+         SUM(x * qx) AS dot,
+         SUM(x * x)  AS nx2,
+         SUM(qx * qx) AS nq2
+  FROM e JOIN q USING (pos)
+  GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(nx2) * SQRT(nq2)), 6) AS sim
+FROM s
+ORDER BY sim DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@register("sim_topk_bruteforce", _TOPK_ORACLE, tags=("similarity",), bench=True)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
+    return cosine_topk(emb.where(F.col("vec_id") != _QUERY_ID), query, _TOPK)
+
+
+_IVF_ORACLE = """
+WITH comps AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY label, pos
+),
+scores AS (
+  SELECT e.vec_id, c.label,
+         SUM(e.x * c.c) AS dot,
+         SUM(e.x * e.x) AS nx2,
+         SUM(c.c * c.c) AS nc2
+  FROM comps e JOIN cents c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, label,
+         ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, label
+         ) AS rn
+  FROM scores
+)
+SELECT vec_id, label AS assigned_label, sim FROM ranked WHERE rn = 1
+"""
+
+
+@register("sim_ivf_assign", _IVF_ORACLE, tags=("similarity",), bench=True)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label")
+    return assign_nearest_centroid(emb, cents, "label")
+
+
+_NEAR_T = 0.35
+
+_NEAR_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(a.x * b.x) AS dot,
+         SUM(a.x * a.x) AS na2,
+         SUM(b.x * b.x) AS nb2
+  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) AS sim
+FROM s
+WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_NEAR_T}
+"""
+
+
+@register("sim_near_pairs", _NEAR_ORACLE, tags=("similarity",))
+def sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= _NEAR_T)
+    )

@@ -1,1 +1,89 @@
-"""(filled in incrementally)"""
+"""Stateful-sequence queries (SURVEY.md §2.8) + multimodal plumbing.
+
+- sessionize_events: the window-expressible stateful shape (segment keys
+  from boundary flags — reference columns.py:144-159) — full SQL oracle.
+- fsm_funnel: a genuine per-group FSM via applyInPandas — not
+  SQL-expressible, so it carries no oracle (driver records the weaker
+  rows-only check); tests/test_operators.py verifies it against a pure
+  python reference implementation instead.
+- multimodal_extract: binary-column decode plumbing via mapInPandas with a
+  deterministic fake decoder — byte math only, so it IS oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.fsm import FUNNEL_SCHEMA, funnel_fsm, run_grouped_fsm
+from d3d_etl_spark.operators.multimodal import extract_media_features
+from d3d_etl_spark.operators.sessionize import session_stats, sessionize
+from d3d_etl_spark.queries.registry import register
+
+_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flags AS (
+  SELECT *,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > {_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT *,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+  FROM flags
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(us)  AS start_us,
+       MAX(us)  AS end_us,
+       CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0 AS duration_sec
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", _SESSION_ORACLE, tags=("stateful", "window"), bench=True)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    with_sessions = sessionize(ev, "user_id", "ts", "event_id", gap_micros=_GAP_US)
+    return session_stats(with_sessions, "user_id", "ts")
+
+
+@register("fsm_funnel", None, tags=("stateful", "fsm"))
+def fsm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion-funnel FSM (view->click->purchase with resets).
+
+    applyInPandas grouped map — the same execution shape that carries the
+    reference's base-state tracker (columns.py:332-529); no SQL oracle by
+    design (genuinely sequential state).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return run_grouped_fsm(ev, ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA)
+
+
+_MM_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_hash,
+  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+  CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_extract", _MM_ORACLE, tags=("multimodal",))
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing: text bytes stand in for image payloads;
+    mapInPandas runs the (stubbed) decoder over Arrow batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(with_payload)

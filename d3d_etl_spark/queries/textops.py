@@ -1,1 +1,190 @@
-"""(filled in incrementally)"""
+"""Text-analysis operators for the training-data pipeline (north-star ops
+beyond the reference: token counting, quality scoring, language-ID heuristic,
+document fingerprinting).
+
+Design: every per-document metric is computed with array higher-order
+functions on the `text` column — a single narrow map stage, zero shuffles,
+fully whole-stage-codegen. At 100 TB this scans and emits without any
+exchange; only the optional downstream aggregation shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    marker_hits,
+    sql_marker_hits,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# text_tokens — token counting (whitespace tokenizer)
+# ---------------------------------------------------------------------------
+
+_TOK = sql_tokens("text")
+
+_TOKENS_ORACLE = f"""
+SELECT
+  doc_id,
+  len({_TOK}) AS n_tokens,
+  len(list_distinct({_TOK})) AS n_unique,
+  CAST(list_aggregate(list_transform({_TOK}, t -> CAST(len(t) AS BIGINT)), 'sum') AS DOUBLE)
+    / len({_TOK}) AS avg_token_len,
+  CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS ttr
+FROM documents
+"""
+
+
+@register("text_tokens", _TOKENS_ORACLE, tags=("text",), bench=True)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tokens = F.size(tok).cast("long")
+    n_unique = F.size(F.array_distinct(tok)).cast("long")
+    total_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (total_len.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_unique.cast("double") / n_tokens).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality — heuristic quality scoring (length, stopword ratio,
+# punctuation/digit density) — the LLM-corpus filtering shape
+# ---------------------------------------------------------------------------
+
+_STOP = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  n_chars,
+  len({_TOK}) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit_ratio,
+  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / n_chars AS punct_ratio,
+  CAST(len(list_filter({_TOK}, t -> list_contains({_STOP}, t))) AS DOUBLE) / len({_TOK}) AS stopword_ratio,
+  CASE WHEN len({_TOK}) >= 20
+        AND CAST(len(list_filter({_TOK}, t -> list_contains({_STOP}, t))) AS DOUBLE) / len({_TOK}) >= 0.01
+        AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / n_chars <= 0.2
+       THEN 1 ELSE 0 END AS passes_filter
+FROM documents
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE, tags=("text",), bench=True)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    tok = tokens(t)
+    n_tokens = F.size(tok).cast("long")
+    digit_ratio = F.regexp_count(t, F.lit("[0-9]")).cast("double") / F.col("n_chars")
+    punct_ratio = F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("double") / F.col("n_chars")
+    stop_ratio = marker_hits(tok, EN_STOPWORDS).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(
+            (n_tokens >= 20) & (stop_ratio >= 0.01) & (punct_ratio <= 0.2), 1
+        )
+        .otherwise(0)
+        .alias("passes_filter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_langid — n-gram/stopword language-ID heuristic: score each language's
+# marker set, argmax with fixed priority tiebreak
+# ---------------------------------------------------------------------------
+
+def _lang_sql() -> str:
+    hits = {lang: sql_marker_hits(_TOK, m) for lang, m in LANG_MARKERS.items()}
+    best = f"GREATEST({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    return f"""
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  {hits['en']} AS hits_en,
+  {hits['es']} AS hits_es,
+  {hits['fr']} AS hits_fr,
+  {hits['de']} AS hits_de,
+  CASE
+    WHEN {best} = 0 THEN 'und'
+    WHEN {hits['en']} = {best} THEN 'en'
+    WHEN {hits['es']} = {best} THEN 'es'
+    WHEN {hits['fr']} = {best} THEN 'fr'
+    ELSE 'de'
+  END AS pred_lang
+FROM documents
+"""
+
+
+@register("text_langid", _lang_sql(), tags=("text",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    hits = {lang: marker_hits(tok, m).cast("long") for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("hits_en"),
+        hits["es"].alias("hits_es"),
+        hits["fr"].alias("hits_fr"),
+        hits["de"].alias("hits_de"),
+        pred.alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — document fingerprint: min-hash-of-shingles digest +
+# content hash (the dedup-key shape; rolling-hash analog done portably)
+# ---------------------------------------------------------------------------
+
+_SH = sql_word_shingles(_TOK, 3)
+
+_FP_ORACLE = f"""
+SELECT
+  doc_id,
+  md5(text) AS content_hash,
+  COALESCE(list_aggregate(list_transform({_SH}, s -> md5(s)), 'min'), 'EMPTY') AS shingle_fp,
+  len({_SH}) AS n_shingles
+FROM documents
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE, tags=("text", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    sh = word_shingles(tok, 3)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("EMPTY")).alias("shingle_fp"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

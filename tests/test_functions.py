@@ -1,0 +1,58 @@
+"""Column-function library tests (math codec, strings, text builders)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.math import clip, ip_to_innings, ip_to_thirds, safe_div, thirds_to_ip
+from d3d_etl_spark.functions.strings import flip_last_first, hash_id, md5_int, normalize_name
+from d3d_etl_spark.functions.text import tokens, word_shingles
+
+
+def test_ip_codec_roundtrip(spark):
+    df = spark.createDataFrame([("6.2",), ("0.1",), ("9",), ("12.0",)], "ip string")
+    rows = df.select(
+        ip_to_thirds(F.col("ip")).alias("t"),
+        thirds_to_ip(ip_to_thirds(F.col("ip"))).alias("rt"),
+        ip_to_innings(F.col("ip")).alias("f"),
+    ).collect()
+    assert [r["t"] for r in rows] == [20, 1, 27, 36]
+    assert [r["rt"] for r in rows] == ["6.2", "0.1", "9.0", "12.0"]
+    assert abs(rows[0]["f"] - 20 / 3) < 1e-12
+
+
+def test_safe_div_and_clip(spark):
+    df = spark.createDataFrame([(10.0, 2.0), (1.0, 0.0)], "n double, d double")
+    rows = df.select(
+        safe_div(F.col("n"), F.col("d"), -1.0).alias("q"),
+        clip(F.col("n"), 0.0, 5.0).alias("c"),
+    ).collect()
+    assert rows[0]["q"] == 5.0 and rows[1]["q"] == -1.0
+    assert rows[0]["c"] == 5.0 and rows[1]["c"] == 1.0
+
+
+def test_string_helpers(spark):
+    df = spark.createDataFrame([("  Smith, John Q. ",), ("nocomma",)], "s string")
+    rows = df.select(
+        flip_last_first(F.trim(F.col("s"))).alias("flip"),
+        normalize_name(F.col("s")).alias("norm"),
+    ).collect()
+    assert rows[0]["flip"] == "John Q. Smith"
+    assert rows[0]["norm"] == "smith john q"
+    assert rows[1]["flip"] == "nocomma"
+
+
+def test_hash_id_deterministic(spark):
+    df = spark.createDataFrame([(42,)], "id long")
+    v = df.select(hash_id(F.col("id")).alias("h"), md5_int(F.col("id").cast("string")).alias("m")).first()
+    import hashlib
+
+    assert v["h"] == hashlib.sha256(b"d3d:42").hexdigest()[:16]
+    assert v["m"] == int(hashlib.md5(b"42").hexdigest()[:8], 16)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    rows = df.select(word_shingles(tokens(F.col("t")), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []

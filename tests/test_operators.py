@@ -1,0 +1,96 @@
+"""Operator-level tests: the grouped FSM against a pure-python reference,
+sessionization edge cases, multimodal plumbing, dedup primitives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.fsm import (
+    FUNNEL_SCHEMA,
+    funnel_fsm,
+    funnel_reference,
+    run_grouped_fsm,
+)
+from d3d_etl_spark.operators.sessionize import session_stats, sessionize
+
+
+def test_funnel_fsm_matches_python_reference(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    got = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"], r["final_state"])
+        for r in run_grouped_fsm(
+            ev, ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA
+        ).collect()
+    }
+    ordered = (
+        ev.orderBy("user_id", "ts", "event_id")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    want = funnel_reference([(r["user_id"], r["event_type"]) for r in ordered])
+    assert got == want
+    assert len(got) > 0
+
+
+def test_funnel_fsm_unit(spark):
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),   # completed
+        (1, 4, "view"), (1, 5, "view"),                         # abandoned + restart
+        (1, 6, "click"), (1, 7, "error"), (1, 8, "purchase"),   # completed (error ignored)
+        (2, 1, "purchase"), (2, 2, "click"),                    # nothing
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), t, et) for u, t, et in [(r[0], r[1], r[2]) for r in rows]],
+        "user_id long, ts double, event_id long, event_type string",
+    )
+    got = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"], r["final_state"])
+        for r in run_grouped_fsm(df, ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA).collect()
+    }
+    assert got[1] == (2, 1, 0)
+    assert got[2] == (0, 0, 0)
+
+
+def test_sessionize_boundaries(spark):
+    base = 1_700_000_000_000_000  # µs
+    gap = 30 * 60 * 1_000_000
+    rows = [
+        (1, base, 10),
+        (1, base + gap, 11),          # exactly the gap: same session (strict >)
+        (1, base + 2 * gap + 1, 12),  # over the gap: new session
+        (2, base, 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_id"
+    )
+    out = sessionize(df, "user_id", "ts", "event_id", gap_micros=gap)
+    seqs = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert seqs == {10: 1, 11: 1, 12: 2, 20: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in session_stats(out, "user_id", "ts").collect()
+    }
+    assert stats == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_multimodal_plumbing(spark):
+    from d3d_etl_spark.operators.multimodal import extract_media_features
+
+    df = spark.createDataFrame([(1, b"hello"), (2, b"")], "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert rows[1]["content_hash"] == "5d41402abc4b2a76b9719d911017c592"  # md5('hello')
+    assert rows[1]["width"] == 6 and rows[1]["height"] == 6 and rows[1]["n_frames"] == 6
+    assert rows[2]["n_bytes"] == 0 and rows[2]["width"] == 1
+
+
+def test_exact_dedup_groups(spark):
+    from d3d_etl_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x")], "id long, c1 string, c2 string"
+    )
+    out = {r["canonical_id"]: r["n_copies"] for r in
+           exact_dedup_groups(df, [F.col("c1"), F.col("c2")], "id").collect()}
+    assert out == {1: 2, 3: 1}
