@@ -1,0 +1,79 @@
+"""Blocked fuzzy join — the engine's entity-resolution operator.
+
+Re-expresses the reference's fuzzy name-matching cascades (SURVEY.md §2.3
+J10-J13: map_ncaa_to_cube.py:125-175, names/names.py:131-179,
+reconcile_players.py:413-469) as one generic, scale-safe operator:
+
+    1. BLOCK: equi-join probes to candidates on a block key (team+year in
+       the reference; never a cross join — the block bounds the quadratic).
+    2. TIERS: a cascade of match rules; each tier only sees probes unmatched
+       by earlier tiers (reference: jersey -> exact name -> unique last name
+       -> fuzzy score).
+    3. TOP-1: within a tier, best candidate by (score desc, candidate id asc)
+       — the deterministic version of rapidfuzz extractOne's list-order tie
+       break (SURVEY.md §7.3).
+
+Similarity here is normalized Levenshtein (JVM built-in, codegen-friendly,
+and mirrored exactly by the SQL oracle). The reference's token_sort_ratio
+can be plugged in as a pandas UDF scorer without changing the operator
+shape — blocking and top-1 selection are where the scale behavior lives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """1 - lev/max(len): 1.0 identical, 0.0 disjoint. Exact-integer inputs
+    to one double division -> deterministic across engines."""
+    return 1.0 - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b))
+
+
+def blocked_fuzzy_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str],
+    probe_id: str,
+    probe_name: str,
+    cand_id: str,
+    cand_name: str,
+    cutoff: float = 0.7,
+) -> DataFrame:
+    """Two-tier cascade: exact name match, then fuzzy top-1 >= cutoff.
+
+    Returns (probe_id, matched_id, score, tier) with tier in
+    {'exact', 'fuzzy'}; probes matching nothing are absent (left-join the
+    result back if unmatched rows are needed).
+    """
+    w_exact = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
+    exact = (
+        probes.join(candidates, block_keys)
+        .where(F.col(probe_name) == F.col(cand_name))
+        .withColumn("rn", F.row_number().over(w_exact))
+        .where("rn = 1")
+        .select(
+            F.col(probe_id),
+            F.col(cand_id).alias("matched_id"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("tier"),
+        )
+    )
+    unmatched = probes.join(exact.select(probe_id), probe_id, "left_anti")
+    sim = levenshtein_sim(F.col(probe_name), F.col(cand_name))
+    w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
+    fuzzy = (
+        unmatched.join(candidates, block_keys)
+        .select(F.col(probe_id), F.col(cand_id), sim.alias("score"))
+        .where(F.col("score") >= cutoff)
+        .withColumn("rn", F.row_number().over(w_fuzzy))
+        .where("rn = 1")
+        .select(
+            F.col(probe_id),
+            F.col(cand_id).alias("matched_id"),
+            F.col("score"),
+            F.lit("fuzzy").alias("tier"),
+        )
+    )
+    return exact.unionByName(fuzzy)

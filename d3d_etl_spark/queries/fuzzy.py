@@ -1,0 +1,80 @@
+"""Fuzzy entity-resolution query (SURVEY.md §2.3 J10-J13).
+
+Probes are part names deterministically corrupted (so the cascade has work
+to do): even partkeys lose their last character, odd partkeys stay exact.
+Blocked on p_brand; exact tier catches the untouched names, fuzzy tier
+resolves the corrupted ones by normalized Levenshtein top-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.fuzzy_join import blocked_fuzzy_join
+from d3d_etl_spark.queries.registry import register
+
+_CUTOFF = 0.7
+
+_FUZZY_ORACLE = f"""
+WITH probes AS (
+  SELECT p_partkey AS probe_id, p_brand,
+         CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 1, len(p_name) - 1)
+              ELSE p_name END AS probe_name
+  FROM part
+),
+exact AS (
+  SELECT probe_id, matched_id, 1.0 AS score, 'exact' AS tier
+  FROM (
+    SELECT p.probe_id, c.p_partkey AS matched_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY c.p_partkey) AS rn
+    FROM probes p JOIN part c USING (p_brand)
+    WHERE p.probe_name = c.p_name
+  ) WHERE rn = 1
+),
+fuzzy AS (
+  SELECT probe_id, matched_id, score, 'fuzzy' AS tier
+  FROM (
+    SELECT p.probe_id, c.p_partkey AS matched_id,
+           1.0 - CAST(levenshtein(p.probe_name, c.p_name) AS DOUBLE)
+               / GREATEST(len(p.probe_name), len(c.p_name)) AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY 1.0 - CAST(levenshtein(p.probe_name, c.p_name) AS DOUBLE)
+                      / GREATEST(len(p.probe_name), len(c.p_name)) DESC,
+                      c.p_partkey
+           ) AS rn
+    FROM probes p JOIN part c USING (p_brand)
+    WHERE p.probe_id NOT IN (SELECT probe_id FROM exact)
+      AND 1.0 - CAST(levenshtein(p.probe_name, c.p_name) AS DOUBLE)
+          / GREATEST(len(p.probe_name), len(c.p_name)) >= {_CUTOFF}
+  ) WHERE rn = 1
+)
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+"""
+
+
+@register("fuzzy_match_names", _FUZZY_ORACLE, tags=("fuzzy", "join"), bench=True)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.expr("substr(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("probe_name"),
+    )
+    return blocked_fuzzy_join(
+        probes,
+        part,
+        block_keys=["p_brand"],
+        probe_id="probe_id",
+        probe_name="probe_name",
+        cand_id="p_partkey",
+        cand_name="p_name",
+        cutoff=_CUTOFF,
+    )
