@@ -1,0 +1,124 @@
+"""PBP parse pipeline (SURVEY.md §3.2, re-expressed Spark-first).
+
+Stages (reference pbp_parser/main.py:33-54):
+  1. metadata  — half from which narration column is populated, play_id from
+     a window over the persisted source order (the reference's global
+     arange + stable sort is replaced by an explicit total order).
+  2. classify  — event type via the priority when-cascade (events.py).
+  3. outs/runs — window functions (W3 running-sum-before, W5 group total,
+     W6 reverse running sum), not the reference's index loops.
+  4. base state — grouped FSM (state.py) joined back on (contest, play).
+  5. expected-runs matrix — group aggregate + pivot (A1/A8).
+
+Every window declares partition (contest_id[, inning, half]) and total
+order (play_id); games are independent, so the whole pipeline scales with
+the number of games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.operators.fsm import run_grouped_fsm
+from d3d_etl_spark.operators.windows import (
+    group_total,
+    reverse_running_sum,
+    running_sum_before,
+)
+from d3d_etl_spark.pbp.events import classify_event, outs_on_play, runs_on_play
+from d3d_etl_spark.pbp.state import BASE_STATE_SCHEMA, base_state_fsm
+
+
+def add_metadata(raw: DataFrame) -> DataFrame:
+    """Half derivation + total-order play_id (reference columns.py:121-128).
+
+    Exactly one of home_text/away_text is populated per row; away bats Top.
+    """
+    w = Window.partitionBy("contest_id").orderBy("source_seq")
+    return (
+        raw.withColumn(
+            "half",
+            F.when(F.col("away_text").isNotNull() & (F.col("away_text") != ""), "Top").otherwise(
+                "Bottom"
+            ),
+        )
+        .withColumn("play_text", F.coalesce(F.col("away_text"), F.col("home_text")))
+        .where(F.col("play_text").isNotNull() & (F.col("play_text") != ""))
+        .withColumn("play_id", F.row_number().over(w).cast("long"))
+    )
+
+
+def add_events(df: DataFrame) -> DataFrame:
+    ev = classify_event(F.col("play_text"))
+    return (
+        df.withColumn("event_type", ev)
+        .withColumn("outs_on_play", outs_on_play(F.col("play_text"), F.col("event_type")))
+        .withColumn("runs_on_play", runs_on_play(F.col("play_text")))
+    )
+
+
+def add_outs_runs_windows(df: DataFrame) -> DataFrame:
+    """W3/W5/W6 over (contest, inning, half) ordered by play_id."""
+    w = Window.partitionBy("contest_id", "inning", "half").orderBy("play_id")
+    part = ["contest_id", "inning", "half"]
+    return (
+        df.withColumn("outs_before", running_sum_before(F.col("outs_on_play"), w).cast("int"))
+        .withColumn("outs_after", (F.col("outs_before") + F.col("outs_on_play")).cast("int"))
+        .withColumn("runs_this_inn", group_total(F.col("runs_on_play"), part).cast("int"))
+        .withColumn(
+            "runs_roi", reverse_running_sum(F.col("runs_on_play"), w).cast("int")
+        )
+    )
+
+
+def add_base_state(df: DataFrame) -> DataFrame:
+    state = run_grouped_fsm(
+        df.select("contest_id", "play_id", "inning", "half", "play_text"),
+        key_cols=["contest_id"],
+        order_cols=["play_id"],
+        fsm=base_state_fsm,
+        schema=BASE_STATE_SCHEMA,
+    )
+    return df.join(state, ["contest_id", "play_id"])
+
+
+def parse_pbp(raw: DataFrame) -> DataFrame:
+    """Full parse: raw narration -> wide play table."""
+    return add_base_state(add_outs_runs_windows(add_events(add_metadata(raw))))
+
+
+def expected_runs_matrix(parsed: DataFrame) -> DataFrame:
+    """RE24: mean runs-rest-of-inning and scoring probability by
+    (bases_before, outs_before), wide per reference shape
+    (get_er_matrix.py:17-24, :104-121): one row per (division, year, bases),
+    erv_0..2 / prob_0..2 columns.
+
+    Means are exact (integer sums / counts) and rounded to 3 like the
+    reference's published matrix.
+    """
+    base = (
+        parsed.where(F.col("outs_before") <= 2)
+        .groupBy("division", "year", F.col("bases_before").alias("bases"), "outs_before")
+        .agg(
+            F.round(F.sum("runs_roi").cast("double") / F.count("*"), 3).alias("erv"),
+            F.round(
+                F.sum(F.when(F.col("runs_roi") > 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                3,
+            ).alias("prob"),
+        )
+    )
+    pivoted = (
+        base.groupBy("division", "year", "bases")
+        .pivot("outs_before", [0, 1, 2])
+        .agg(F.first("erv").alias("erv"), F.first("prob").alias("prob"))
+    )
+    # pivot emits columns "<value>_<aggalias>": 0_erv, 0_prob, ...
+    return pivoted.select(
+        "division",
+        "year",
+        "bases",
+        *[F.col(f"{o}_erv").alias(f"erv_{o}") for o in (0, 1, 2)],
+        *[F.col(f"{o}_prob").alias(f"prob_{o}") for o in (0, 1, 2)],
+    )

@@ -1,0 +1,159 @@
+"""Base-state FSM (SURVEY.md §2.8 F1) — per-game grouped map.
+
+Reconstructs (runner-on-1st, -2nd, -3rd) before/after every play from the
+narration text. This is the genuinely sequential core the reference
+implements at pbp_parser/columns.py:332-529: explicit runner-segment
+processing, substitution renames, and the forced-advance cascade when the
+batter takes a base. Implementation is fresh pandas (not a copy) executed as
+an `applyInPandas` grouped map — state never crosses games, so N games
+parallelize perfectly across the cluster.
+
+Narration grammar per FIXTURES.md §1: segments joined by ';', first segment
+is the batter's event, later segments are runner events
+("X advanced to third", "X scored", "X out at second", "X stole second",
+"X pinch ran for Y").
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from d3d_etl_spark.pbp.events import EVENT_RULES, NO_PLAY
+
+_BATTER_VERBS = (
+    "singled|doubled|tripled|homered|walked|struck out|grounded|flied|lined|"
+    "popped|reached|hit by pitch|intentionally walked|sacrificed|out on"
+)
+_BATTER_RE = re.compile(rf"^\s*(.*?)\s+(?:{_BATTER_VERBS})", re.IGNORECASE)
+_RUNNER_RE = re.compile(
+    r"^\s*(.*?)\s+(scored|advanced to (?:second|third|home)|out at (?:first|second|third|home)|"
+    r"stole (?:second|third|home)|caught stealing|picked off|pinch ran for\s+(.*))",
+    re.IGNORECASE,
+)
+_BASE_WORD = {"first": 1, "second": 2, "third": 3, "home": 4}
+
+_COMPILED_RULES = [(code, re.compile(pat, re.IGNORECASE)) for code, pat in EVENT_RULES]
+
+# batter destination base per event (None = no base / not a batter event)
+_BATTER_DEST = {
+    "1B": 1, "BB": 1, "IBB": 1, "HBP": 1, "ROE": 1, "FC": 1, "SO_WP": 1, "CI": 1,
+    "2B": 2, "3B": 3, "HR": 4,
+}
+# events where trailing runners are FORCED ahead of the batter
+_FORCE_EVENTS = {"BB", "IBB", "HBP", "CI"}
+
+BASE_STATE_SCHEMA = (
+    "contest_id long, play_id long, bases_before string, bases_after string, "
+    "r1_name string, r2_name string, r3_name string"
+)
+
+
+def _classify(text: str) -> str:
+    for code, rx in _COMPILED_RULES:
+        if rx.search(text):
+            return code
+    return NO_PLAY
+
+
+def _code(bases: dict[int, str | None]) -> str:
+    return "".join("Y" if bases[b] else "N" for b in (1, 2, 3))
+
+
+def _find_runner(bases: dict[int, str | None], name: str) -> int | None:
+    name_l = name.strip().lower()
+    for b in (3, 2, 1):  # highest base first: lead runners act first
+        if bases[b] and bases[b].strip().lower() == name_l:
+            return b
+    return None
+
+
+def _apply_runner_segment(bases: dict[int, str | None], seg: str) -> None:
+    m = _RUNNER_RE.match(seg)
+    if not m:
+        return
+    name, action = m.group(1), m.group(2).lower()
+    at = _find_runner(bases, name)
+    if action.startswith("pinch ran for"):
+        old = m.group(3)
+        if old:
+            ob = _find_runner(bases, old)
+            if ob:
+                bases[ob] = name.strip()
+        return
+    if at is None:
+        return
+    if action == "scored" or action.startswith(("out at", "caught stealing", "picked off")):
+        bases[at] = None
+    elif action.startswith(("advanced to", "stole")):
+        dest = _BASE_WORD[action.rsplit(" ", 1)[1]]
+        bases[at] = None
+        if dest < 4:
+            bases[dest] = name.strip()
+
+
+def _place_batter(bases: dict[int, str | None], event: str, batter: str | None) -> None:
+    dest = _BATTER_DEST.get(event)
+    if dest is None or dest == 4:
+        return
+    if event in _FORCE_EVENTS or dest == 1:
+        # forced-advance cascade: push only runners still occupying the chain
+        chain = []
+        b = dest
+        while b <= 3 and bases[b]:
+            chain.append(b)
+            b += 1
+        for src in reversed(chain):
+            if src + 1 <= 3:
+                bases[src + 1] = bases[src]
+            bases[src] = None
+    else:
+        # extra-base hit: displaced occupants advance ahead (2B pushes the
+        # runner on 2nd to 3rd if the narration didn't already move them)
+        for src in (3, 2) if dest == 3 else ((2,) if dest == 2 else ()):
+            if src >= dest and bases[src]:
+                if src + 1 <= 3 and not bases[src + 1]:
+                    bases[src + 1] = bases[src]
+                bases[src] = None
+    if dest <= 3:
+        bases[dest] = (batter or "").strip() or "UNKNOWN"
+
+
+def base_state_fsm(group: pd.DataFrame) -> pd.DataFrame:
+    """One game's plays (sorted by play_id) -> base-state columns."""
+    bases: dict[int, str | None] = {1: None, 2: None, 3: None}
+    cur_half: tuple | None = None
+    out_rows: list[tuple] = []
+    for row in group.itertuples(index=False):
+        half_key = (row.inning, row.half)
+        if half_key != cur_half:
+            bases = {1: None, 2: None, 3: None}
+            cur_half = half_key
+        before = _code(bases)
+        r1, r2, r3 = bases[1], bases[2], bases[3]
+        text = row.play_text or ""
+        event = _classify(text)
+        segments = [s for s in re.split(r"[;]", text) if s.strip()]
+        if event != NO_PLAY and event != "SUB":
+            batter_m = _BATTER_RE.match(segments[0]) if segments else None
+            batter = batter_m.group(1) if batter_m else None
+            for seg in segments[1:]:
+                _apply_runner_segment(bases, seg)
+            if event in ("SB", "CS", "PK", "WP", "PB", "BK"):
+                # runner-only events: the acting runner is in segment 1
+                _apply_runner_segment(bases, segments[0])
+            elif event == "HR":
+                bases = {1: None, 2: None, 3: None}
+            else:
+                _place_batter(bases, event, batter)
+        out_rows.append(
+            (row.contest_id, row.play_id, before, _code(bases), r1, r2, r3)
+        )
+    return pd.DataFrame(
+        out_rows,
+        columns=[
+            "contest_id", "play_id", "bases_before", "bases_after",
+            "r1_name", "r2_name", "r3_name",
+        ],
+    )

@@ -1,0 +1,129 @@
+"""PBP pipeline tests: hand-traced fixture game + FIXTURES.md §15 invariants.
+
+The fixture covers the narration grammar classes from FIXTURES.md §1:
+hits (1B/2B/3B/HR), BB/IBB/HBP, SO and SO-reached-on-WP, ground/fly/pop
+outs, SAC fly, fielder's choice, GDP, SB/CS, multi-segment runner
+advances/scoring/outs — with every play's (bases_before, outs_before,
+runs_on_play) hand-computed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.pbp.parser import expected_runs_matrix, parse_pbp
+
+_GAME = [
+    # (inning, half, text)  — half: T=away bats (away_text), B=home
+    (1, "T", "JONES, A. singled to left field"),
+    (1, "T", "SMITH, B. walked; JONES, A. advanced to second"),
+    (1, "T", "DAVIS, C. doubled; JONES, A. scored; SMITH, B. advanced to third"),
+    (1, "T", "MILLER, D. struck out swinging"),
+    (1, "T", "WILSON, E. flied out to cf, SAC, RBI; SMITH, B. scored"),
+    (1, "T", "TAYLOR, F. grounded out to ss"),
+    (1, "B", "BROWN, G. homered, RBI"),
+    (1, "B", "CLARK, H. hit by pitch"),
+    (1, "B", "LEWIS, I. grounded into double play; CLARK, H. out at second"),
+    (2, "T", "JONES, A. walked"),
+    (2, "T", "JONES, A. stole second"),
+    (2, "T", "SMITH, B. struck out, reached first on a wild pitch; JONES, A. advanced to third"),
+    (2, "T", "DAVIS, C. tripled; JONES, A. scored; SMITH, B. scored"),
+    (2, "T", "MILLER, D. popped up to 2b"),
+    (2, "T", "WILSON, E. intentionally walked"),
+    (2, "T", "TAYLOR, F. reached on a fielder's choice; DAVIS, C. out at home; WILSON, E. advanced to second"),
+    (2, "T", "TAYLOR, F. caught stealing, out at second c to 2b"),
+]
+
+# play_id -> (event, bases_before, outs_before, runs_on_play, bases_after)
+_EXPECTED = {
+    1: ("1B", "NNN", 0, 0, "YNN"),
+    2: ("BB", "YNN", 0, 0, "YYN"),
+    3: ("2B", "YYN", 0, 1, "NYY"),
+    4: ("SO", "NYY", 0, 0, "NYY"),
+    5: ("SF", "NYY", 1, 1, "NYN"),
+    6: ("GO", "NYN", 2, 0, "NYN"),
+    7: ("HR", "NNN", 0, 1, "NNN"),
+    8: ("HBP", "NNN", 0, 0, "YNN"),
+    9: ("GDP", "YNN", 0, 0, "NNN"),
+    10: ("BB", "NNN", 0, 0, "YNN"),
+    11: ("SB", "YNN", 0, 0, "NYN"),
+    12: ("SO_WP", "NYN", 0, 0, "YNY"),
+    13: ("3B", "YNY", 0, 2, "NNY"),
+    14: ("PO", "NNY", 0, 0, "NNY"),
+    15: ("IBB", "NNY", 1, 0, "YNY"),
+    16: ("FC", "YNY", 1, 0, "YYN"),
+    # 3rd out of the half arrives via CS; FSM removes the runner
+    17: ("CS", "YYN", 2, 0, "NYN"),
+}
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    rows = [
+        (2024, "ncaa_3", 100, inning,
+         text if half == "T" else None,
+         text if half == "B" else None,
+         seq)
+        for seq, (inning, half, text) in enumerate(_GAME)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    return parse_pbp(raw).orderBy("play_id").collect()
+
+
+def test_play_states(parsed):
+    got = {
+        r["play_id"]: (
+            r["event_type"], r["bases_before"], r["outs_before"],
+            r["runs_on_play"], r["bases_after"],
+        )
+        for r in parsed
+    }
+    assert got == _EXPECTED
+
+
+def test_invariants(parsed):
+    valid_codes = {"NNN", "YNN", "NYN", "YYN", "NNY", "YNY", "NYY", "YYY"}
+    halves: dict[tuple, list] = {}
+    for r in parsed:
+        assert 0 <= r["outs_before"] <= 2
+        assert r["outs_after"] <= 3
+        assert r["bases_before"] in valid_codes
+        assert r["bases_after"] in valid_codes
+        halves.setdefault((r["inning"], r["half"]), []).append(r)
+    for plays in halves.values():
+        total = sum(p["runs_on_play"] for p in plays)
+        assert all(p["runs_this_inn"] == total for p in plays)
+        # runs_roi = runs from this play to end of the half-inning, inclusive
+        rest = total
+        for p in sorted(plays, key=lambda p: p["play_id"]):
+            assert p["runs_roi"] == rest
+            rest -= p["runs_on_play"]
+
+
+def test_er_matrix_shape(spark, parsed):
+    raw_rows = [
+        (2024, "ncaa_3", 100, inning,
+         text if half == "T" else None,
+         text if half == "B" else None,
+         seq)
+        for seq, (inning, half, text) in enumerate(_GAME)
+    ]
+    raw = spark.createDataFrame(
+        raw_rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    er = expected_runs_matrix(parse_pbp(raw))
+    rows = {r["bases"]: r for r in er.collect()}
+    assert set(er.columns) == {
+        "division", "year", "bases", "erv_0", "erv_1", "erv_2",
+        "prob_0", "prob_1", "prob_2",
+    }
+    # NNN with 0 outs observed at plays 1,7,8,10 -> roi = 2,1,0,2 -> ER 1.25
+    assert rows["NNN"]["erv_0"] == pytest.approx(1.25)
+    assert rows["NNN"]["prob_0"] == pytest.approx(0.75)
