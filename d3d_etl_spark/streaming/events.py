@@ -1,0 +1,65 @@
+"""Streaming event pipelines.
+
+Batch/stream symmetry: these take any DataFrame — batch (`spark.read`) or
+streaming (`spark.readStream`) — and declare the same logical plan; with a
+streaming source Spark runs them incrementally with state cleanup governed
+by the watermark. The grouped FSMs (operators/fsm.py) map to
+`applyInPandasWithState` for live ingest; the windowed aggregates below are
+the built-in path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.money import cents
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time aggregation with late-data watermark:
+    counts + exact value sums per (window, event_type)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (F.session_window): gap-based sessions per
+    user with watermarked state eviction — the streaming twin of
+    operators.sessionize (which is the batch/window formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -1,0 +1,52 @@
+"""IO/sink semantics: dynamic partition overwrite upsert (S4/S5), dedup on
+load (S6), incremental anti-join (S17), resume-by-watermark (S18)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.io import incremental_todo, upsert_partition, write_partitioned
+
+
+def test_partition_overwrite_upsert(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "tbl")
+    v1 = spark.createDataFrame(
+        [(2023, "d1", 1, "old"), (2023, "d2", 2, "old"), (2024, "d1", 3, "old")],
+        "year int, division string, k long, v string",
+    )
+    write_partitioned(v1, path, ("year", "division"))
+
+    # overwrite ONLY the (2023, d1) slice — duplicate rows dedup on load
+    v2 = spark.createDataFrame(
+        [(2023, "d1", 1, "new"), (2023, "d1", 1, "new"), (2023, "d1", 9, "new")],
+        "year int, division string, k long, v string",
+    )
+    upsert_partition(v2, path, ("year", "division"), dedup_keys=("year", "division", "k"))
+
+    got = {
+        (r["year"], r["division"], r["k"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (2023, "d1", 1): "new",
+        (2023, "d1", 9): "new",
+        (2023, "d2", 2): "old",   # untouched partition survives
+        (2024, "d1", 3): "old",   # untouched partition survives
+    }
+
+
+def test_incremental_anti_join(spark):
+    todo_all = spark.createDataFrame([(1,), (2,), (3,)], "contest_id long")
+    done = spark.createDataFrame([(2,)], "contest_id long")
+    got = sorted(r["contest_id"] for r in incremental_todo(todo_all, done, "contest_id").collect())
+    assert got == [1, 3]
+
+
+def test_resume_watermark(spark):
+    existing = spark.createDataFrame(
+        [("2024-03-01",), ("2024-03-05",)], "date string"
+    ).select(F.to_date("date").alias("date"))
+    resume = existing.agg(F.date_add(F.max("date"), 1).alias("resume")).first()["resume"]
+    assert str(resume) == "2024-03-06"
