@@ -1,0 +1,145 @@
+"""Run-expectancy metrics + linear weights (SURVEY.md §3.1 stages 4-5).
+
+- expected_runs_long: the (bases, outs) -> ERV lookup in long form.
+- add_re24: per-play run value = RE(after) - RE(before) + runs, with the
+  reference's end-of-inning key rewrite (add_pbp_metrics.py:174-179: a play
+  that records the 3rd out transitions to RE = 0, not to a lookup key) —
+  expressed as a `when` rewrite before a broadcast lookup join (J7).
+- linear_weights: mean run value per event class + the wOBA normalization
+  (get_linear_weights.py:94-151): weights above outs, scaled so the
+  league's weighted on-base numerator matches league OBP.
+
+The ER lookup is 24 cells -> always broadcast; no shuffle is added to the
+play table beyond what parsing already did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# event-code -> linear-weight event class (reference linear-weights rows)
+LW_CLASSES: dict[str, str] = {
+    "BB": "walk",
+    "HBP": "hit_by_pitch",
+    "1B": "single",
+    "2B": "double",
+    "3B": "triple",
+    "HR": "home_run",
+    "SO": "out", "GO": "out", "FO": "out", "LO": "out", "PO": "out",
+    "GDP": "out", "SF": "out", "SH": "out",
+}
+
+REACHING = ("walk", "hit_by_pitch", "single", "double", "triple", "home_run")
+
+
+def expected_runs_long(parsed: DataFrame) -> DataFrame:
+    """(division, year, bases, outs, erv) from observed plays — the long
+    form of the RE24 matrix (get_er_matrix.py:17-24), exact integer mean."""
+    return (
+        parsed.where(F.col("outs_before") <= 2)
+        .groupBy(
+            "division", "year",
+            F.col("bases_before").alias("bases"),
+            F.col("outs_before").alias("outs"),
+        )
+        .agg((F.sum("runs_roi").cast("double") / F.count("*")).alias("erv"))
+    )
+
+
+def add_re24(parsed: DataFrame, er_long: DataFrame) -> DataFrame:
+    """Per-play run value: RE(state after) - RE(state before) + runs.
+
+    End-of-inning rewrite: outs_after >= 3 -> RE_after = 0 (the inning is
+    over; there is no successor state to look up).
+    """
+    before = er_long.select(
+        "division", "year",
+        F.col("bases").alias("bases_before"),
+        F.col("outs").alias("outs_before"),
+        F.col("erv").alias("re_before"),
+    )
+    after = er_long.select(
+        "division", "year",
+        F.col("bases").alias("bases_after"),
+        F.col("outs").alias("outs_after"),
+        F.col("erv").alias("_re_after_lookup"),
+    )
+    out = (
+        parsed.join(
+            F.broadcast(before),
+            ["division", "year", "bases_before", "outs_before"],
+            "left",
+        )
+        .join(
+            F.broadcast(after),
+            ["division", "year", "bases_after", "outs_after"],
+            "left",
+        )
+        .withColumn(
+            "re_after",
+            F.when(F.col("outs_after") >= 3, F.lit(0.0)).otherwise(
+                F.coalesce("_re_after_lookup", F.lit(0.0))
+            ),
+        )
+        .drop("_re_after_lookup")
+    )
+    return out.withColumn(
+        "re24",
+        F.col("re_after")
+        - F.coalesce("re_before", F.lit(0.0))
+        + F.col("runs_on_play").cast("double"),
+    )
+
+
+def linear_weights(plays_with_re24: DataFrame, lg_obp: float) -> DataFrame:
+    """Per-event mean run value + wOBA normalization.
+
+    Output shape mirrors the reference table (FIXTURES.md §14): events,
+    count, linear_weights_above_average, linear_weights_above_outs,
+    normalized_weight.
+    """
+    classed = plays_with_re24.withColumn(
+        "events",
+        F.coalesce(
+            *[F.when(F.col("event_type") == k, v) for k, v in LW_CLASSES.items()]
+        ),
+    ).where(F.col("events").isNotNull())
+    per_event = classed.groupBy("division", "year", "events").agg(
+        F.count("*").alias("count"),
+        F.avg("re24").alias("linear_weights_above_average"),
+    )
+    out_w = per_event.where(F.col("events") == "out").select(
+        "division", "year",
+        F.col("linear_weights_above_average").alias("_out_lw"),
+    )
+    lw = per_event.join(F.broadcast(out_w), ["division", "year"], "left").withColumn(
+        "linear_weights_above_outs",
+        F.col("linear_weights_above_average") - F.coalesce("_out_lw", F.lit(0.0)),
+    )
+    # wOBA scale: lgOBP / (Σ lw_above_outs·n / Σ n) over reaching events
+    reach = lw.where(F.col("events").isin(*REACHING))
+    scale = reach.groupBy("division", "year").agg(
+        (
+            F.lit(lg_obp)
+            / (
+                F.sum(F.col("linear_weights_above_outs") * F.col("count"))
+                / F.sum("count")
+            )
+        ).alias("_woba_scale")
+    )
+    return (
+        lw.join(F.broadcast(scale), ["division", "year"], "left")
+        .withColumn(
+            "normalized_weight",
+            F.when(
+                F.col("events").isin(*REACHING),
+                F.col("linear_weights_above_outs") * F.col("_woba_scale"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "division", "year", "events", "count",
+            "linear_weights_above_average", "linear_weights_above_outs",
+            "normalized_weight",
+        )
+    )
