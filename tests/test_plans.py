@@ -1,0 +1,48 @@
+"""Plan-shape regression tests: the scale doctrine, pinned.
+
+Correct results with a degraded plan is still a bug at 100 TB — these tests
+fail if a headline query loses predicate pushdown, stops broadcasting its
+dimensions, or grows extra shuffles.
+"""
+
+from __future__ import annotations
+
+from d3d_etl_spark.plans.inspect import count_shuffles, has_pushed_filter, summarize_plan
+from d3d_etl_spark.queries.registry import REGISTRY
+import d3d_etl_spark.queries as qmod
+
+qmod.load_all()
+
+
+def test_q1_pushdown_and_single_shuffle(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert any("l_shipdate" in pf for pf in s.pushed_filters), "shipdate filter not pushed to scan"
+    # partial agg + final agg -> exactly one shuffle exchange
+    assert count_shuffles(df) == 1
+    # column pruning: only the 7 needed lineitem columns are read
+    assert s.scan_reads_only(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["q5_nation_revenue"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins == 5, "expected all five dimension joins broadcast"
+    assert s.n_sortmerge_joins == 0, "fact table must not shuffle for dim joins"
+    assert count_shuffles(df) == 1  # only the final aggregation
+
+
+def test_q3_region_filter_pushed(spark, sf_dir):
+    df = REGISTRY["q3_top_orders"].fn(spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderdate")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_text_ops_no_shuffle(spark, sf_dir):
+    """Per-document text analytics must stay a single narrow map stage."""
+    for name in ("text_tokens", "text_quality", "text_langid", "text_fingerprint"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert count_shuffles(df) == 0, f"{name} gained a shuffle"
