@@ -211,3 +211,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_unpivot — A9: wide metric columns -> long (metric, value) rows
+# (reference batting.py:307-331 packs masked indicator frames then unions;
+# Spark expresses it as unpivot/melt)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS errors
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
+UNION ALL SELECT user_id, 'purchases', purchases FROM wide
+UNION ALL SELECT user_id, 'errors', errors FROM wide
+"""
+
+
+@register("agg_unpivot", _UNPIVOT_ORACLE, tags=("agg", "setop"))
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["clicks", "purchases", "errors"], "metric", "n"
+    )

@@ -188,3 +188,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("EMPTY")).alias("shingle_fp"),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_word_histogram — corpus-level token histogram (the inverted-index /
+# vocabulary-build shape): explode tokens -> count -> deterministic top-k
+# ---------------------------------------------------------------------------
+
+_TOPN_WORDS = 20
+
+_WORDHIST_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS word FROM documents)
+SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+FROM toks
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT {_TOPN_WORDS}
+"""
+
+
+@register("text_word_histogram", _WORDHIST_ORACLE, tags=("text", "agg"), bench=True)
+def text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_TOPN_WORDS)
+    )
