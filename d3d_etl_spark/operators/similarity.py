@@ -85,3 +85,39 @@ def assign_nearest_centroid(
         .where("rn = 1")
         .select(id_col, F.col(label_col).alias("assigned_label"), F.col("sim").alias("sim"))
     )
+
+
+def hyperplane_table(spark, n_planes: int, dim: int):
+    """Deterministic random hyperplanes: w(plane, dim) in [-1, 1] derived
+    from the portable md5 hash family — reproducible in any engine, so the
+    whole LSH path is oracle-checkable."""
+    from d3d_etl_spark.functions.strings import md5_int
+
+    planes = spark.range(n_planes).select(F.col("id").alias("plane"))
+    dims = spark.range(dim).select(F.col("id").alias("pos"))
+    key = F.concat_ws(":", F.col("plane").cast("string"), F.col("pos").cast("string"))
+    return planes.crossJoin(dims).select(
+        "plane", "pos", ((md5_int(key) % 2001 - 1000) / 1000.0).alias("w")
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket): sign-of-projection bits packed into an integer bucket.
+
+    At scale this is the ANN index build: one narrow pass per vector (the
+    plane table is broadcast), bucket cardinality 2^n_planes; queries probe
+    only their own bucket instead of scanning the corpus.
+    """
+    comps = emb.select(id_col, F.posexplode(vec_col).alias("pos", "x")).select(
+        id_col, "pos", F.col("x").cast("double").alias("x")
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "pos")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    bit = F.when(
+        F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")
+    ).otherwise(F.lit(0).cast("long"))
+    return dots.groupBy(id_col).agg(F.sum(bit).alias("bucket"))

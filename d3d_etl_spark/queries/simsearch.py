@@ -136,3 +136,73 @@ def sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= _NEAR_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_lsh — random-hyperplane LSH ANN: bucket the corpus, probe only the
+# query's bucket, exact cosine within it. The sub-linear scale path (the
+# brute-force query above is the recall-1.0 baseline).
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64  # embeddings are 64-d at every provided SF
+_ANN_K = 5
+
+_ANN_ORACLE = f"""
+WITH planes AS (
+  SELECT p.range AS plane, d.range AS pos,
+         (('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+  FROM range({_N_PLANES}) p, range({_DIM}) d
+),
+comps AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+dots AS (
+  SELECT c.vec_id, pl.plane, SUM(c.x * pl.w) AS dot
+  FROM comps c JOIN planes pl ON c.pos = pl.pos
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {_QUERY_ID}),
+cand AS (
+  SELECT b.vec_id FROM buckets b, qb
+  WHERE b.bucket = qb.bucket AND b.vec_id != {_QUERY_ID}
+),
+s AS (
+  SELECT e.vec_id,
+         SUM(e.x * q.x) AS dot, SUM(e.x * e.x) AS nx2, SUM(q.x * q.x) AS nq2
+  FROM comps e
+  JOIN (SELECT pos, x FROM comps WHERE vec_id = {_QUERY_ID}) q USING (pos)
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(nx2) * SQRT(nq2)), 6) AS sim
+FROM s ORDER BY sim DESC, vec_id LIMIT {_ANN_K}
+"""
+
+
+@register("sim_ann_lsh", _ANN_ORACLE, tags=("similarity",), bench=True)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.similarity import hyperplane_buckets, hyperplane_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplane_table(spark, _N_PLANES, _DIM)
+    buckets = hyperplane_buckets(emb, planes)
+    q_bucket = buckets.where(F.col("vec_id") == _QUERY_ID).select(
+        F.col("bucket").alias("q_bucket")
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(q_bucket), F.col("bucket") == F.col("q_bucket"))
+        .where(F.col("vec_id") != _QUERY_ID)
+        .select("vec_id")
+    )
+    query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
+    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    return cosine_topk(cands, query, _ANN_K)
