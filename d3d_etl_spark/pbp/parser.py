@@ -72,6 +72,29 @@ def add_outs_runs_windows(df: DataFrame) -> DataFrame:
     )
 
 
+def add_scores(df: DataFrame) -> DataFrame:
+    """W4: running team scores from per-play runs (reference columns.py:
+    144-159 derives score_before via segmented cumsums; with runs already
+    per-play the plain running sum per game suffices — runs credit the
+    batting side: Top = away, Bottom = home)."""
+    w = Window.partitionBy("contest_id").orderBy("play_id")
+    home_r = F.when(F.col("half") == "Bottom", F.col("runs_on_play")).otherwise(F.lit(0))
+    away_r = F.when(F.col("half") == "Top", F.col("runs_on_play")).otherwise(F.lit(0))
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        df.withColumn(
+            "home_score_before",
+            F.coalesce(F.sum(home_r).over(before), F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "away_score_before",
+            F.coalesce(F.sum(away_r).over(before), F.lit(0)).cast("int"),
+        )
+        .withColumn("home_score_after", (F.col("home_score_before") + home_r).cast("int"))
+        .withColumn("away_score_after", (F.col("away_score_before") + away_r).cast("int"))
+    )
+
+
 def add_base_state(df: DataFrame) -> DataFrame:
     state = run_grouped_fsm(
         df.select("contest_id", "play_id", "inning", "half", "play_text"),
@@ -85,7 +108,7 @@ def add_base_state(df: DataFrame) -> DataFrame:
 
 def parse_pbp(raw: DataFrame) -> DataFrame:
     """Full parse: raw narration -> wide play table."""
-    return add_base_state(add_outs_runs_windows(add_events(add_metadata(raw))))
+    return add_base_state(add_scores(add_outs_runs_windows(add_events(add_metadata(raw)))))
 
 
 def expected_runs_matrix(parsed: DataFrame) -> DataFrame:
