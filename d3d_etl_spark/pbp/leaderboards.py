@@ -1,0 +1,101 @@
+"""Leaderboard layer (SURVEY.md §3.4): one cached play scan fanned into
+group-aggregate boards.
+
+The reference computes ~20 boards with repeated pandas groupbys over one
+frame (leaderboards/main.py:55-85). Spark-first: conditional aggregation
+(A4/A5) and split pivots (A8) over a single play scan — each board is one
+groupBy, every split a `sum(when(...))`, no repeated scans (cache the parsed
+table; each board is then one shuffle on its grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.math import safe_div
+from d3d_etl_spark.pbp.events import PA_EVENTS
+
+_HIT_EVENTS = ("1B", "2B", "3B", "HR")
+_OB_EVENTS = ("1B", "2B", "3B", "HR", "BB", "IBB", "HBP")
+
+
+def _n(cond) -> F.Column:
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
+    """Player-grain counting stats from parsed plays (reference
+    leaderboards/common.py:23-63 event-count aggregation)."""
+    ev = F.col("event_type")
+    pa_cond = ev.isin(*PA_EVENTS)
+    board = (
+        plays.where(F.col("batter_name").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(
+            _n(pa_cond).alias("pa"),
+            _n(ev.isin(*_HIT_EVENTS)).alias("h"),
+            _n(ev == "1B").alias("b1"),
+            _n(ev == "2B").alias("b2"),
+            _n(ev == "3B").alias("b3"),
+            _n(ev == "HR").alias("hr"),
+            _n(ev.isin("BB", "IBB")).alias("bb"),
+            _n(ev == "HBP").alias("hbp"),
+            _n(ev.isin("SO", "SO_WP")).alias("so"),
+            F.sum("runs_on_play").alias("runs_driven"),
+            F.sum("re24").alias("re24_total") if "re24" in plays.columns else F.lit(None).alias("re24_total"),
+        )
+        .where(F.col("pa") >= min_pa)
+    )
+    return board.withColumn(
+        "ob_pct",
+        safe_div((F.col("h") + F.col("bb") + F.col("hbp")).cast("double"), F.col("pa")),
+    )
+
+
+def situational_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
+    """Situational splits (reference situational.py:19-44): overall vs
+    runners-in-scoring-position vs bases-empty, as conditional aggs (A8 as
+    sum(when) rather than pivot — fixed columns, one pass)."""
+    ev = F.col("event_type")
+    pa_cond = ev.isin(*PA_EVENTS)
+    ob_cond = ev.isin(*_OB_EVENTS)
+    risp = F.col("bases_before").substr(2, 2) != "NN"  # runner on 2nd or 3rd
+    empty = F.col("bases_before") == "NNN"
+    return (
+        plays.where(F.col("batter_name").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(
+            _n(pa_cond).alias("pa_overall"),
+            _n(ob_cond).alias("ob_overall"),
+            _n(pa_cond & risp).alias("pa_risp"),
+            _n(ob_cond & risp).alias("ob_risp"),
+            _n(pa_cond & empty).alias("pa_empty"),
+            _n(ob_cond & empty).alias("ob_empty"),
+        )
+        .where(F.col("pa_overall") >= min_pa)
+        .select(
+            "division", "year", "batter_name",
+            "pa_overall", "pa_risp", "pa_empty",
+            safe_div(F.col("ob_overall").cast("double"), F.col("pa_overall")).alias("ob_pct_overall"),
+            safe_div(F.col("ob_risp").cast("double"), F.col("pa_risp")).alias("ob_pct_risp"),
+            safe_div(F.col("ob_empty").cast("double"), F.col("pa_empty")).alias("ob_pct_empty"),
+        )
+    )
+
+
+def clutch_board(plays_with_wp: DataFrame) -> DataFrame:
+    """Clutch/value stats (reference batting.py:174-211, value.py:34-38):
+    WPA sums with positive/negative splits and mean leverage."""
+    return (
+        plays_with_wp.where(F.col("batter_name").isNotNull() & F.col("wpa").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(
+            F.sum("wpa").alias("wpa"),
+            F.sum(F.when(F.col("wpa") > 0, F.col("wpa"))).alias("wpa_pos"),
+            F.sum(F.when(F.col("wpa") < 0, F.col("wpa"))).alias("wpa_neg"),
+            F.sum("wpa_li").alias("wpa_li"),
+            F.avg("li").alias("avg_li"),
+            F.count("*").alias("n_plays"),
+        )
+    )

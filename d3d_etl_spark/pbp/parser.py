@@ -50,11 +50,24 @@ def add_metadata(raw: DataFrame) -> DataFrame:
 
 
 def add_events(df: DataFrame) -> DataFrame:
+    from d3d_etl_spark.pbp.state import _BATTER_VERBS
+
     ev = classify_event(F.col("play_text"))
+    first_seg = F.split(F.col("play_text"), ";").getItem(0)
+    batter = F.regexp_extract(first_seg, rf"^\s*(.*?)\s+(?:{_BATTER_VERBS})", 1)
     return (
         df.withColumn("event_type", ev)
         .withColumn("outs_on_play", outs_on_play(F.col("play_text"), F.col("event_type")))
         .withColumn("runs_on_play", runs_on_play(F.col("play_text")))
+        .withColumn(
+            "batter_name", F.when(batter != "", batter).otherwise(F.lit(None).cast("string"))
+        )
+        .withColumn(
+            "batting_team",
+            F.when(F.col("half") == "Top", F.col("away_team_id")).otherwise(
+                F.col("home_team_id")
+            ) if "away_team_id" in df.columns else F.lit(None).cast("string"),
+        )
     )
 
 

@@ -1,0 +1,81 @@
+"""Leaderboard layer tests over the fixture game (hand-counted)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.pbp.leaderboards import batting_board, clutch_board, situational_board
+from d3d_etl_spark.pbp.parser import parse_pbp
+from tests.test_pbp import _GAME
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    rows = [
+        (2024, "ncaa_3", 100, inning,
+         text if half == "T" else None,
+         text if half == "B" else None,
+         seq)
+        for seq, (inning, half, text) in enumerate(_GAME)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    return parse_pbp(raw)
+
+
+def test_batting_board_counts(parsed):
+    board = {r["batter_name"]: r for r in batting_board(parsed).collect()}
+    # JONES: 1B (p1), BB (p10) -> 2 PA, 1 H; the SB (p11) is not a PA
+    jones = board["JONES, A."]
+    assert (jones["pa"], jones["h"], jones["bb"], jones["so"]) == (2, 1, 1, 0)
+    # DAVIS: 2B (p3) + 3B (p13) -> 2 PA, 2 H
+    davis = board["DAVIS, C."]
+    assert (davis["pa"], davis["h"], davis["b2"], davis["b3"]) == (2, 2, 1, 1)
+    # BROWN: HR
+    assert (board["BROWN, G."]["hr"], board["BROWN, G."]["pa"]) == (1, 1)
+    # SMITH: BB (p2) + SO_WP (p12) -> so counts the strikeout even on reach
+    smith = board["SMITH, B."]
+    assert (smith["pa"], smith["bb"], smith["so"]) == (2, 1, 1)
+
+
+def test_situational_splits(parsed):
+    board = {r["batter_name"]: r for r in situational_board(parsed).collect()}
+    # WILSON p5: bases NYY -> RISP PA (SF, no on-base); p15 IBB: bases NNY RISP, on base
+    wilson = board["WILSON, E."]
+    assert wilson["pa_risp"] == 2
+    assert wilson["ob_pct_risp"] == pytest.approx(0.5)
+    # BROWN's HR came with bases empty
+    assert board["BROWN, G."]["pa_empty"] == 1
+    assert board["BROWN, G."]["ob_pct_empty"] == pytest.approx(1.0)
+
+
+def test_clutch_board_runs(parsed, spark):
+    from d3d_etl_spark.pbp.win_prob import add_win_probability
+    from tests.test_win_prob import _CODES, _we
+
+    rows = [
+        (i, h, r, o, d, _we(i, h, r, o, d), 0.5)
+        for i in range(1, 10)
+        for h in ("Top", "Bottom")
+        for r in _CODES
+        for o in range(3)
+        for d in range(-10, 11)
+    ]
+    lut = spark.createDataFrame(
+        rows,
+        "inning int, half string, runners string, outs int, score_diff int, "
+        "win_expectancy double, leverage_index double",
+    )
+    we = lut.select("inning", "half", "runners", "outs", "score_diff", "win_expectancy")
+    li = lut.select("inning", "half", "runners", "outs", "score_diff", "leverage_index")
+    clutch = clutch_board(add_win_probability(parsed, we, li)).collect()
+    assert len(clutch) > 0
+    for r in clutch:
+        # pos + neg decomposition covers the total
+        total = (r["wpa_pos"] or 0.0) + (r["wpa_neg"] or 0.0)
+        assert total == pytest.approx(r["wpa"], abs=1e-9)
+        assert r["avg_li"] == pytest.approx(0.5)
