@@ -1,0 +1,84 @@
+"""League ("guts") constants per (division, year) — reference get_guts.py:
+120-184 derives the wOBA weights, league rates and run-to-win conversions
+that parameterize WAR. One aggregation over the play table + the linear
+weights (already derived), producing the GUTS_CONSTANTS schema
+(schemas.py / FIXTURES.md §12).
+
+Run-value constants use the standard public (FanGraffs-style) forms the
+reference also uses: runs_out = -lw(out); runCS = -(2·runs_out_per_out +
+0.075); runSB = 0.2; runs_win = 9·(lg R/IP)·1.5 + 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.math import safe_div
+from d3d_etl_spark.pbp.events import PA_EVENTS
+
+_W_EVENTS = {
+    "wbb": "walk", "whbp": "hit_by_pitch", "w1b": "single",
+    "w2b": "double", "w3b": "triple", "whr": "home_run",
+}
+
+
+def guts_constants(plays: DataFrame, lw: DataFrame, lg_obp: float = 0.360) -> DataFrame:
+    """(division, year) -> league constants row.
+
+    `plays`: parsed plays (event_type, runs_on_play, outs_on_play).
+    `lw`: linear_weights output (pbp/metrics.linear_weights).
+    """
+    ev = F.col("event_type")
+    league = plays.groupBy("division", "year").agg(
+        F.sum("runs_on_play").alias("lg_runs"),
+        F.sum("outs_on_play").alias("lg_outs"),
+        F.sum(F.when(ev.isin(*PA_EVENTS), 1).otherwise(0)).alias("lg_pa"),
+        F.sum(F.when(ev == "SB", 1).otherwise(0)).alias("lg_sb"),
+        F.sum(F.when(ev == "CS", 1).otherwise(0)).alias("lg_cs"),
+        F.sum(F.when(ev.isin("1B", "2B", "3B", "HR", "BB", "IBB", "HBP"), 1).otherwise(0)).alias(
+            "lg_ob"
+        ),
+    )
+    # wOBA weights: pivot the normalized linear weights to one row per league
+    weights = (
+        lw.groupBy("division", "year")
+        .pivot("events", list(_W_EVENTS.values()) + ["out"])
+        .agg(F.first("normalized_weight"))
+    )
+    out_lw = (
+        lw.where(F.col("events") == "out")
+        .select("division", "year", F.col("linear_weights_above_average").alias("_lw_out"))
+    )
+    scale = (
+        lw.select("division", "year", "linear_weights_above_outs", "normalized_weight", "events")
+        .where((F.col("events") != "out") & (F.col("linear_weights_above_outs") != 0))
+        .groupBy("division", "year")
+        .agg(
+            F.avg(
+                F.col("normalized_weight") / F.col("linear_weights_above_outs")
+            ).alias("woba_scale")
+        )
+    )
+    joined = (
+        league.join(F.broadcast(weights), ["division", "year"], "left")
+        .join(F.broadcast(out_lw), ["division", "year"], "left")
+        .join(F.broadcast(scale), ["division", "year"], "left")
+    )
+    runs_pa = safe_div(F.col("lg_runs").cast("double"), F.col("lg_pa"))
+    runs_out = -F.coalesce(F.col("_lw_out"), F.lit(-0.1))
+    rpi = safe_div(F.col("lg_runs").cast("double") * 3.0, F.col("lg_outs"))  # runs per inning
+    return joined.select(
+        "division",
+        "year",
+        *[F.coalesce(F.col(evname), F.lit(0.0)).alias(w) for w, evname in _W_EVENTS.items()],
+        F.lit(lg_obp).alias("woba"),
+        F.col("woba_scale"),
+        F.lit(0.2).alias("runs_sb"),
+        (-(2 * runs_out + 0.075)).alias("runs_cs"),
+        safe_div(F.col("lg_cs").cast("double"), F.col("lg_sb") + F.col("lg_cs")).alias("cs_rate"),
+        runs_pa.alias("runs_pa"),
+        runs_out.alias("runs_out"),
+        (9.0 * rpi * 1.5 + 3.0).alias("runs_win"),
+        F.lit(3.10).alias("cfip"),
+    )

