@@ -1,0 +1,75 @@
+"""Pitcher-queue FSM (SURVEY.md §2.8 F2, §2.3 J15) — the ordered/as-of
+stateful join the reference implements at names/names.py:40-97: each team's
+pitching lineup is an ordered queue; the active pitcher advances when a
+pitching-substitution event ("X to p for Y") occurs while that team fields.
+
+No relational join expresses "consume a queue in event order", so this is a
+cogrouped `applyInPandas`: plays and lineup rows co-partition on contest_id,
+the per-game FSM walks plays in order with one queue pointer per side.
+Fresh implementation (not a copy); parallelizes per game like F1.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PITCHER_SCHEMA = "contest_id long, play_id long, pitcher_name string"
+
+_SUB_P_RE = re.compile(r"^\s*(.*?)\s+to p for\s+(.*?)\s*[.;]?\s*$", re.IGNORECASE)
+
+
+def _pitcher_fsm(plays: pd.DataFrame, lineup: pd.DataFrame) -> pd.DataFrame:
+    """One game's (plays, pitching lineup) -> active pitcher per play.
+
+    The FIELDING side's pitcher is on the mound: home pitches the Top half,
+    away pitches the Bottom. A 'to p for' substitution takes effect for the
+    side currently fielding, preferring the named sub; when the narration
+    name is absent the queue supplies the next pitcher (the reference's
+    fallback order, names/names.py:59-92).
+    """
+    plays = plays.sort_values("play_id", kind="mergesort")
+    queues: dict[str, list[str]] = {}
+    for side in ("home", "away"):
+        rows = lineup[lineup["side"] == side].sort_values("pitch_order", kind="mergesort")
+        queues[side] = list(rows["player_name"])
+    ptr = {"home": 0, "away": 0}
+
+    def current(side: str) -> str | None:
+        q = queues[side]
+        return q[ptr[side]] if ptr[side] < len(q) else (q[-1] if q else None)
+
+    out = []
+    for row in plays.itertuples(index=False):
+        fielding = "home" if row.half == "Top" else "away"
+        text = row.play_text or ""
+        m = _SUB_P_RE.match(text.split(";")[0])
+        if m:
+            sub_in = m.group(1).strip()
+            nxt = ptr[fielding] + 1
+            if nxt < len(queues[fielding]) and queues[fielding][nxt].strip().lower() == sub_in.lower():
+                ptr[fielding] = nxt
+            else:
+                # narration name not next in queue: trust the narration
+                queues[fielding].insert(ptr[fielding] + 1, sub_in)
+                ptr[fielding] += 1
+        out.append((row.contest_id, row.play_id, current(fielding)))
+    return pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
+
+
+def fill_pitchers(plays: DataFrame, pitching_lineups: DataFrame) -> DataFrame:
+    """Cogrouped stateful join: plays x ordered pitching lineup -> active
+    pitcher per play.
+
+    `plays` needs (contest_id, play_id, half, play_text);
+    `pitching_lineups` needs (contest_id, side in {'home','away'},
+    pitch_order, player_name).
+    """
+    return (
+        plays.select("contest_id", "play_id", "half", "play_text")
+        .groupBy("contest_id")
+        .cogroup(pitching_lineups.groupBy("contest_id"))
+        .applyInPandas(_pitcher_fsm, PITCHER_SCHEMA)
+    )
