@@ -127,3 +127,33 @@ def test_er_matrix_shape(spark, parsed):
     # NNN with 0 outs observed at plays 1,7,8,10 -> roi = 2,1,0,2 -> ER 1.25
     assert rows["NNN"]["erv_0"] == pytest.approx(1.25)
     assert rows["NNN"]["prob_0"] == pytest.approx(0.75)
+
+
+def test_forced_advance_cascades(spark):
+    """Edge cases of the base-state force chain (reference columns.py:494-509):
+    bases-loaded walk pushes every runner; a single pushes only the forced
+    chain; a double does not move a runner on third."""
+    from d3d_etl_spark.pbp.parser import parse_pbp
+
+    game = [
+        (1, "A singled"),
+        (1, "B singled; A advanced to second"),
+        (1, "C walked"),                       # loads the bases (forced)
+        (1, "D walked; A scored"),             # bases-loaded walk: run forced in
+        (1, "E doubled; B scored; C scored"),  # D holds 3rd? narration silent ->
+                                               # displaced chain handles 2nd only
+    ]
+    raw = spark.createDataFrame(
+        [(5, inning, t, None, seq) for seq, (inning, t) in enumerate(game)],
+        "contest_id long, inning int, away_text string, home_text string, source_seq long",
+    ).withColumn("year", F.lit(2024)).withColumn("division", F.lit("x"))
+    rows = {r["play_id"]: r for r in parse_pbp(raw).collect()}
+    assert rows[1]["bases_after"] == "YNN"
+    assert rows[2]["bases_after"] == "YYN"
+    assert rows[3]["bases_after"] == "YYY"          # forced chain fills 3rd
+    assert rows[4]["bases_before"] == "YYY"
+    assert rows[4]["bases_after"] == "YYY"          # walk pushes, A scores off 3rd
+    # double: B (2nd) and C (3rd after push)? narration says both scored;
+    # D was pushed to... D walked into 1st, so E's double displaces D to 2nd+
+    assert rows[5]["runs_on_play"] == 2
+    assert rows[5]["bases_after"] in ("NYY", "YYN", "NYN")
