@@ -408,3 +408,47 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn <= 3")
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_segmented_sum — W4: running sum within segments delimited by marker
+# rows (reference columns.py:144-159: score accumulation across game
+# segments delimited by lagged game_end flags — segment key = running count
+# of boundaries, then a running sum per (key, segment))
+# ---------------------------------------------------------------------------
+
+_SEG_ORACLE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+seg AS (
+  SELECT *,
+         SUM(boundary) OVER ({_EV_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+  FROM flagged
+)
+SELECT event_id, user_id, segment_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+         PARTITION BY user_id, segment_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS seg_running_value
+FROM seg
+"""
+
+
+@register("window_segmented_sum", _SEG_ORACLE, tags=("window",))
+def window_segmented_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = _events_window()
+    boundary = F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    seg_id = F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_seg = ev.withColumn("segment_id", seg_id)
+    w_seg = Window.partitionBy("user_id", "segment_id").orderBy("ts", "event_id")
+    return with_seg.select(
+        "event_id",
+        "user_id",
+        "segment_id",
+        (W.running_sum(cents(F.col("value")), w_seg).cast("double") / 100.0).alias(
+            "seg_running_value"
+        ),
+    )
