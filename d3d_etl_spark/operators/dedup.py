@@ -172,6 +172,34 @@ def simhash_from_text_tokens(tok: Column, bits: int = 32) -> Column:
     return simhash(F.transform(tok, lambda t: md5_int(t, hex_chars)), bits)
 
 
+def simhash_signatures(df: DataFrame, id_col: str, tok: Column, bits: int = 32) -> DataFrame:
+    """(doc, simhash) via explode + one grouped pass of per-bit vote counts.
+
+    Same values as the array-expression `simhash`, but the token hashing runs
+    ONCE: the array form repeats the hash transform per bit filter (the same
+    Catalyst-CSE limitation as minhash signatures — see minhash_signatures).
+    Docs with zero tokens get simhash 0.
+    """
+    hex_chars = (bits + 3) // 4
+    rows = df.select(F.col(id_col).alias("doc"), F.explode(tok).alias("t")).select(
+        "doc", md5_int(F.col("t"), hex_chars).alias("th")
+    )
+    bit_counts = [
+        F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    counts = rows.groupBy("doc").agg(F.count("*").alias("n"), *bit_counts)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(2 * F.col(f"c{i}") > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    all_docs = df.select(F.col(id_col).alias("doc"))
+    return all_docs.join(counts.select("doc", sim.alias("simhash")), "doc", "left").select(
+        "doc", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 

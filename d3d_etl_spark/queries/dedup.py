@@ -20,8 +20,8 @@ from d3d_etl_spark.operators.dedup import (
     lsh_band_keys,
     lsh_candidates,
     shingle_rows,
-    simhash_from_text_tokens,
     simhash_near_pairs,
+    simhash_signatures,
 )
 from d3d_etl_spark.queries.registry import register
 
@@ -189,8 +189,9 @@ SELECT doc_id, simhash FROM sims
 @register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sim = simhash_from_text_tokens(tokens(F.col("text")), _BITS)
-    return docs.select("doc_id", sim.alias("simhash"))
+    return simhash_signatures(docs, "doc_id", tokens(F.col("text")), _BITS).select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
 
 
 # hamming<=5 with 6 bands of 10 bits: any pair within 5 differing bits must
@@ -220,8 +221,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
 @register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sim = simhash_from_text_tokens(tokens(F.col("text")), _BITS)
-    with_sim = docs.select("doc_id", sim.alias("simhash"))
+    with_sim = simhash_signatures(docs, "doc_id", tokens(F.col("text")), _BITS).select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
     return simhash_near_pairs(
         with_sim, "doc_id", "simhash", _MAX_HAMMING, _SIM_BANDS, _BITS
     )
