@@ -62,9 +62,16 @@ def blocked_fuzzy_join(
     )
     unmatched = probes.join(exact.select(probe_id), probe_id, "left_anti")
     sim = levenshtein_sim(F.col(probe_name), F.col(cand_name))
+    # lossless length prune: lev >= |len_a - len_b|, so sim >= cutoff implies
+    # |len_a - len_b| <= (1-cutoff) * max(len) — drop the rest before scoring
+    len_ok = (
+        F.abs(F.length(F.col(probe_name)) - F.length(F.col(cand_name)))
+        <= (1.0 - cutoff) * F.greatest(F.length(F.col(probe_name)), F.length(F.col(cand_name)))
+    )
     w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
     fuzzy = (
         unmatched.join(candidates, block_keys)
+        .where(len_ok)
         .select(F.col(probe_id), F.col(cand_id), sim.alias("score"))
         .where(F.col("score") >= cutoff)
         .withColumn("rn", F.row_number().over(w_fuzzy))
