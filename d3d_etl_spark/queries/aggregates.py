@@ -244,3 +244,31 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_id"], ["clicks", "purchases", "errors"], "metric", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cube — grouping-sets rollup: the reference computes player-grain and
+# team-grain (and overall) boards as SEPARATE groupbys (situational.py:47-150
+# four variants); Spark collapses them into one CUBE pass (SURVEY §2.4 note).
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT
+  o_orderpriority,
+  o_orderstatus,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("agg_cube", _CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
+    ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")
