@@ -85,6 +85,23 @@ def add_outs_runs_windows(df: DataFrame) -> DataFrame:
     )
 
 
+def add_bat_order(df: DataFrame) -> DataFrame:
+    """W8/W9: batting-order slot from the PA sequence (reference
+    helpers.py:119-128: ``((pa_idx - 1) % 9) + 1`` over plate appearances,
+    then propagated to non-PA rows (steals, wild pitches) by grouped
+    ffill — helpers.py:131-139)."""
+    from d3d_etl_spark.operators.windows import ffill
+    from d3d_etl_spark.pbp.events import PA_EVENTS
+
+    is_pa = F.col("event_type").isin(*PA_EVENTS)
+    w = Window.partitionBy("contest_id", "half").orderBy("play_id")
+    pa_idx = F.sum(F.when(is_pa, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    slot = F.when(is_pa, ((pa_idx - 1) % 9 + 1).cast("int"))
+    return df.withColumn("bat_order", F.coalesce(ffill(slot, w), F.lit(1)).cast("int"))
+
+
 def add_scores(df: DataFrame) -> DataFrame:
     """W4: running team scores from per-play runs (reference columns.py:
     144-159 derives score_before via segmented cumsums; with runs already
@@ -121,7 +138,9 @@ def add_base_state(df: DataFrame) -> DataFrame:
 
 def parse_pbp(raw: DataFrame) -> DataFrame:
     """Full parse: raw narration -> wide play table."""
-    return add_base_state(add_scores(add_outs_runs_windows(add_events(add_metadata(raw)))))
+    return add_base_state(
+        add_bat_order(add_scores(add_outs_runs_windows(add_events(add_metadata(raw)))))
+    )
 
 
 def expected_runs_matrix(parsed: DataFrame) -> DataFrame:

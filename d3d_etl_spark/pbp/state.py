@@ -147,6 +147,18 @@ def base_state_fsm(group: pd.DataFrame) -> pd.DataFrame:
                 bases = {1: None, 2: None, 3: None}
             else:
                 _place_batter(bases, event, batter)
+                # batter extra advance narrated in the same segment, e.g.
+                # "reached on a throwing error, advanced to second"
+                extra = re.search(
+                    r"advanced to (second|third|home)", segments[0], re.IGNORECASE
+                )
+                if extra and batter:
+                    at = _find_runner(bases, batter)
+                    if at is not None:
+                        dest = _BASE_WORD[extra.group(1).lower()]
+                        bases[at] = None
+                        if dest < 4:
+                            bases[dest] = batter.strip()
         out_rows.append(
             (row.contest_id, row.play_id, before, _code(bases), r1, r2, r3)
         )

@@ -157,3 +157,53 @@ def test_forced_advance_cascades(spark):
     # D was pushed to... D walked into 1st, so E's double displaces D to 2nd+
     assert rows[5]["runs_on_play"] == 2
     assert rows[5]["bases_after"] in ("NYY", "YYN", "NYN")
+
+
+def test_bat_order(parsed):
+    """W8/W9: slot advances on PA events, non-PA rows inherit the current
+    slot (play 11, JONES's steal, belongs to the play-10 walk's slot... the
+    NEXT batter is due, so the steal row carries the last assigned slot)."""
+    by_id = {r["play_id"]: r["bat_order"] for r in parsed}
+    # Top 1st: six PAs in order
+    assert [by_id[i] for i in range(1, 7)] == [1, 2, 3, 4, 5, 6]
+    # Bottom 1st restarts the half's PA count
+    assert [by_id[i] for i in (7, 8, 9)] == [1, 2, 3]
+    # Top 2nd CONTINUES the away order across innings: walk=7, steal
+    # inherits 7, SO_WP=8, 3B=9, then wraps: PO=1, IBB=2, FC=3
+    assert [by_id[i] for i in range(10, 17)] == [7, 7, 8, 9, 1, 2, 3]
+    # CS (play 17) inherits slot 3
+    assert by_id[17] == 3
+
+
+def test_narration_variants(spark):
+    """Wider narration grammar: error-with-advance, pickoff at a base,
+    runner advance on wild pitch, balk advances."""
+    from d3d_etl_spark.pbp.parser import parse_pbp
+
+    game = [
+        (1, "A reached on a throwing error, advanced to second"),
+        (1, "B walked"),
+        (1, "C singled; A scored; B advanced to third"),
+        (1, "B advanced to home on a wild pitch"),       # runner-only WP
+        (1, "C picked off first, out at first p to 1b"),
+        (1, "D walked"),
+        (1, "D stole second, advanced to third on a throwing error"),
+    ]
+    raw = spark.createDataFrame(
+        [(9, inning, t, None, seq) for seq, (inning, t) in enumerate(game)],
+        "contest_id long, inning int, away_text string, home_text string, source_seq long",
+    ).withColumn("year", F.lit(2024)).withColumn("division", F.lit("x"))
+    rows = {r["play_id"]: r for r in parse_pbp(raw).orderBy("play_id").collect()}
+    assert rows[1]["event_type"] == "ROE"
+    assert rows[1]["bases_after"] == "NYN"      # batter advanced to 2nd on error
+    assert rows[2]["bases_after"] == "YYN"
+    assert rows[3]["bases_after"] == "YNY"      # A scored, B->3rd, C on 1st
+    assert rows[3]["runs_on_play"] == 1
+    assert rows[4]["event_type"] == "WP"
+    assert rows[4]["bases_after"] == "YNN"      # B scored from 3rd (run via 'home')
+    assert rows[5]["event_type"] == "PK"
+    assert rows[5]["outs_on_play"] == 1
+    assert rows[5]["bases_after"] == "NNN"
+    assert rows[7]["event_type"] == "SB"
+    # stole second (further error advance is narration detail; state >= NYN)
+    assert rows[7]["bases_after"] in ("NYN", "NNY")
