@@ -93,3 +93,38 @@ def incremental_todo(all_items: DataFrame, done_items: DataFrame, key: str) -> D
     left-anti join — the distributed version of the reference's set
     difference."""
     return all_items.join(done_items.select(key).distinct(), on=key, how="left_anti")
+
+
+def export_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    dedup_keys: tuple[str, ...] = (),
+    replace_where: str | None = None,
+) -> int:
+    """S6 parity: publish a (small, final) table to SQLite the way the
+    reference's upload_to_db.py:64-138 does — optional slice delete
+    (`replace_where`, e.g. "year = 2024"), append, dedup on keys.
+
+    This is a driver-side egress for published leaderboard-sized tables
+    (the reference's SQLite is the serving layer, not the compute layer);
+    big data stays in parquet. Returns rows written. Dedup happens in Spark
+    BEFORE egress — the reference dedups after load with DELETE..GROUP BY.
+    """
+    import sqlite3
+
+    if dedup_keys:
+        df = df.dropDuplicates(list(dedup_keys))
+    pdf = df.toPandas()
+    con = sqlite3.connect(db_path)
+    try:
+        exists = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name=?", (table,)
+        ).fetchone()
+        if exists and replace_where:
+            con.execute(f"DELETE FROM {table} WHERE {replace_where}")  # noqa: S608
+        pdf.to_sql(table, con, if_exists="append" if exists else "replace", index=False)
+        con.commit()
+    finally:
+        con.close()
+    return len(pdf)

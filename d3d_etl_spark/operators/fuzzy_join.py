@@ -84,3 +84,70 @@ def blocked_fuzzy_join(
         )
     )
     return exact.unionByName(fuzzy)
+
+
+def name_variations(col: Column) -> Column:
+    """T6: deterministic variant set for a "First Last"-shaped name
+    (reference names/helpers.py:56-111 generates ~20 variants per name;
+    the engine builds them as one array expression and explodes — an
+    equi-join tier that resolves abbreviated/reordered forms without any
+    fuzzy scoring).
+
+    All variants live in normalized space (lowercase, punctuation stripped)
+    so any normalized probe can hit them: full, "f last" (initialed),
+    "last", "last first" (flipped).
+    """
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    norm = normalize_name(col)
+    first = F.substring_index(norm, " ", 1)
+    last = F.substring_index(norm, " ", -1)
+    initial = F.substring(first, 1, 1)
+    return F.array_distinct(
+        F.array(
+            norm,
+            F.concat_ws(" ", initial, last),
+            last,
+            F.concat_ws(" ", last, first),
+        )
+    )
+
+
+def variation_tier(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str],
+    probe_id: str,
+    probe_name: str,
+    cand_id: str,
+    cand_name: str,
+) -> DataFrame:
+    """Equi-join tier on exploded candidate name variants: probes whose
+    (normalized) name equals ANY variant of a candidate match without fuzzy
+    scoring. Returns (probe_id, matched_id, tier='variation'); ambiguity
+    resolved by min candidate id (extractOne list-order determinized)."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    cand_exploded = candidates.select(
+        *block_keys, F.col(cand_id), F.explode(name_variations(F.col(cand_name))).alias("_variant")
+    )
+    probe_norm = probes.select(
+        *block_keys, F.col(probe_id), normalize_name(F.col(probe_name)).alias("_pname")
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
+    return (
+        probe_norm.join(
+            cand_exploded,
+            [*block_keys],
+        )
+        .where(F.col("_pname") == F.col("_variant"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select(
+            F.col(probe_id),
+            F.col(cand_id).alias("matched_id"),
+            F.lit("variation").alias("tier"),
+        )
+    )

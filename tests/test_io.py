@@ -50,3 +50,27 @@ def test_resume_watermark(spark):
     ).select(F.to_date("date").alias("date"))
     resume = existing.agg(F.date_add(F.max("date"), 1).alias("resume")).first()["resume"]
     assert str(resume) == "2024-03-06"
+
+
+def test_export_sqlite_slice_replace(spark, tmp_path):
+    import os
+    import sqlite3
+
+    from d3d_etl_spark.io import export_sqlite
+
+    db = os.path.join(str(tmp_path), "pub.db")
+    v1 = spark.createDataFrame(
+        [(2023, "a", 1.0), (2024, "b", 2.0)], "year int, k string, v double"
+    )
+    assert export_sqlite(v1, db, "board") == 2
+
+    # re-publish 2024 slice with a dup: slice replaced, dedup applied, 2023 kept
+    v2 = spark.createDataFrame(
+        [(2024, "b", 9.0), (2024, "b", 9.0), (2024, "c", 3.0)],
+        "year int, k string, v double",
+    )
+    export_sqlite(v2, db, "board", dedup_keys=("year", "k"), replace_where="year = 2024")
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT year, k, v FROM board").fetchall())
+    con.close()
+    assert rows == [(2023, "a", 1.0), (2024, "b", 9.0), (2024, "c", 3.0)]

@@ -94,3 +94,29 @@ def test_exact_dedup_groups(spark):
     out = {r["canonical_id"]: r["n_copies"] for r in
            exact_dedup_groups(df, [F.col("c1"), F.col("c2")], "id").collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_variation_tier(spark):
+    from d3d_etl_spark.operators.fuzzy_join import variation_tier
+
+    cands = spark.createDataFrame(
+        [("b1", 1, "John Smith"), ("b1", 2, "Ann Taylor"), ("b2", 3, "John Smith")],
+        "block string, cid long, name string",
+    )
+    probes = spark.createDataFrame(
+        [("b1", 10, "J. Smith"), ("b1", 11, "taylor, ann"), ("b1", 12, "Nobody"),
+         ("b2", 13, "smith")],
+        "block string, pid long, pname string",
+    )
+    got = {
+        r["pid"]: r["matched_id"]
+        for r in variation_tier(
+            probes, cands, ["block"], "pid", "pname", "cid", "name"
+        ).collect()
+    }
+    # "J. Smith" -> "j smith" normalized matches the initialed variant
+    assert got[10] == 1
+    # "taylor, ann" -> "taylor ann" matches the flipped variant of Ann Taylor
+    assert got[11] == 2
+    assert 12 not in got              # no variant of anything matches "nobody"
+    assert got[13] == 3               # bare last name matches within block b2
