@@ -57,3 +57,75 @@ def test_streaming_sessions_runs(spark, sf_dir, tmp_path):
         by_user[r["user_id"]] += r["n_events"]
     # every event lands in exactly one session
     assert sum(by_user.values()) == batch.count()
+
+
+def test_streaming_funnel_matches_batch_fsm(spark, sf_dir, tmp_path):
+    """applyInPandasWithState funnel over a stream ends with the same totals
+    as the batch grouped-FSM (state carries across micro-batches: the
+    source is staged as MULTIPLE files so availableNow makes several
+    batches)."""
+    import os
+
+    from d3d_etl_spark.operators.fsm import FUNNEL_SCHEMA, funnel_fsm, run_grouped_fsm
+    from d3d_etl_spark.streaming.stateful import streaming_funnel
+
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    batch = load_table(spark, sf_dir, "events")
+    staged = os.path.join(str(tmp_path), "events_stream")
+    # stage TIME-ORDERED chunks (live ingest delivers events in event-time
+    # order; an arbitrary split would feed the order-sensitive FSM shuffled
+    # history). FileStreamSource processes files by modification time, so
+    # stamp increasing mtimes explicitly.
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 4
+    os.makedirs(staged)
+    t0 = time.time() - 1000
+    for i in range(4):
+        chunk_lo = lo + i * span
+        chunk_hi = hi if i == 3 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(chunk_lo)) & (
+            F.col("ts") <= F.lit(chunk_hi) if i == 3 else F.col("ts") < F.lit(chunk_hi)
+        )
+        batch.where(cond).coalesce(1).write.parquet(os.path.join(staged, f"chunk{i}"))
+        for f in glob.glob(os.path.join(staged, f"chunk{i}", "*.parquet")):
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    stream_src = spark.readStream.option("maxFilesPerTrigger", 1).schema(
+        batch.schema
+    ).parquet(os.path.join(staged, "chunk*"))
+    q = (
+        streaming_funnel(stream_src)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per user per trigger; last row per user wins.
+    # The memory sink appends, so take the max n_funnels (monotone counters).
+    got = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_funnels, n_abandoned FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY n_funnels DESC, n_abandoned DESC) AS rn
+              FROM funnel_stream
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"])
+        for r in run_grouped_fsm(
+            batch.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA,
+        ).collect()
+    }
+    assert got == want
