@@ -99,3 +99,29 @@ def clutch_board(plays_with_wp: DataFrame) -> DataFrame:
             F.count("*").alias("n_plays"),
         )
     )
+
+
+def pitching_board(plays_with_pitchers: DataFrame) -> DataFrame:
+    """Pitcher-grain board (reference pitching.py:111-168): outs recorded,
+    strikeouts, baserunners allowed, plus W15 reliever detection — a
+    pitcher whose FIRST play in a game is after the 1st inning entered in
+    relief (reference pitching.py:162-168 takes the first row per
+    (pitcher, contest) and tests inning > 1)."""
+    from pyspark.sql import Window
+
+    ev = F.col("event_type")
+    first_seen = Window.partitionBy("contest_id", "pitcher_name").orderBy("play_id")
+    flagged = plays_with_pitchers.where(F.col("pitcher_name").isNotNull()).withColumn(
+        "_first", F.row_number().over(first_seen) == 1
+    )
+    return flagged.groupBy("division", "year", "pitcher_name").agg(
+        F.countDistinct("contest_id").alias("games"),
+        F.sum("outs_on_play").alias("outs_recorded"),
+        _n(ev.isin("SO", "SO_WP")).alias("so"),
+        _n(ev.isin("1B", "2B", "3B", "HR")).alias("hits_allowed"),
+        _n(ev.isin("BB", "IBB", "HBP")).alias("free_passes"),
+        F.sum("runs_on_play").alias("runs_allowed"),
+        F.max(F.when(F.col("_first") & (F.col("inning") > 1), 1).otherwise(0)).alias(
+            "entered_in_relief"
+        ),
+    )

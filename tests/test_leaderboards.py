@@ -79,3 +79,33 @@ def test_clutch_board_runs(parsed, spark):
         total = (r["wpa_pos"] or 0.0) + (r["wpa_neg"] or 0.0)
         assert total == pytest.approx(r["wpa"], abs=1e-9)
         assert r["avg_li"] == pytest.approx(0.5)
+
+
+def test_pitching_board_with_fill(parsed, spark):
+    from d3d_etl_spark.pbp.leaderboards import pitching_board
+    from d3d_etl_spark.pbp.pitchers import fill_pitchers
+
+    lineups = spark.createDataFrame(
+        [
+            (100, "home", 1, "HOMESTARTER, H."),
+            (100, "home", 2, "HOMERELIEF, R."),
+            (100, "away", 1, "AWAYSTARTER, A."),
+        ],
+        "contest_id long, side string, pitch_order int, player_name string",
+    )
+    filled = parsed.join(
+        fill_pitchers(parsed, lineups), ["contest_id", "play_id"]
+    )
+    board = {r["pitcher_name"]: r for r in pitching_board(filled).collect()}
+    # home starter pitched both Top halves (no sub in the fixture game)
+    hs = board["HOMESTARTER, H."]
+    # Top 1: 3 outs; Top 2: 3 outs -> 6 outs recorded
+    assert hs["outs_recorded"] == 6
+    assert hs["so"] == 2          # MILLER K (p4) + SMITH SO_WP (p12)
+    assert hs["runs_allowed"] == 4
+    assert hs["entered_in_relief"] == 0
+    # away pitcher faced Bottom 1st: HR + HBP + GDP (2 outs; the fixture's
+    # half ends there without a 3rd out)
+    ap = board["AWAYSTARTER, A."]
+    assert ap["outs_recorded"] == 2
+    assert ap["runs_allowed"] == 1
