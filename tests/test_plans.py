@@ -46,3 +46,21 @@ def test_text_ops_no_shuffle(spark, sf_dir):
     for name in ("text_tokens", "text_quality", "text_langid", "text_fingerprint"):
         df = REGISTRY[name].fn(spark, sf_dir)
         assert count_shuffles(df) == 0, f"{name} gained a shuffle"
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization = one exchange on the partition key; both windows and
+    the rollup reuse it."""
+    df = REGISTRY["sessionize_events"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_complex_pipelines_no_sortmerge(spark, sf_dir):
+    """Dimension/candidate joins in the sketch pipelines must broadcast —
+    a SortMergeJoin here means a small side lost its broadcast and the
+    fact table started shuffling for it."""
+    for name, max_shuffles in (("dedup_minhash_lsh", 8), ("fuzzy_match_names", 4)):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        s = summarize_plan(df)
+        assert s.n_sortmerge_joins == 0, f"{name} grew a sort-merge join"
+        assert count_shuffles(df) <= max_shuffles, f"{name} gained shuffles"
