@@ -125,3 +125,42 @@ def pitching_board(plays_with_pitchers: DataFrame) -> DataFrame:
             "entered_in_relief"
         ),
     )
+
+
+def rolling_form_board(plays: DataFrame, n: int = 25) -> DataFrame:
+    """Rolling on-base rate over the last n PAs per batter, with the value n
+    PAs earlier and the trend delta, keeping each batter's latest row —
+    the reference's rolling-wOBA board shape (leaderboards/rolling.py:19-43:
+    rolling(n) -> shift(n) -> iloc[-1]), with pandas min-periods semantics
+    (null until the frame holds n PAs)."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.windows import latest_per_key, rolling_sum_minp
+
+    ev = F.col("event_type")
+    pa = plays.where(F.col("batter_name").isNotNull() & ev.isin(*PA_EVENTS))
+    ob = F.when(ev.isin(*_OB_EVENTS), 1).otherwise(0)
+    w = Window.partitionBy("division", "year", "batter_name").orderBy(
+        "contest_id", "play_id"
+    )
+    s, c = rolling_sum_minp(ob, w, n)
+    prev_frame = w.rowsBetween(-(2 * n - 1), -n)
+    s_prev, c_prev = F.sum(ob).over(prev_frame), F.count("*").over(prev_frame)
+    with_roll = (
+        pa.withColumn("pa_seq", F.row_number().over(w))
+        .withColumn("roll_ob", F.when(c == n, s.cast("double") / n))
+        .withColumn("roll_ob_prev", F.when(c_prev == n, s_prev.cast("double") / n))
+    )
+    w_desc = Window.partitionBy("division", "year", "batter_name").orderBy(
+        F.desc("contest_id"), F.desc("play_id")
+    )
+    return (
+        with_roll.withColumn("_rn", latest_per_key(w_desc))
+        .where("_rn = 1")
+        .select(
+            "division", "year", "batter_name",
+            F.col("pa_seq").alias("total_pa"),
+            "roll_ob", "roll_ob_prev",
+            (F.col("roll_ob") - F.col("roll_ob_prev")).alias("trend"),
+        )
+    )

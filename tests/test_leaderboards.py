@@ -109,3 +109,19 @@ def test_pitching_board_with_fill(parsed, spark):
     ap = board["AWAYSTARTER, A."]
     assert ap["outs_recorded"] == 2
     assert ap["runs_allowed"] == 1
+
+
+def test_rolling_form_board(parsed):
+    from d3d_etl_spark.pbp.leaderboards import rolling_form_board
+
+    board = {r["batter_name"]: r for r in rolling_form_board(parsed, n=2).collect()}
+    # JONES: PAs = 1B (ob), BB (ob) -> latest roll over last 2 = 1.0;
+    # prev window (PAs -3..-2) incomplete -> null
+    jones = board["JONES, A."]
+    assert jones["total_pa"] == 2
+    assert jones["roll_ob"] == 1.0
+    assert jones["roll_ob_prev"] is None and jones["trend"] is None
+    # MILLER: SO + PO -> 0.0 over last 2
+    assert board["MILLER, D."]["roll_ob"] == 0.0
+    # single-PA batters have no complete 2-PA window
+    assert board["BROWN, G."]["roll_ob"] is None
