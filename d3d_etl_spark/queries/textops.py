@@ -217,3 +217,54 @@ def text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(_TOPN_WORDS)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf — TF-IDF feature scores (corpus-feature shape): explode tokens,
+# per-doc term counts, log-idf from document frequency, top term per doc
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word AS top_word, tfidf AS top_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("text_tfidf", _TFIDF_ORACLE, tags=("text", "agg"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_counts = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("word").alias("top_word"), F.col("tfidf").alias("top_score"))
+    )
