@@ -105,3 +105,34 @@ def team_war(player_war: DataFrame) -> DataFrame:
         F.sum("rar").alias("rar"),
         F.sum("war").alias("war"),
     )
+
+
+def pitching_war(cube_pitching: DataFrame, guts: DataFrame, lg_era: float = 5.5) -> DataFrame:
+    """Player-season pitching WAR from counting stats + league constants
+    (reference calculator.py:226-319): FIP-based runs allowed vs replacement
+    over innings, converted to wins by runs_win.
+
+    `cube_pitching` follows FIXTURES.md §4 (ip is the base-3 string codec
+    "6.2"; decoded via functions.math.ip_to_thirds). cfip comes from guts.
+    """
+    from d3d_etl_spark.functions.math import ip_to_thirds
+
+    p = cube_pitching.join(F.broadcast(guts), ["division", "year"], "left")
+    thirds = ip_to_thirds(F.col("ip"))
+    fip = saber.fip(
+        F.col("hr_a"), F.col("bb"), F.col("hbp"), F.col("so"), thirds, F.col("cfip")
+    )
+    ip_f = thirds.cast("double") / 3.0
+    # runs prevented vs a replacement-level FIP (lg ERA + ~1 run)
+    replacement_fip = F.lit(lg_era + 1.0)
+    rar = (replacement_fip - fip) / 9.0 * ip_f
+    return p.select(
+        "player_id", "player_name", "team_id", "conference", "division", "year",
+        thirds.alias("ip_thirds"),
+        fip.alias("fip"),
+        saber.era(F.col("er"), thirds).alias("era"),
+        saber.whip(F.col("bb"), F.col("h"), thirds).alias("whip"),
+        saber.k9(F.col("so"), thirds).alias("k9"),
+        rar.alias("rar"),
+        safe_div(rar, F.col("runs_win"), 0.0).alias("war_raw"),
+    )

@@ -105,3 +105,35 @@ def test_sos_preserves_division_total(spark, std_guts, cube):
     }
     assert per_team["t1"]["war"] > raw_per_team["t1"]
     assert per_team["t2"]["war"] < raw_per_team["t2"]
+
+
+def test_pitching_war(spark, std_guts):
+    from d3d_etl_spark.pbp.war import pitching_war, sos_adjust, team_war
+
+    cube_p = spark.createDataFrame(
+        [
+            # ace: 60 IP, few walks/homers, many Ks
+            ("q1", "Ace Arm", "t1", "conf-a", "ncaa_3", 2024, "60.0", 20, 55, 18, 3, 4, 80),
+            # struggler: 30.2 IP, lots of traffic
+            ("q2", "Wild Thing", "t2", "conf-a", "ncaa_3", 2024, "30.2", 28, 45, 30, 7, 6, 15),
+        ],
+        "player_id string, player_name string, team_id string, conference string, "
+        "division string, year int, ip string, er long, h long, bb long, "
+        "hr_a long, hbp long, so long",
+    )
+    war = {r["player_id"]: r for r in pitching_war(cube_p, std_guts).collect()}
+    assert war["q1"]["ip_thirds"] == 180
+    assert war["q2"]["ip_thirds"] == 92        # 30.2 -> 30*3+2
+    assert war["q1"]["fip"] < war["q2"]["fip"]
+    assert war["q1"]["war_raw"] > war["q2"]["war_raw"]
+    assert war["q1"]["era"] == pytest.approx(9 * 20 / 60.0)
+    # SoS + rollup compose on the pitching table too
+    rankings = spark.createDataFrame(
+        [("t1", "ncaa_3", 2024, 1.0), ("t2", "ncaa_3", 2024, -1.0)],
+        "team_id string, division string, year int, sos_val double",
+    )
+    adjusted = sos_adjust(
+        pitching_war(cube_p, std_guts).withColumnRenamed("ip_thirds", "pa"), rankings
+    )
+    teams = team_war(adjusted.withColumn("wraa", F.lit(0.0)).withColumn("bsr", F.lit(0.0)))
+    assert teams.count() == 2
