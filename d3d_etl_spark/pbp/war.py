@@ -136,3 +136,17 @@ def pitching_war(cube_pitching: DataFrame, guts: DataFrame, lg_era: float = 5.5)
         rar.alias("rar"),
         safe_div(rar, F.col("runs_win"), 0.0).alias("war_raw"),
     )
+
+
+def add_conference_rates(war_df: DataFrame) -> DataFrame:
+    """W12 — conference-level rates stamped per player (reference
+    calculator.py:171-174, :258-264 uses groupby(conference).transform('sum')
+    for conference R/PA): window sums over (division, year, conference),
+    no extra join or shuffle beyond the window exchange."""
+    w = Window.partitionBy("division", "year", "conference")
+    conf_pa = F.sum("pa").over(w)
+    conf_war = F.sum("war_raw").over(w)
+    return war_df.withColumn(
+        "conf_war_per_600pa",
+        F.when(conf_pa > 0, conf_war / conf_pa * 600.0).otherwise(F.lit(0.0)),
+    ).withColumn("conf_pa", conf_pa)

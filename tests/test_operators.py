@@ -120,3 +120,27 @@ def test_variation_tier(spark):
     assert got[11] == 2
     assert 12 not in got              # no variant of anything matches "nobody"
     assert got[13] == 3               # bare last name matches within block b2
+
+
+def test_normalized_string_join(spark):
+    """J14 (reference sos_utils.py:5-35): join on a normalization EXPRESSION
+    — 'St. Mary's  &  Co' meets 'st marys and co' without materializing a
+    cleaned column first."""
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    rankings = spark.createDataFrame(
+        [("St. Mary's & Co", -2.0), ("BIG STATE  UNIV", 3.5)],
+        "massey_team_name string, sos_val double",
+    )
+    teams = spark.createDataFrame(
+        [("t1", "st marys and co"), ("t2", "big state univ"), ("t3", "unknown u")],
+        "team_id string, team_name string",
+    )
+    amp_fixed = F.regexp_replace(F.col("massey_team_name"), "&", "and")
+    joined = teams.join(
+        rankings,
+        normalize_name(F.col("team_name")) == normalize_name(amp_fixed),
+        "left",
+    )
+    got = {r["team_id"]: r["sos_val"] for r in joined.collect()}
+    assert got == {"t1": -2.0, "t2": 3.5, "t3": None}

@@ -137,3 +137,22 @@ def test_pitching_war(spark, std_guts):
     )
     teams = team_war(adjusted.withColumn("wraa", F.lit(0.0)).withColumn("bsr", F.lit(0.0)))
     assert teams.count() == 2
+
+
+def test_conference_rates(spark, std_guts, cube):
+    from d3d_etl_spark.pbp.war import add_conference_rates, batting_war
+
+    # move p3/p4 to a second conference
+    cube2 = cube.withColumn(
+        "conference",
+        F.when(F.col("player_id").isin("p3", "p4"), "conf-b").otherwise(F.col("conference")),
+    )
+    rated = add_conference_rates(batting_war(cube2, std_guts)).collect()
+    by_conf = {}
+    for r in rated:
+        by_conf.setdefault(r["conference"], set()).add(
+            (r["conf_pa"], round(r["conf_war_per_600pa"], 9))
+        )
+    # every member of a conference sees the same stamped rate
+    assert all(len(v) == 1 for v in by_conf.values())
+    assert by_conf.keys() == {"conf-a", "conf-b"}
