@@ -150,3 +150,20 @@ def add_conference_rates(war_df: DataFrame) -> DataFrame:
         "conf_war_per_600pa",
         F.when(conf_pa > 0, conf_war / conf_pa * 600.0).otherwise(F.lit(0.0)),
     ).withColumn("conf_pa", conf_pa)
+
+
+def add_park_adjusted(war_df: DataFrame, park_factors: DataFrame, guts: DataFrame) -> DataFrame:
+    """J6 — park-factor dimension join + wRC+ (reference calculator.py:82
+    dict-lookup pf per team; batting.py:115-125 wRC+ with pf-adjusted league
+    rate). `park_factors`: (team_id, pf) ~100-centered; missing teams get a
+    neutral 100."""
+    with_pf = war_df.join(
+        F.broadcast(park_factors.select("team_id", "pf")), "team_id", "left"
+    ).withColumn("pf", F.coalesce("pf", F.lit(100.0)))
+    with_guts = with_pf.join(
+        F.broadcast(guts.select("division", "year", "runs_pa")), ["division", "year"], "left"
+    )
+    wrc = saber.wrc(F.col("wraa"), F.col("runs_pa"), F.col("pa"))
+    return with_guts.withColumn("wrc", wrc).withColumn(
+        "wrc_plus", saber.wrc_plus(wrc, F.col("pa"), F.col("runs_pa"), F.col("pf"))
+    ).drop("runs_pa")

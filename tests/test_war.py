@@ -156,3 +156,23 @@ def test_conference_rates(spark, std_guts, cube):
     # every member of a conference sees the same stamped rate
     assert all(len(v) == 1 for v in by_conf.values())
     assert by_conf.keys() == {"conf-a", "conf-b"}
+
+
+def test_park_adjustment(spark, std_guts, cube):
+    from d3d_etl_spark.pbp.war import add_park_adjusted, batting_war
+
+    pf = spark.createDataFrame(
+        [("t1", 110.0)], "team_id string, pf double"   # t2 missing -> neutral
+    )
+    adj = {r["player_id"]: r for r in
+           add_park_adjusted(batting_war(cube, std_guts), pf, std_guts).collect()}
+    assert adj["p1"]["pf"] == 110.0 and adj["p3"]["pf"] == 100.0
+    # hitter-friendly park deflates wRC+ relative to a neutral park
+    neutral = {r["player_id"]: r for r in
+               add_park_adjusted(
+                   batting_war(cube, std_guts),
+                   spark.createDataFrame([("t1", 100.0)], "team_id string, pf double"),
+                   std_guts,
+               ).collect()}
+    assert adj["p1"]["wrc_plus"] < neutral["p1"]["wrc_plus"]
+    assert adj["p1"]["wrc"] == pytest.approx(neutral["p1"]["wrc"])  # wrc itself unscaled
