@@ -87,3 +87,23 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return extract_media_features(with_payload)
+
+
+@register("pbp_dag", None, tags=("stateful", "domain"), bench=True)
+def pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain pipeline end-to-end: generated narration (the testdata has
+    no baseball tables) -> parse (classifier + windows + base-state FSM) ->
+    RE24 -> batting board. Game count scales with the SF in `sf_dir`; no
+    SQL oracle (the FSM is not SQL-expressible — rows-only check), pytest
+    validates the pipeline against hand-traced fixtures instead."""
+    import re as _re
+
+    from d3d_etl_spark.pbp.pipeline import run_analytics
+    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_games = max(10, int(sf * 3000))
+    raw = spark.createDataFrame(generate_games(n_games), RAW_SCHEMA)
+    out = run_analytics(raw)
+    return out.batting
