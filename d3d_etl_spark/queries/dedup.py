@@ -224,6 +224,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sim = simhash_signatures(docs, "doc_id", tokens(F.col("text")), _BITS).select(
         F.col("doc").alias("doc_id"), "simhash"
     )
+    # The banded candidate search self-joins the signatures; without a
+    # materialization barrier Catalyst re-derives the whole explode+groupBy
+    # signature pass on BOTH join sides (measured 2x the query cost at sf0.1).
+    # localCheckpoint computes the (tiny: one row per doc) signature table
+    # once and the self-join reads it twice.
+    with_sim = with_sim.localCheckpoint()
     return simhash_near_pairs(
         with_sim, "doc_id", "simhash", _MAX_HAMMING, _SIM_BANDS, _BITS
     )

@@ -125,27 +125,12 @@ WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_NEAR_T}
 """
 
 
-@register("sim_near_pairs", _NEAR_ORACLE, tags=("similarity",))
+@register("sim_near_pairs", _NEAR_ORACLE, tags=("similarity",), bench=True)
 def sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from d3d_etl_spark.functions.vectors import dot, norm
+    from d3d_etl_spark.operators.similarity import blocked_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms hoisted below the join: one fold per VECTOR, not three per PAIR
-    # (3x fewer array folds in the quadratic stage, same values)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("sim"))
-        .where(F.col("sim") >= _NEAR_T)
-    )
+    return blocked_near_pairs(emb, _NEAR_T)
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,24 @@ def test_normalized_string_join(spark):
     )
     got = {r["team_id"]: r["sos_val"] for r in joined.collect()}
     assert got == {"t1": -2.0, "t2": 3.5, "t3": None}
+
+
+def test_blocked_near_pairs_block_invariance(spark, sf_dir):
+    """The blocked-GEMM all-pairs operator must give identical pairs and
+    (rounded) sims for any block count — including counts that don't divide
+    the corpus evenly and B=1 (single dense block, the brute-force shape)."""
+    from d3d_etl_spark.operators.similarity import blocked_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = sorted(
+        blocked_near_pairs(emb, 0.35, n_blocks=8).collect(),
+        key=lambda r: (r.vec_a, r.vec_b),
+    )
+    assert len(ref) > 0
+    assert all(r.vec_a < r.vec_b for r in ref)
+    for nb in (1, 3):
+        got = sorted(
+            blocked_near_pairs(emb, 0.35, n_blocks=nb).collect(),
+            key=lambda r: (r.vec_a, r.vec_b),
+        )
+        assert got == ref
