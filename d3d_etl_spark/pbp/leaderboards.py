@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.math import safe_div
-from d3d_etl_spark.pbp.events import PA_EVENTS
+from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
 
 _HIT_EVENTS = ("1B", "2B", "3B", "HR")
 _OB_EVENTS = ("1B", "2B", "3B", "HR", "BB", "IBB", "HBP")
@@ -41,7 +41,7 @@ def batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
             _n(ev == "HR").alias("hr"),
             _n(ev.isin("BB", "IBB")).alias("bb"),
             _n(ev == "HBP").alias("hbp"),
-            _n(ev.isin("SO", "SO_WP")).alias("so"),
+            _n(ev.isin(*SO_EVENTS)).alias("so"),
             F.sum("runs_on_play").alias("runs_driven"),
             F.sum("re24").alias("re24_total") if "re24" in plays.columns else F.lit(None).alias("re24_total"),
         )
@@ -117,7 +117,7 @@ def pitching_board(plays_with_pitchers: DataFrame) -> DataFrame:
     return flagged.groupBy("division", "year", "pitcher_name").agg(
         F.countDistinct("contest_id").alias("games"),
         F.sum("outs_on_play").alias("outs_recorded"),
-        _n(ev.isin("SO", "SO_WP")).alias("so"),
+        _n(ev.isin(*SO_EVENTS)).alias("so"),
         _n(ev.isin("1B", "2B", "3B", "HR")).alias("hits_allowed"),
         _n(ev.isin("BB", "IBB", "HBP")).alias("free_passes"),
         F.sum("runs_on_play").alias("runs_allowed"),

@@ -28,6 +28,7 @@ LW_CLASSES: dict[str, str] = {
     "HR": "home_run",
     "SO": "out", "GO": "out", "FO": "out", "LO": "out", "PO": "out",
     "GDP": "out", "SF": "out", "SH": "out",
+    "FOUL": "out", "IF": "out", "DP": "out", "TP": "out",
 }
 
 REACHING = ("walk", "hit_by_pitch", "single", "double", "triple", "home_run")

@@ -23,24 +23,33 @@ import pandas as pd
 from d3d_etl_spark.pbp.events import EVENT_RULES, NO_PLAY
 
 _BATTER_VERBS = (
-    "singled|doubled|tripled|homered|walked|struck out|grounded|flied|lined|"
-    "popped|reached|hit by pitch|intentionally walked|sacrificed|out on"
+    "singl(?:ed|es)|doubl(?:ed|es)|tripl(?:ed|es)|homer(?:ed|s)|walk(?:ed|s)|"
+    "str(?:uck|ikes) out|ground(?:ed|s)|fli(?:ed|es)|lin(?:ed|es)|"
+    "pop(?:ped|s)|foul(?:ed|s)|infield fly|reach(?:ed|es)|hit by pitch|"
+    "intentionally walk(?:ed|s)|sacrific(?:ed|es)|out on"
 )
 _BATTER_RE = re.compile(rf"^\s*(.*?)\s+(?:{_BATTER_VERBS})", re.IGNORECASE)
 _RUNNER_RE = re.compile(
-    r"^\s*(.*?)\s+(scored|advanced to (?:second|third|home)|out at (?:first|second|third|home)|"
-    r"stole (?:second|third|home)|caught stealing|picked off|pinch ran for\s+(.*))",
+    r"^\s*(.*?)\s+(scor(?:ed|es)|advanc(?:ed|es) to (?:second|third|home)|"
+    r"out at (?:first|second|third|home)|"
+    r"st(?:ole|eals) (?:second|third|home)|caught stealing|picked off|"
+    r"pinch ran for\s+(.*))",
     re.IGNORECASE,
 )
 _BASE_WORD = {"first": 1, "second": 2, "third": 3, "home": 4}
 
 _COMPILED_RULES = [(code, re.compile(pat, re.IGNORECASE)) for code, pat in EVENT_RULES]
 
-# batter destination base per event (None = no base / not a batter event)
+# batter destination base per event (None = no base / not a batter event);
+# SO_WP/SO_PB/SO_SAFE: batter reached on the dropped third strike
 _BATTER_DEST = {
-    "1B": 1, "BB": 1, "IBB": 1, "HBP": 1, "ROE": 1, "FC": 1, "SO_WP": 1, "CI": 1,
+    "1B": 1, "BB": 1, "IBB": 1, "HBP": 1, "ROE": 1, "FC": 1,
+    "SO_WP": 1, "SO_PB": 1, "SO_SAFE": 1, "CI": 1,
     "2B": 2, "3B": 3, "HR": 4,
 }
+
+# events with no batter action: only narrated runner movement applies
+_RUNNER_ONLY = {"SB", "CS", "PK", "PKE", "WP", "PB", "BK", "DI", "ERR", "ADV"}
 # events where trailing runners are FORCED ahead of the batter
 _FORCE_EVENTS = {"BB", "IBB", "HBP", "CI"}
 
@@ -84,9 +93,9 @@ def _apply_runner_segment(bases: dict[int, str | None], seg: str) -> None:
         return
     if at is None:
         return
-    if action == "scored" or action.startswith(("out at", "caught stealing", "picked off")):
+    if action.startswith(("scor", "out at", "caught stealing", "picked off")):
         bases[at] = None
-    elif action.startswith(("advanced to", "stole")):
+    elif action.startswith(("advanc", "stole", "steals")):
         dest = _BASE_WORD[action.rsplit(" ", 1)[1]]
         bases[at] = None
         if dest < 4:
@@ -135,12 +144,28 @@ def base_state_fsm(group: pd.DataFrame) -> pd.DataFrame:
         text = row.play_text or ""
         event = _classify(text)
         segments = [s for s in re.split(r"[;]", text) if s.strip()]
-        if event != NO_PLAY and event != "SUB":
+        if event not in (NO_PLAY, "SUB", "FOUL_ERR"):
             batter_m = _BATTER_RE.match(segments[0]) if segments else None
             batter = batter_m.group(1) if batter_m else None
             for seg in segments[1:]:
                 _apply_runner_segment(bases, seg)
-            if event in ("SB", "CS", "PK", "WP", "PB", "BK"):
+            if event == "PKE":
+                # pickoff error: the runner is SAFE (reference regexes.py:109)
+                # — stays put unless the same segment narrates an advance
+                m = re.match(r"^\s*(.*?)\s+picked off", segments[0], re.IGNORECASE)
+                at = _find_runner(bases, m.group(1)) if m else None
+                if at is not None:
+                    adv = re.search(
+                        r"advanc(?:ed|es) to (second|third|home)|scor(?:ed|es)",
+                        segments[0], re.IGNORECASE,
+                    )
+                    if adv:
+                        name = bases[at]
+                        bases[at] = None
+                        dest = _BASE_WORD[adv.group(1).lower()] if adv.group(1) else 4
+                        if dest < 4:
+                            bases[dest] = name
+            elif event in _RUNNER_ONLY:
                 # runner-only events: the acting runner is in segment 1
                 _apply_runner_segment(bases, segments[0])
             elif event == "HR":

@@ -207,3 +207,68 @@ def test_narration_variants(spark):
     assert rows[7]["event_type"] == "SB"
     # stole second (further error advance is narration detail; state >= NYN)
     assert rows[7]["bases_after"] in ("NYN", "NNY")
+
+
+def test_widened_grammar(spark):
+    """New narration classes (reference regexes.py:57-145 parity): strikeout-
+    safe variants, lined-into-DP, triple play, fouled out, infield fly,
+    dropped foul, defensive indifference, pickoff error, balk advance,
+    advanced-to-home run counting, RBI fallback, explicit no-play."""
+    from d3d_etl_spark.pbp.parser import parse_pbp
+
+    game = [
+        (1, "A struck out, reached first on a dropped third strike"),
+        (1, "Mound visit by head coach"),
+        (1, "B singled; A advanced to second"),
+        (1, "C lined into a double play; B out at first"),          # A stays on 2
+        (1, "A advanced to third on defensive indifference"),
+        (1, "D walked"),
+        (1, "D picked off first, advanced to second on a throwing error"),
+        (1, "E fouled out to c"),                                    # 3rd out
+        (2, "A walked"),
+        (2, "B dropped foul ball, error on 3b"),                     # no play on batter
+        (2, "B singled; A advanced to second"),
+        (2, "C infield fly to ss"),
+        (2, "Balk; A advanced to third; B advanced to second"),
+        (2, "C grounded out, 2 RBI"),                                # RBI fallback
+        (3, "A walked"),
+        (3, "B walked; A advanced to second"),
+        (3, "C grounded into a triple play; A out at third; B out at second"),
+    ]
+    raw = spark.createDataFrame(
+        [(11, inning, t, None, seq) for seq, (inning, t) in enumerate(game)],
+        "contest_id long, inning int, away_text string, home_text string, source_seq long",
+    ).withColumn("year", F.lit(2024)).withColumn("division", F.lit("x"))
+    rows = {r["play_id"]: r for r in parse_pbp(raw).orderBy("play_id").collect()}
+
+    assert rows[1]["event_type"] == "SO_SAFE"
+    assert rows[1]["outs_on_play"] == 0
+    assert rows[1]["bases_after"] == "YNN"
+    assert rows[2]["event_type"] == "NP"
+    assert rows[2]["bases_after"] == "YNN"
+    assert rows[4]["event_type"] == "DP"
+    assert rows[4]["outs_on_play"] == 2
+    assert rows[4]["bases_after"] == "NYN"          # A holds 2nd, B doubled off
+    assert rows[5]["event_type"] == "DI"
+    assert rows[5]["bases_after"] == "NNY"
+    assert rows[7]["event_type"] == "PKE"
+    assert rows[7]["outs_on_play"] == 0
+    assert rows[7]["bases_after"] == "NYY"          # D safe at 2nd, A on 3rd
+    assert rows[8]["event_type"] == "FOUL"
+    assert rows[8]["outs_on_play"] == 1
+    assert rows[8]["outs_after"] == 3
+
+    assert rows[10]["event_type"] == "FOUL_ERR"
+    assert rows[10]["outs_on_play"] == 0
+    assert rows[10]["bases_after"] == "YNN"         # A still on 1st, B still up
+    assert rows[12]["event_type"] == "IF"
+    assert rows[12]["outs_on_play"] == 1
+    assert rows[13]["event_type"] == "BK"
+    assert rows[13]["bases_before"] == "YYN"
+    assert rows[13]["bases_after"] == "NYY"
+    assert rows[14]["runs_on_play"] == 2            # no 'scored' -> 2 RBI fallback
+
+    assert rows[17]["event_type"] == "TP"
+    assert rows[17]["outs_on_play"] == 3
+    assert rows[17]["outs_after"] == 3
+    assert rows[17]["bases_after"] == "NNN"
