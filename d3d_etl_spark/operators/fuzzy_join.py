@@ -86,31 +86,48 @@ def blocked_fuzzy_join(
     return exact.unionByName(fuzzy)
 
 
-def name_variations(col: Column) -> Column:
+def name_variations(col: Column, number: Column | None = None) -> Column:
     """T6: deterministic variant set for a "First Last"-shaped name
     (reference names/helpers.py:56-111 generates ~20 variants per name;
     the engine builds them as one array expression and explodes — an
     equi-join tier that resolves abbreviated/reordered forms without any
     fuzzy scoring).
 
-    All variants live in normalized space (lowercase, punctuation stripped)
-    so any normalized probe can hit them: full, "f last" (initialed),
-    "last", "last first" (flipped).
+    All variants live in normalized space (lowercase, punctuation stripped),
+    which collapses the reference's case/punctuation duplicates: full,
+    "last first" (flipped), "f last" (initialed), "first l", "f l" / "fl"
+    (double initials), "last", "fir las" (3-char prefixes), and — when a
+    jersey `number` column is given — "<n> last" and "<n>" forms.
     """
     from d3d_etl_spark.functions.strings import normalize_name
 
     norm = normalize_name(col)
     first = F.substring_index(norm, " ", 1)
     last = F.substring_index(norm, " ", -1)
-    initial = F.substring(first, 1, 1)
-    return F.array_distinct(
-        F.array(
-            norm,
-            F.concat_ws(" ", initial, last),
-            last,
-            F.concat_ws(" ", last, first),
-        )
-    )
+    f_init = F.substring(first, 1, 1)
+    l_init = F.substring(last, 1, 1)
+    variants = [
+        norm,
+        F.concat_ws(" ", last, first),
+        F.concat_ws(" ", f_init, last),
+        F.concat_ws(" ", first, l_init),
+        F.concat_ws(" ", f_init, l_init),
+        F.concat(f_init, l_init),
+        last,
+        # 3-char prefixes only when both parts are long enough (reference
+        # guards len >= 3); otherwise fall back to the full form (dedup'd)
+        F.when(
+            (F.length(first) >= 3) & (F.length(last) >= 3),
+            F.concat_ws(" ", F.substring(first, 1, 3), F.substring(last, 1, 3)),
+        ).otherwise(norm),
+    ]
+    if number is not None:
+        num = normalize_name(number.cast("string"))
+        variants += [
+            F.when(num != "", F.concat_ws(" ", num, last)).otherwise(norm),
+            F.when(num != "", num).otherwise(norm),
+        ]
+    return F.array_distinct(F.array(*variants))
 
 
 def variation_tier(

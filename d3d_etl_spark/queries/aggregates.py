@@ -272,3 +272,31 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
     ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# agg_rollup — hierarchical grouping sets: (priority, status), (priority),
+# () — the partial-aggregate scale path for publishing a drill-down table in
+# one pass instead of three groupBys.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  o_orderpriority,
+  o_orderstatus,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("agg_rollup", _ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
+    ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")

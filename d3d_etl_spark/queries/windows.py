@@ -452,3 +452,53 @@ def window_segmented_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_running_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_range_days — RANGE frame over a date axis: 30-day trailing revenue
+# per customer. The rows-based frames above (W10) count rows; a range frame
+# bounds by VALUE distance, so same-day orders are frame peers and gaps in
+# the date axis shrink the window — the shape used for time-decayed rolling
+# metrics at scale (one shuffle on the partition key, no self-join).
+# ---------------------------------------------------------------------------
+
+_RANGE_DAYS = 30
+
+_RANGE_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(pc) OVER w AS DOUBLE) / 100.0 AS rev_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum
+             RANGE BETWEEN {_RANGE_DAYS} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_range_days", _RANGE_ORACLE, tags=("window",))
+def window_range_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("dnum"),
+        cents(F.col("o_totalprice")).alias("pc"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dnum")
+        .rangeBetween(-_RANGE_DAYS, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum("pc").over(w).cast("double") / 100.0).alias("rev_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )

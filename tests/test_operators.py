@@ -122,6 +122,28 @@ def test_variation_tier(spark):
     assert got[13] == 3               # bare last name matches within block b2
 
 
+def test_variation_tier_wide_forms(spark):
+    """Reference helpers.py:56-111 variant families: double initials,
+    concatenated initials, first+last-initial, 3-char prefixes, jersey
+    numbers."""
+    from d3d_etl_spark.operators.fuzzy_join import name_variations
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Jonathan Smithson", "12")], "name string, number string"
+    )
+    variants = set(
+        df.select(
+            F.explode(name_variations(F.col("name"), F.col("number"))).alias("v")
+        ).toPandas()["v"]
+    )
+    assert {
+        "jonathan smithson", "smithson jonathan", "j smithson",
+        "jonathan s", "j s", "js", "smithson", "jon smi",
+        "12 smithson", "12",
+    } <= variants
+
+
 def test_normalized_string_join(spark):
     """J14 (reference sos_utils.py:5-35): join on a normalization EXPRESSION
     — 'St. Mary's  &  Co' meets 'st marys and co' without materializing a
