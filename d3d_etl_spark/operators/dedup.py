@@ -47,9 +47,15 @@ def exact_dedup_groups(df: DataFrame, content: list[Column], id_col: str) -> Dat
 
 
 def shingle_rows(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
-    """(id, shingle) distinct rows — the inverted-index input."""
+    """(id, shingle) distinct rows — the inverted-index input.
+
+    Repartitions before the explode: shingle construction (tokenize + slide)
+    is the CPU-heavy step and must not inherit a thin scan's partitioning
+    (one parquet row group would serialize it on one core)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        df.repartition(n_parts)
+        .select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -110,15 +116,23 @@ def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 16) -> DataFrame:
     return shingle_df.groupBy("doc").agg(*sig_aggs)
 
 
-def lsh_band_keys(df: DataFrame, id_col: str, shingles: Column,
-                  n_hashes: int = 16, rows_per_band: int = 4) -> DataFrame:
+def lsh_band_keys(df: DataFrame | None = None, id_col: str | None = None,
+                  shingles: Column | None = None,
+                  n_hashes: int = 16, rows_per_band: int = 4,
+                  shingle_df: DataFrame | None = None) -> DataFrame:
     """(doc, band_idx, band_key) rows: signature -> bands -> bucket keys.
 
     Output is (n_hashes/rows_per_band) rows per doc regardless of doc size.
     Docs with no shingles produce no rows (they can never near-dup-match).
+    Pass `shingle_df` (doc, shingle) to reuse an already-built (ideally
+    materialized) shingle table — the LSH pipeline needs the same shingles
+    again for exact-Jaccard verification, and shingle construction is the
+    expensive pass.
     """
     n_bands = n_hashes // rows_per_band
-    sigs = minhash_signatures(shingle_rows(df, id_col, shingles), n_hashes)
+    if shingle_df is None:
+        shingle_df = shingle_rows(df, id_col, shingles)
+    sigs = minhash_signatures(shingle_df, n_hashes)
     bands = [
         F.md5(
             F.concat_ws(
@@ -181,8 +195,11 @@ def simhash_signatures(df: DataFrame, id_col: str, tok: Column, bits: int = 32) 
     Docs with zero tokens get simhash 0.
     """
     hex_chars = (bits + 3) // 4
-    rows = df.select(F.col(id_col).alias("doc"), F.explode(tok).alias("t")).select(
-        "doc", md5_int(F.col("t"), hex_chars).alias("th")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rows = (
+        df.repartition(n_parts)  # tokenizing+hashing must not run on a thin scan
+        .select(F.col(id_col).alias("doc"), F.explode(tok).alias("t"))
+        .select("doc", md5_int(F.col("t"), hex_chars).alias("th"))
     )
     bit_counts = [
         F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")

@@ -149,9 +149,11 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    bands = lsh_band_keys(docs, "doc_id", shingles, _N_HASHES, _ROWS_PER_BAND)
+    # one shingle pass feeds BOTH the signature/banding path and the exact
+    # verify path — materialize it so tokenize+shingle runs once
+    sh = shingle_rows(docs, "doc_id", shingles).localCheckpoint()
+    bands = lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND)
     cand = lsh_candidates(bands)
-    sh = shingle_rows(docs, "doc_id", shingles)
     return jaccard_pairs(sh, _JACCARD_T, candidates=cand)
 
 

@@ -59,7 +59,7 @@ def test_complex_pipelines_no_sortmerge(spark, sf_dir):
     """Dimension/candidate joins in the sketch pipelines must broadcast —
     a SortMergeJoin here means a small side lost its broadcast and the
     fact table started shuffling for it."""
-    for name, max_shuffles in (("dedup_minhash_lsh", 8), ("fuzzy_match_names", 4)):
+    for name, max_shuffles in (("dedup_minhash_lsh", 4), ("fuzzy_match_names", 2)):
         df = REGISTRY[name].fn(spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_sortmerge_joins == 0, f"{name} grew a sort-merge join"
