@@ -77,3 +77,98 @@ def real_decode_stub(payload: bytes):  # pragma: no cover
         "real media decoding requires PIL/av which are not installed; "
         "extract_media_features uses the deterministic fake decoder"
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_hash", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames_batch(stride: int):
+    """mapInPandas worker factory: one payload row -> every `stride`-th frame
+    (UDTF shape: rows out > rows in). Frame decode is stubbed byte math —
+    frame count from the fake decoder, frame id from the content hash."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 24 + 1
+                chash = hashlib.md5(payload).hexdigest()
+                for idx in range(0, n_frames, stride):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            hashlib.md5(f"{chash}:{idx}".encode()).hexdigest(),
+                            n // n_frames,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash", "frame_bytes"])
+
+    return fn
+
+
+def sample_media_frames(
+    df: DataFrame, stride: int = 3, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Every stride-th frame of each media payload as its own row.
+
+    At scale this is the fan-out stage of a video pipeline: rows multiply by
+    ~n_frames/stride, so it runs AFTER partitioning and the downstream
+    per-frame work (embedding, OCR) inherits the parallelism."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(sample_frames_batch(stride), FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+        StructField("out_bytes", LongType()),
+    ]
+)
+
+
+def resize_media_batch(target_w: int, target_h: int):
+    """mapInPandas worker factory: aspect-preserving fit into (target_w,
+    target_h) with exact integer math (floor scaling — no float rounding, so
+    any engine reproduces it bit-for-bit). The pixel resample itself is
+    stubbed; dimensions and output size are the real contract."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                w, h, _ = _fake_decode(payload)
+                if w <= target_w and h <= target_h:
+                    nw, nh = w, h
+                elif w * target_h <= h * target_w:
+                    nw, nh = max(1, (w * target_h) // h), target_h
+                else:
+                    nw, nh = target_w, max(1, (h * target_w) // w)
+                rows.append((int(doc_id), w, h, nw, nh, min(n, nw * nh * 3)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "new_width", "new_height", "out_bytes"],
+            )
+
+    return fn
+
+
+def resize_media(
+    df: DataFrame, target_w: int = 160, target_h: int = 120,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(resize_media_batch(target_w, target_h), RESIZE_SCHEMA)

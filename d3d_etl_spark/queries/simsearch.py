@@ -201,3 +201,60 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
     cands = emb.join(cand_ids, "vec_id", "left_semi")
     return cosine_topk(cands, query, _ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# sim_kmeans_step — one Lloyd iteration of spherical k-means: deterministic
+# hash-seeded partition -> exact-integer centroids -> nearest-centroid
+# reassignment. This is the IVF index BUILD step (sim_ivf_assign is the
+# steady-state assignment); iterate it and only the seed column changes.
+# Every stage is one shuffle-bounded pass: centroid computation is a partial
+# agg over (cluster, pos), reassignment broadcasts the k*dim centroid table.
+# ---------------------------------------------------------------------------
+
+_K_CLUSTERS = 8
+
+_KMEANS_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % {_K_CLUSTERS} AS cluster,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY cluster, pos
+),
+scores AS (
+  SELECT e.vec_id, c.cluster,
+         SUM(e.x * c.c) AS dot,
+         SUM(e.x * e.x) AS nx2,
+         SUM(c.c * c.c) AS nc2
+  FROM comps e JOIN cents c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cluster,
+         ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, cluster
+         ) AS rn
+  FROM scores
+)
+SELECT vec_id, cluster AS assigned_label, sim FROM ranked WHERE rn = 1
+"""
+
+
+@register("sim_kmeans_step", _KMEANS_ORACLE, tags=("similarity",))
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = emb.withColumn(
+        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
+    )
+    cents = label_centroids(seeded, "cluster")
+    return assign_nearest_centroid(seeded, cents, "cluster")

@@ -107,3 +107,78 @@ def pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.createDataFrame(generate_games(n_games), RAW_SCHEMA)
     out = run_analytics(raw)
     return out.batting
+
+
+_FRAMES_STRIDE = 3
+
+_FRAMES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS chash,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, chash, n, nf, unnest(range(nf)) AS idx FROM d
+)
+SELECT doc_id,
+       idx AS frame_idx,
+       md5(chash || ':' || CAST(idx AS VARCHAR)) AS frame_hash,
+       n // nf AS frame_bytes
+FROM fr
+WHERE idx % {_FRAMES_STRIDE} = 0
+"""
+
+
+@register("multimodal_frames", _FRAMES_ORACLE, tags=("multimodal",))
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (UDTF shape): every stride-th frame of each
+    payload becomes a row — the video-pipeline stage ahead of per-frame
+    featurization. Stubbed decode, real mapInPandas plumbing."""
+    from d3d_etl_spark.operators.multimodal import sample_media_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return sample_media_frames(with_payload, _FRAMES_STRIDE)
+
+
+_RESIZE_W, _RESIZE_H = 160, 120
+
+_RESIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS w,
+         CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n, w, h,
+         CASE
+           WHEN w <= {_RESIZE_W} AND h <= {_RESIZE_H} THEN w
+           WHEN w * {_RESIZE_H} <= h * {_RESIZE_W} THEN GREATEST(1, (w * {_RESIZE_H}) // h)
+           ELSE {_RESIZE_W}
+         END AS nw,
+         CASE
+           WHEN w <= {_RESIZE_W} AND h <= {_RESIZE_H} THEN h
+           WHEN w * {_RESIZE_H} <= h * {_RESIZE_W} THEN {_RESIZE_H}
+           ELSE GREATEST(1, (h * {_RESIZE_W}) // w)
+         END AS nh
+  FROM d
+)
+SELECT doc_id, w AS width, h AS height,
+       nw AS new_width, nh AS new_height,
+       LEAST(n, nw * nh * 3) AS out_bytes
+FROM r
+"""
+
+
+@register("multimodal_resize", _RESIZE_ORACLE, tags=("multimodal",))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing: exact integer fit math inside the
+    Arrow-batched worker (stubbed resample, real dimension contract)."""
+    from d3d_etl_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return resize_media(with_payload, _RESIZE_W, _RESIZE_H)

@@ -63,3 +63,22 @@ def streaming_sessions(
             "value_sum",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: keep the first occurrence of
+    each key combination, expiring dedup state once the watermark passes —
+    the streaming twin of the batch hash-groupBy dedup (operators/dedup.py).
+    Without the watermark bound the state grows with every key ever seen;
+    with it, state size tracks the watermark horizon only."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_events(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension snapshot, broadcast so the stream never shuffles —
+    the standard streaming lookup shape (dims re-read per batch pick up
+    slowly-changing updates)."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -129,3 +129,58 @@ def test_streaming_funnel_matches_batch_fsm(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Duplicated source rows collapse to one row per key; same result as
+    batch dropDuplicates on the same (in-watermark) data."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.streaming.events import streaming_dedup
+
+    batch = load_table(spark, sf_dir, "events").limit(500)
+    doubled = batch.unionByName(batch)  # every row duplicated
+    staged = os.path.join(str(tmp_path), "events_dup")
+    doubled.write.parquet(staged)
+    stream_src = spark.readStream.schema(batch.schema).parquet(staged)
+
+    q = (
+        streaming_dedup(stream_src, ["event_id"]).writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert len(got) == batch.count()
+    assert len({r["event_id"] for r in got}) == len(got)
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: streamed events pick up dimension
+    attributes; result matches the batch join."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.streaming.events import enrich_events
+
+    batch = load_table(spark, sf_dir, "events").limit(1000)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("user_tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    staged = os.path.join(str(tmp_path), "events_enrich")
+    batch.write.parquet(staged)
+    stream_src = spark.readStream.schema(batch.schema).parquet(staged)
+
+    q = (
+        enrich_events(stream_src, dim).writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["user_tier"]) for r in spark.sql("SELECT event_id, user_tier FROM enriched").collect()}
+    want = {(r["event_id"], r["user_tier"]) for r in enrich_events(batch, dim).select("event_id", "user_tier").collect()}
+    assert got == want and len(got) == 1000
