@@ -37,9 +37,19 @@ def main() -> None:
     spark = get_spark(app_name="d3d-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, parquet reader path, codegen (not attributed to query 1)
+    # warm-up: JVM, parquet reader path, codegen, and the Python worker pool
+    # (first pandas-UDF query otherwise pays ~32 interpreter spawns + pandas
+    # imports) — startup cost, not steady-state throughput
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _identity(it):
+        yield from it
+
+    spark.range(n_workers).repartition(n_workers).mapInPandas(
+        _identity, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

@@ -187,3 +187,26 @@ def test_blocked_near_pairs_block_invariance(spark, sf_dir):
             key=lambda r: (r.vec_a, r.vec_b),
         )
         assert got == ref
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """salted_join must be row-identical to the plain join under skew
+    (orders is heavily concentrated on a few custkeys at small SF)."""
+    from d3d_etl_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, ["c_custkey"], salt=4
+    ).select("o_orderkey", "c_mktsegment")
+    assert sorted(salted.collect()) == sorted(plain.collect())
+    # left join keeps unmatched large-side rows exactly once
+    lonely = orders.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+        "c_custkey", F.col("c_custkey") + 10_000_000
+    )
+    left = salted_join(lonely, cust, ["c_custkey"], how="left", salt=4)
+    assert left.count() == orders.count()
+    assert left.where(F.col("c_mktsegment").isNotNull()).count() == 0
