@@ -164,3 +164,77 @@ def rolling_form_board(plays: DataFrame, n: int = 25) -> DataFrame:
             (F.col("roll_ob") - F.col("roll_ob_prev")).alias("trend"),
         )
     )
+
+
+def batted_ball_board(plays: DataFrame, min_bb: int = 1) -> DataFrame:
+    """Batted-ball profile per batter (reference batted_ball.py: GB/FB/LD/PU
+    distribution): one conditional-agg pass over contact events."""
+    ev = F.col("event_type")
+    gb = ev.isin("GO", "GDP", "TP", "DP")
+    fb = ev.isin("FO", "SF")
+    ld = ev == "LO"
+    pu = ev.isin("PO", "IF", "FOUL")
+    board = (
+        plays.where(F.col("batter_name").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(
+            _n(gb).alias("gb"),
+            _n(fb).alias("fb"),
+            _n(ld).alias("ld"),
+            _n(pu).alias("pu"),
+        )
+        .withColumn(
+            "batted_balls", F.col("gb") + F.col("fb") + F.col("ld") + F.col("pu")
+        )
+        .where(F.col("batted_balls") >= min_bb)
+    )
+    for c in ("gb", "fb", "ld", "pu"):
+        board = board.withColumn(
+            f"{c}_pct",
+            F.round(safe_div(F.col(c).cast("double"), F.col("batted_balls")), 3),
+        )
+    return board
+
+
+_RUNNER_ACTION = (
+    r"^\s*(.*?)\s+(stole (?:second|third|home)|caught stealing|picked off"
+    r"|advanced to (?:second|third|home)|scored|out at (?:second|third|home))"
+)
+
+
+def baserunning_board(plays: DataFrame, min_events: int = 1) -> DataFrame:
+    """Runner-grain baserunning stats (reference baserunning.py): steals,
+    caught-stealing, pickoffs, advances, runs scored — from the narration
+    SEGMENTS rather than masked indicator frames (A9): explode the play text
+    on ';', classify each segment with one regexp, aggregate per runner.
+    One explode + one shuffle; scales with total segment count."""
+    from d3d_etl_spark.pbp.state import _RUNNER_ONLY
+
+    seg = F.posexplode(F.split(F.col("play_text"), ";"))
+    segs = plays.select("division", "year", "event_type", seg.alias("pos", "seg")).where(
+        # segment 0 is the BATTER's action (its trailing "advanced to" is a
+        # batter extra advance, not a runner) — except on runner-only events,
+        # where the acting runner IS segment 0
+        (F.col("pos") > 0) | F.col("event_type").isin(*_RUNNER_ONLY)
+    )
+    name = F.regexp_extract(F.col("seg"), _RUNNER_ACTION, 1)
+    action = F.lower(F.regexp_extract(F.col("seg"), _RUNNER_ACTION, 2))
+    classed = segs.select(
+        "division", "year", name.alias("runner_name"), action.alias("action")
+    ).where((F.col("runner_name") != "") & (F.col("action") != ""))
+    board = (
+        classed.groupBy("division", "year", "runner_name")
+        .agg(
+            _n(F.col("action").startswith("stole")).alias("sb"),
+            _n(F.col("action") == "caught stealing").alias("cs"),
+            _n(F.col("action") == "picked off").alias("pk"),
+            _n(F.col("action").startswith("advanced")).alias("advances"),
+            _n(F.col("action") == "scored").alias("runs_scored"),
+            _n(F.col("action").startswith("out at")).alias("outs_on_bases"),
+        )
+        .withColumn("n_events", F.expr("sb + cs + pk + advances + runs_scored + outs_on_bases"))
+        .where(F.col("n_events") >= min_events)
+    )
+    return board.withColumn(
+        "sb_pct", F.round(safe_div(F.col("sb").cast("double"), F.col("sb") + F.col("cs")), 3)
+    )

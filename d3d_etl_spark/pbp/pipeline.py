@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 
 from d3d_etl_spark.pbp.guts import guts_constants
 from d3d_etl_spark.pbp.leaderboards import (
+    baserunning_board,
+    batted_ball_board,
     batting_board,
     clutch_board,
     pitching_board,
@@ -45,6 +47,8 @@ class AnalyticsOutputs:
     guts: DataFrame
     batting: DataFrame
     situational: DataFrame
+    batted_ball: DataFrame
+    baserunning: DataFrame
     clutch: DataFrame | None
     pitching: DataFrame | None
 
@@ -77,6 +81,8 @@ def run_analytics(
     guts = guts_constants(with_metrics, lw, lg_obp)
     batting = batting_board(with_metrics)
     situational = situational_board(with_metrics)
+    batted_ball = batted_ball_board(with_metrics)
+    baserunning = baserunning_board(with_metrics)
     clutch = (
         clutch_board(with_metrics)
         if win_expectancy is not None and leverage_index is not None
@@ -96,6 +102,8 @@ def run_analytics(
         guts=guts,
         batting=batting,
         situational=situational,
+        batted_ball=batted_ball,
+        baserunning=baserunning,
         clutch=clutch,
         pitching=pitching,
     )

@@ -125,3 +125,37 @@ def test_rolling_form_board(parsed):
     assert board["MILLER, D."]["roll_ob"] == 0.0
     # single-PA batters have no complete 2-PA window
     assert board["BROWN, G."]["roll_ob"] is None
+
+
+def test_batted_ball_board(parsed):
+    from d3d_etl_spark.pbp.leaderboards import batted_ball_board
+
+    board = {r["batter_name"]: r for r in batted_ball_board(parsed).collect()}
+    # TAYLOR: GO (p6) -> 1 gb; the FC (p16) and CS (p17) are not batted-ball contact
+    assert (board["TAYLOR, F."]["gb"], board["TAYLOR, F."]["batted_balls"]) == (1, 1)
+    # WILSON: SF (p5) counts as fb
+    assert board["WILSON, E."]["fb"] == 1
+    # MILLER: PO (p14) counts as pu; SO (p4) is not contact
+    m = board["MILLER, D."]
+    assert (m["pu"], m["batted_balls"], m["pu_pct"]) == (1, 1, 1.0)
+    # LEWIS: GDP (p9) counts as gb
+    assert board["LEWIS, I."]["gb"] == 1
+
+
+def test_baserunning_board(parsed):
+    from d3d_etl_spark.pbp.leaderboards import baserunning_board
+
+    board = {r["runner_name"]: r for r in baserunning_board(parsed).collect()}
+    # JONES: stole second (p11, runner-only seg 0), advanced x2 (p2, p12),
+    # scored x2 (p3, p13)
+    j = board["JONES, A."]
+    assert (j["sb"], j["advances"], j["runs_scored"]) == (1, 2, 2)
+    assert j["sb_pct"] == 1.0
+    # TAYLOR: caught stealing (p17, runner-only seg 0 matches "caught stealing")
+    assert board["TAYLOR, F."]["cs"] == 1
+    # SMITH: advanced to third (p2... no — p2 advances JONES); SMITH advanced
+    # to third on p3, scored on p5 and p13
+    s = board["SMITH, B."]
+    assert (s["advances"], s["runs_scored"]) == (1, 2)
+    # CLARK: forced out at second on the GDP (p9)
+    assert board["CLARK, H."]["outs_on_bases"] == 1
