@@ -94,7 +94,10 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE, tags=("dedup",), bench=True)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N))
+    # the shingle table feeds sizes + both self-join sides: materialize once
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
     return jaccard_pairs(sh, _JACCARD_T)
 
 

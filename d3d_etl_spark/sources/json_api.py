@@ -101,3 +101,65 @@ def flatten_game_json(raw: DataFrame, json_col: str = "payload") -> DataFrame:
         .withColumn("home_score", F.split("score", "-").getItem(1).cast("int"))
         .drop("score_raw", "score")
     )
+
+
+BOXSCORE_JSON_SCHEMA = StructType(
+    [
+        StructField("contest_id", LongType()),
+        StructField(
+            "teamBoxscore",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("team_id", LongType()),
+                        StructField("side", StringType()),
+                        StructField(
+                            "playerStats",
+                            ArrayType(
+                                StructType(
+                                    [
+                                        StructField("player_name", StringType()),
+                                        StructField("position", StringType()),
+                                        StructField("number", StringType()),
+                                        StructField("bat_order", IntegerType()),
+                                        StructField("ip", StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def flatten_boxscore_json(raw: DataFrame, json_col: str = "payload") -> DataFrame:
+    """S11: boxscore lineups — ``teamBoxscore[].playerStats[]`` to one player
+    row per (contest, team), with the within-lineup ordinal preserved (the
+    pitcher-queue FSM consumes pitchers in this order) and an `is_pitcher`
+    split mirroring the reference's batter/pitcher partition
+    (collect_game.py:137-178)."""
+    parsed = raw.select(F.from_json(F.col(json_col), BOXSCORE_JSON_SCHEMA).alias("b"))
+    return (
+        parsed.select("b.contest_id", F.explode("b.teamBoxscore").alias("tb"))
+        .select(
+            "contest_id",
+            F.col("tb.team_id").alias("team_id"),
+            F.col("tb.side").alias("side"),
+            F.posexplode("tb.playerStats").alias("lineup_idx", "ps"),
+        )
+        .select(
+            "contest_id",
+            "team_id",
+            "side",
+            "lineup_idx",
+            F.col("ps.player_name").alias("player_name"),
+            F.col("ps.position").alias("position"),
+            F.col("ps.number").alias("number"),
+            F.col("ps.bat_order").alias("bat_order"),
+            F.col("ps.ip").alias("ip"),
+            (F.lower(F.col("ps.position")) == "p").alias("is_pitcher"),
+        )
+    )
