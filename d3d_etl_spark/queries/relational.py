@@ -335,3 +335,104 @@ def join_composite_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (F.col("l_quantity").cast("double") / F.col("total_qty")).alias("qty_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_asof — as-of join (beyond-reference; the canonical time-series lookup
+# Spark lacks natively): for each purchase event, the latest view event of
+# the same user at-or-before the purchase. Single shuffle via the
+# union+ordered-window formulation in operators/joins.asof_join.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         v.event_id AS view_event_id, v.ts AS view_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id, ts, view_event_id, view_ts FROM j WHERE rn = 1
+"""
+
+
+@register("join_asof", _ASOF_ORACLE, tags=("join",))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_event_id", "view_ts"],
+        tie_col="view_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_range — keyed interval join (beyond-reference): per purchase event,
+# how many view/click events the same user produced in the preceding hour.
+# Binned equi-join (operators/joins.binned_range_join) instead of the
+# BroadcastNestedLoopJoin a raw range predicate would force. Exact integer
+# microseconds on both engines.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+_RANGE_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, epoch_us(ts) AS v
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT p.event_id, p.user_id, COUNT(e.v) AS n_prior_hour
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id AND e.v >= p.t - {_HOUR_US} AND e.v <= p.t
+GROUP BY 1, 2
+"""
+
+
+@register("join_range", _RANGE_ORACLE, tags=("join",))
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.joins import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    ).withColumn("lo", F.col("t") - _HOUR_US)
+    e = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.unix_micros("ts").alias("v")
+    )
+    hits = binned_range_join(
+        p, e, on=["user_id"], left_lo="lo", left_hi="t", right_val="v",
+        bin_width=_HOUR_US,
+    ).groupBy("event_id").agg(F.count("*").alias("n_prior_hour"))
+    return (
+        p.join(hits, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("n_prior_hour", F.lit(0)).alias("n_prior_hour"),
+        )
+    )

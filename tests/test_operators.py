@@ -210,3 +210,27 @@ def test_salted_join_matches_plain(spark, sf_dir):
     left = salted_join(lonely, cust, ["c_custkey"], how="left", salt=4)
     assert left.count() == orders.count()
     assert left.where(F.col("c_mktsegment").isNotNull()).count() == 0
+
+
+def test_asof_join_edges(spark):
+    """No prior right row -> nulls; right at equal ts matches (<=); equal-ts
+    right rows resolve to the max tie value."""
+    from d3d_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 5, 101), (1, 8, 102), (3, 1, 103)],
+        "k long, rt long, rid long",
+    )
+    got = {
+        r["tag"]: (r["rid"], r["rt"])
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            right_cols=["rid", "rt"], tie_col="rid",
+        ).collect()
+    }
+    assert got["a"] == (102, 8)        # latest at-or-before t=10
+    assert got["b"] == (101, 5)        # equal ts included; tie -> max rid
+    assert got["c"] == (None, None)    # key 2 has no right rows
