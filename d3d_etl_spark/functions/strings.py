@@ -60,3 +60,27 @@ def md5_int_seeded(col: Column, seed: int) -> Column:
 
 def sql_md5_int_seeded(expr: str, seed: int) -> str:
     return sql_md5_int(f"'{seed}:' || {expr}")
+
+
+def nfkc_titlecase(col: Column) -> Column:
+    """T5's genuinely-Python scalar (SURVEY §2.10 item 3): NFKC unicode
+    normalization + word title-case (reference reconcile_players.py:27-33,
+    :67-80). No Catalyst builtin does NFKC, so this is a vectorized pandas
+    UDF — Arrow-batched, applied AFTER blocking/filtering so the Python
+    boundary sees the minimum rows. Idempotent; None-safe."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            norm = unicodedata.normalize("NFKC", x)
+            return " ".join(w.capitalize() for w in norm.split())
+
+        return s.map(one)
+
+    # hint-free form: postponed annotations (module-level __future__ import)
+    # turn signature hints into strings pyspark's inspector can't resolve
+    return pandas_udf(_batch, "string")(col)

@@ -255,3 +255,50 @@ def simhash_near_pairs(df: DataFrame, id_col: str, sim_col: str,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) for every node in `edges`, component = min node id
+    reachable — the cluster-assignment step after near-dup pair generation
+    (pairs say WHO matches; canonical-document selection needs the
+    transitive closure).
+
+    Iterative label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converged when no label changes.
+    Rounds = graph diameter (near-dup clusters are shallow); each round is
+    one join + one partial-agg groupBy, with a localCheckpoint barrier so
+    the plan doesn't grow with iterations (lineage blowup is the classic
+    iterative-DataFrame failure mode at scale).
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = labels.join(sym, labels["node"] == sym["src"]).select(
+            sym["dst"].alias("node"), F.col("label")
+        )
+        new_labels = (
+            neigh.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -238,3 +238,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         with_sim, "doc_id", "simhash", _MAX_HAMMING, _SIM_BANDS, _BITS
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — transitive closure of near-dup pairs: every clustered doc
+# mapped to its component's min doc_id (the canonical-document assignment
+# step after pair generation). Spark: iterative min-label propagation with
+# localCheckpoint barriers; oracle: recursive CTE reachability.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE, tags=("dedup",))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
+    pairs = jaccard_pairs(sh, _JACCARD_T)
+    return connected_components(pairs)

@@ -56,3 +56,17 @@ def test_shingles(spark):
     rows = df.select(word_shingles(tokens(F.col("t")), 3).alias("sh")).collect()
     assert rows[0]["sh"] == ["a b c", "b c d"]
     assert rows[1]["sh"] == []
+
+
+def test_nfkc_titlecase(spark):
+    from d3d_etl_spark.functions.strings import nfkc_titlecase
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("ＪＯＳＥ  ｎｕñez",), ("ﬁelder mcgee",), ("SMITH, A.",), (None,)],
+        "name string",
+    )
+    got = [r["out"] for r in df.select(nfkc_titlecase(F.col("name")).alias("out")).collect()]
+    # fullwidth compatibility chars fold to ASCII, ligature fi expands,
+    # words title-case, whitespace collapses, None passes through
+    assert got == ["Jose Nuñez", "Fielder Mcgee", "Smith, A.", None]

@@ -234,3 +234,18 @@ def test_asof_join_edges(spark):
     assert got["a"] == (102, 8)        # latest at-or-before t=10
     assert got["b"] == (101, 5)        # equal ts included; tie -> max rid
     assert got["c"] == (None, None)    # key 2 has no right rows
+
+
+def test_connected_components(spark):
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3, pair 10-11, chain 20-21-22-23 (via separate links)
+        [(1, 2), (2, 3), (10, 11), (21, 20), (22, 21), (23, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
