@@ -300,3 +300,58 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
     ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles — exact interpolated quantiles per group (Spark
+# `percentile` == DuckDB `quantile_cont` on integer-cents input: identical
+# (n-1)*p interpolation, bit-stable). At 100 TB swap for approx_percentile
+# with a documented error bound; the exact form is the correctness anchor.
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS p90_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_percentiles", _PCT_ORACLE, tags=("agg",))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)").alias("p50_cents"),
+        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.9)").alias("p90_cents"),
+        F.max(cents(F.col("value"))).cast("double").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_collect_ordered — deterministic ordered collect: the event sequence
+# per user as an array. collect_list order is NONDETERMINISTIC under
+# parallelism — sort_array over (ts, id, value) structs imposes the total
+# order after collection (one shuffle; the sort is per-group, local).
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS event_seq,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_collect_ordered", _COLLECT_ORACLE, tags=("agg",))
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.transform(packed, lambda s: s["event_type"]).alias("event_seq"),
+        F.count("*").alias("n_events"),
+    )

@@ -258,3 +258,40 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = label_centroids(seeded, "cluster")
     return assign_nearest_centroid(seeded, cents, "cluster")
+
+
+# ---------------------------------------------------------------------------
+# sim_quantize — int8 embedding quantization (the storage-side op for
+# 100 TB embedding tables: 4x smaller than float32, 8x than float64;
+# brute-force scans read q and rescale). Fixed scale 127 over the [-1, 1]
+# domain; reconstruction error bound 1/254 per component. Pure array HOFs —
+# one narrow map, no shuffle.
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 127
+
+_QUANT_ORACLE = f"""
+SELECT vec_id,
+       list_transform(embedding,
+         x -> CAST(ROUND(CAST(x AS DOUBLE) * {_Q_SCALE}) AS INTEGER)) AS q,
+       ROUND(list_max(list_transform(embedding,
+         x -> ABS(CAST(x AS DOUBLE)
+                  - CAST(ROUND(CAST(x AS DOUBLE) * {_Q_SCALE}) AS DOUBLE) / {_Q_SCALE}))), 6) AS max_err
+FROM embeddings
+"""
+
+
+@register("sim_quantize", _QUANT_ORACLE, tags=("similarity",))
+def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    q = F.transform(F.col("embedding"), lambda x: F.round(xd(x) * _Q_SCALE).cast("int"))
+    err = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(xd(x) - F.round(xd(x) * _Q_SCALE).cast("double") / _Q_SCALE),
+    )
+    return emb.select(
+        "vec_id",
+        q.alias("q"),
+        F.round(F.array_max(err), 6).alias("max_err"),
+    )
