@@ -364,7 +364,7 @@ SELECT event_id, user_id, ts, view_event_id, view_ts FROM j WHERE rn = 1
 """
 
 
-@register("join_asof", _ASOF_ORACLE, tags=("join",))
+@register("join_asof", _ASOF_ORACLE, tags=("join",), bench=True)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.joins import asof_join
 

@@ -248,7 +248,7 @@ SELECT vec_id, cluster AS assigned_label, sim FROM ranked WHERE rn = 1
 """
 
 
-@register("sim_kmeans_step", _KMEANS_ORACLE, tags=("similarity",))
+@register("sim_kmeans_step", _KMEANS_ORACLE, tags=("similarity",), bench=True)
 def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.strings import md5_int
 
@@ -294,4 +294,55 @@ def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         q.alias("q"),
         F.round(F.array_max(err), 6).alias("max_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_quantized — brute-force top-k over the int8-quantized vectors:
+# the 100 TB scan path (4-8x less IO than float), ranked by integer dot
+# product — EXACT integer arithmetic, so no rounding contract is needed at
+# all. Recall vs the float scan is bounded by the quantization error.
+# ---------------------------------------------------------------------------
+
+_QTOPK_ORACLE = f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {_Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qv AS (
+  SELECT unnest(q) AS qx, unnest(range(len(q))) AS pos
+  FROM q8 WHERE vec_id = {_QUERY_ID}
+),
+ev AS (
+  SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS pos
+  FROM q8 WHERE vec_id != {_QUERY_ID}
+)
+SELECT e.vec_id, SUM(e.x * qv.qx) AS qdot
+FROM ev e JOIN qv USING (pos)
+GROUP BY e.vec_id
+ORDER BY qdot DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+@register("sim_topk_quantized", _QTOPK_ORACLE, tags=("similarity",))
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * _Q_SCALE).cast("long")
+        ).alias("q"),
+    )
+    query = q8.where(F.col("vec_id") == _QUERY_ID).select(F.col("q").alias("qv"))
+    prod = F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b)
+    qdot = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        q8.where(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(_TOPK)
     )
