@@ -137,7 +137,14 @@ def add_base_state(df: DataFrame) -> DataFrame:
 
 
 def parse_pbp(raw: DataFrame) -> DataFrame:
-    """Full parse: raw narration -> wide play table."""
+    """Full parse: raw narration -> wide play table.
+
+    The metadata subtree feeds both the window/classifier chain and the
+    base-state FSM branch of the final join and is computed once per side
+    (no ReusedExchange) — deliberately left UNmaterialized: the subtree is a
+    pruned scan + one window, and a localCheckpoint barrier here measured
+    SLOWER (an extra eager job) than the recompute at every tested scale.
+    """
     return add_base_state(
         add_bat_order(add_scores(add_outs_runs_windows(add_events(add_metadata(raw)))))
     )

@@ -247,3 +247,26 @@ RAW_SCHEMA = (
     "year int, division string, contest_id long, inning int, "
     "away_text string, home_text string, source_seq long"
 )
+
+
+def generate_games_df(spark, n_games: int, seed: int = 42):
+    """Distributed generation: each game is produced on an executor from a
+    per-game seed (no driver-side row list to serialize into every job, and
+    generation parallelizes with the cluster)."""
+    import pandas as pd
+
+    cols = [
+        "year", "division", "contest_id", "inning",
+        "away_text", "home_text", "source_seq",
+    ]
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for g in pdf["id"]:
+                rng = random.Random((seed << 32) ^ int(g))
+                rows.extend(generate_game(rng, int(g)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    n_parts = min(n_games, spark.sparkContext.defaultParallelism)
+    return spark.range(n_games).repartition(n_parts).mapInPandas(gen, RAW_SCHEMA)

@@ -99,12 +99,12 @@ def pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
     from d3d_etl_spark.pbp.pipeline import run_analytics
-    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+    from d3d_etl_spark.pbp.synth import generate_games_df
 
     m = _re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
     n_games = max(10, int(sf * 3000))
-    raw = spark.createDataFrame(generate_games(n_games), RAW_SCHEMA)
+    raw = generate_games_df(spark, n_games)
     out = run_analytics(raw)
     return out.batting
 
