@@ -182,3 +182,79 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return resize_media(with_payload, _RESIZE_W, _RESIZE_H)
+
+
+@register("pbp_war", None, tags=("stateful", "domain"))
+def pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAR end-to-end on generated narration: parse -> RE24 -> linear
+    weights -> guts constants -> per-batter season counting stats (the
+    cube_batting shape, derived from the same plays) -> batting WAR ->
+    team rollup join-back. Rows-only (the FSM upstream is not
+    SQL-expressible); the WAR arithmetic itself is pytest-verified against
+    hand-computed fixtures (tests/test_war.py)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+    from d3d_etl_spark.pbp.guts import guts_constants
+    from d3d_etl_spark.pbp.leaderboards import baserunning_board
+    from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long, linear_weights
+    from d3d_etl_spark.pbp.parser import parse_pbp
+    from d3d_etl_spark.pbp.synth import generate_games_df
+    from d3d_etl_spark.pbp.war import batting_war, team_war
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_games = max(10, int(sf * 3000))
+    raw = generate_games_df(spark, n_games)
+    parsed = parse_pbp(raw).cache()
+    plays = add_re24(parsed, expected_runs_long(parsed)).cache()
+    lw = linear_weights(plays, lg_obp=0.360)
+    guts = guts_constants(plays, lw)
+
+    ev = F.col("event_type")
+    n = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    counting = (
+        plays.where(F.col("batter_name").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(
+            n(ev.isin(*PA_EVENTS)).alias("pa_n"),
+            n(ev.isin("1B", "2B", "3B", "HR")).alias("h"),
+            n(ev == "2B").alias("double_"),
+            n(ev == "3B").alias("triple_"),
+            n(ev == "HR").alias("hr"),
+            n(ev == "BB").alias("bb"),
+            n(ev == "IBB").alias("ibb"),
+            n(ev == "HBP").alias("hbp"),
+            n(ev.isin(*SO_EVENTS)).alias("k"),
+            n(ev == "SF").alias("sf"),
+            n(ev == "SH").alias("sh"),
+        )
+    )
+    bsr = baserunning_board(plays).select(
+        "division", "year",
+        F.col("runner_name").alias("batter_name"), "sb", "cs",
+    )
+    cube = (
+        counting.join(bsr, ["division", "year", "batter_name"], "left")
+        .select(
+            F.col("batter_name").alias("player_id"),
+            F.col("batter_name").alias("player_name"),
+            # deterministic synthetic team/conference (narration has no team ids)
+            F.concat(F.lit("t"), (F.crc32(F.col("batter_name")) % 4).cast("string")).alias("team_id"),
+            F.lit("conf-x").alias("conference"),
+            "division", "year",
+            (F.col("pa_n") - F.col("bb") - F.col("ibb") - F.col("hbp")
+             - F.col("sf") - F.col("sh")).alias("ab"),
+            "h", "double_", "triple_", "hr", "bb", "ibb", "hbp", "k", "sf", "sh",
+            F.coalesce("sb", F.lit(0)).alias("sb"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    war = batting_war(cube, guts).withColumn("war", F.col("war_raw"))
+    teams = team_war(war)
+    return war.join(
+        teams.select("team_id", "division", "year", F.col("war").alias("team_war")),
+        ["team_id", "division", "year"],
+    ).drop("war")
