@@ -132,3 +132,21 @@ def export_sqlite(
     finally:
         con.close()
     return len(pdf)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int = 16
+) -> None:
+    """Persist as a bucketed+sorted managed table: rows are hash-partitioned
+    into `n_buckets` files per partition ON WRITE, so equi-joins and
+    aggregations on the bucket key read co-located data and skip the shuffle
+    entirely (plan shows zero Exchange on the bucketed side). The 100 TB
+    pattern for fact-to-fact joins repeated across many queries: pay the
+    shuffle once at ingest, never again."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
