@@ -125,6 +125,30 @@ def add_scores(df: DataFrame) -> DataFrame:
     )
 
 
+def add_source_score_runs(df: DataFrame) -> DataFrame:
+    """Current-year mode (reference main.py:57-71, behind `year >=
+    CURRENT_YEAR`): the source feed carries running scores, so runs are
+    score DELTAS (lagged per game, clipped at 0 against corrections), and
+    the score columns come from the feed rather than narration counting.
+    Expects `away_score`/`home_score` columns (the JSON-source shape)."""
+    w = Window.partitionBy("contest_id").orderBy("play_id")
+    a_after = F.coalesce(F.col("away_score").try_cast("int"), F.lit(0))
+    h_after = F.coalesce(F.col("home_score").try_cast("int"), F.lit(0))
+    df = (
+        df.withColumn("away_score_after", a_after)
+        .withColumn("home_score_after", h_after)
+        .withColumn("away_score_before", F.coalesce(F.lag("away_score_after").over(w), F.lit(0)))
+        .withColumn("home_score_before", F.coalesce(F.lag("home_score_after").over(w), F.lit(0)))
+    )
+    runs = F.when(
+        F.col("half") == "Top",
+        F.greatest(F.col("away_score_after") - F.col("away_score_before"), F.lit(0)),
+    ).otherwise(
+        F.greatest(F.col("home_score_after") - F.col("home_score_before"), F.lit(0))
+    )
+    return df.withColumn("runs_on_play", runs.cast("int"))
+
+
 def add_base_state(df: DataFrame) -> DataFrame:
     state = run_grouped_fsm(
         df.select("contest_id", "play_id", "inning", "half", "play_text"),
@@ -148,6 +172,15 @@ def parse_pbp(raw: DataFrame) -> DataFrame:
     return add_base_state(
         add_bat_order(add_scores(add_outs_runs_windows(add_events(add_metadata(raw)))))
     )
+
+
+def parse_pbp_with_source_scores(raw: DataFrame) -> DataFrame:
+    """Current-year parse (reference's `year >= CURRENT_YEAR` branch): the
+    feed's running scores are authoritative — runs come from score deltas
+    (add_source_score_runs), narration counting is skipped, and the score
+    columns pass through instead of being re-accumulated."""
+    base = add_source_score_runs(add_events(add_metadata(raw)))
+    return add_base_state(add_bat_order(add_outs_runs_windows(base)))
 
 
 def expected_runs_matrix(parsed: DataFrame) -> DataFrame:

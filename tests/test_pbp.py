@@ -272,3 +272,39 @@ def test_widened_grammar(spark):
     assert rows[17]["outs_on_play"] == 3
     assert rows[17]["outs_after"] == 3
     assert rows[17]["bases_after"] == "NNN"
+
+
+def test_source_score_runs_mode(spark):
+    """Current-year branch (reference main.py:57-71): runs come from the
+    feed's running-score DELTAS, not narration counting — a score jump on a
+    play whose text narrates nothing still yields runs, and corrections
+    (score decreasing) clip to 0."""
+    from d3d_etl_spark.pbp.parser import parse_pbp_with_source_scores
+
+    game = [
+        # (inning, half, text, away_score, home_score)
+        (1, "T", "A singled", 0, 0),
+        (1, "T", "B doubled", 2, 0),       # feed says 2 runs; text says none
+        (1, "T", "C struck out swinging", 2, 0),
+        (1, "B", "D homered, RBI", 2, 1),
+        (1, "B", "E flied out to cf", 2, 0),  # correction downward -> clip 0
+    ]
+    raw = spark.createDataFrame(
+        [
+            (77, inning, t if h == "T" else None, t if h == "B" else None,
+             seq, a, hm)
+            for seq, (inning, h, t, a, hm) in enumerate(game)
+        ],
+        "contest_id long, inning int, away_text string, home_text string, "
+        "source_seq long, away_score int, home_score int",
+    ).withColumn("year", F.lit(2026)).withColumn("division", F.lit("x"))
+    rows = {r["play_id"]: r for r in parse_pbp_with_source_scores(raw).collect()}
+    assert rows[1]["runs_on_play"] == 0
+    assert rows[2]["runs_on_play"] == 2          # delta, not narration
+    assert rows[2]["away_score_before"] == 0 and rows[2]["away_score_after"] == 2
+    assert rows[3]["runs_on_play"] == 0
+    assert rows[4]["runs_on_play"] == 1          # home run delta
+    assert rows[5]["runs_on_play"] == 0          # downward correction clipped
+    # windows over the delta-derived runs
+    assert rows[1]["runs_this_inn"] == 2 and rows[1]["runs_roi"] == 2
+    assert rows[3]["runs_roi"] == 0
