@@ -67,3 +67,74 @@ def test_minhash_union_property(spark, set_a, set_b):
         for r in minhash_signatures(df, n_hashes=4).collect()
     }
     assert sigs[2] == [min(a, b) for a, b in zip(sigs[0], sigs[1])]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # left rows: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    st.lists(  # right rows: (key, ts, rid)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_matches_naive(spark, lrows, rrows):
+    """asof_join == per-row naive scan: latest right (ts <= left ts) on the
+    key, ties by max rid."""
+    from d3d_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(rrows, "k long, rt long, rid long") if rrows else (
+        spark.createDataFrame([], "k long, rt long, rid long")
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            right_cols=["rid"], tie_col="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, rid) for (rk, rt, rid) in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"lid {i}: got {got[i]} want {want}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(  # intervals: (key, lo, span)
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 12)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right values: (key, v)
+        st.tuples(st.integers(0, 2), st.integers(0, 45)), min_size=0, max_size=25
+    ),
+    st.integers(1, 9),  # bin width — correctness must not depend on it
+)
+def test_binned_range_join_matches_naive(spark, intervals, values, width):
+    from d3d_etl_spark.operators.joins import binned_range_join
+
+    left = spark.createDataFrame(
+        [(i, k, lo, lo + span) for i, (k, lo, span) in enumerate(intervals)],
+        "iid long, k long, lo long, hi long",
+    )
+    right = spark.createDataFrame(values, "k long, v long") if values else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    got = sorted(
+        (r["iid"], r["v"])
+        for r in binned_range_join(
+            left, right, on=["k"], left_lo="lo", left_hi="hi",
+            right_val="v", bin_width=width,
+        ).collect()
+    )
+    want = sorted(
+        (i, v)
+        for i, (k, lo, span) in enumerate(intervals)
+        for (rk, v) in values
+        if rk == k and lo <= v <= lo + span
+    )
+    assert got == want
