@@ -129,64 +129,84 @@ def _place_batter(bases: dict[int, str | None], event: str, batter: str | None) 
         bases[dest] = (batter or "").strip() or "UNKNOWN"
 
 
+def fsm_step(
+    bases: dict[int, str | None],
+    cur_half: tuple | None,
+    inning: int,
+    half: str,
+    text: str,
+) -> tuple[dict[int, str | None], tuple, str, str, str | None, str | None, str | None]:
+    """One play's state transition (pure: copies the base dict).
+
+    Returns (new_bases, new_cur_half, bases_before, bases_after,
+    r1_before, r2_before, r3_before). Shared by the batch grouped-map FSM
+    and the streaming applyInPandasWithState FSM so both paths have
+    identical semantics by construction.
+    """
+    half_key = (inning, half)
+    if half_key != cur_half:
+        bases = {1: None, 2: None, 3: None}
+        cur_half = half_key
+    else:
+        bases = dict(bases)
+    before = _code(bases)
+    r1, r2, r3 = bases[1], bases[2], bases[3]
+    text = text or ""
+    event = _classify(text)
+    segments = [s for s in re.split(r"[;]", text) if s.strip()]
+    if event not in (NO_PLAY, "SUB", "FOUL_ERR"):
+        batter_m = _BATTER_RE.match(segments[0]) if segments else None
+        batter = batter_m.group(1) if batter_m else None
+        for seg in segments[1:]:
+            _apply_runner_segment(bases, seg)
+        if event == "PKE":
+            # pickoff error: the runner is SAFE (reference regexes.py:109)
+            # — stays put unless the same segment narrates an advance
+            m = re.match(r"^\s*(.*?)\s+picked off", segments[0], re.IGNORECASE)
+            at = _find_runner(bases, m.group(1)) if m else None
+            if at is not None:
+                adv = re.search(
+                    r"advanc(?:ed|es) to (second|third|home)|scor(?:ed|es)",
+                    segments[0], re.IGNORECASE,
+                )
+                if adv:
+                    name = bases[at]
+                    bases[at] = None
+                    dest = _BASE_WORD[adv.group(1).lower()] if adv.group(1) else 4
+                    if dest < 4:
+                        bases[dest] = name
+        elif event in _RUNNER_ONLY:
+            # runner-only events: the acting runner is in segment 1
+            _apply_runner_segment(bases, segments[0])
+        elif event == "HR":
+            bases = {1: None, 2: None, 3: None}
+        else:
+            _place_batter(bases, event, batter)
+            # batter extra advance narrated in the same segment, e.g.
+            # "reached on a throwing error, advanced to second"
+            extra = re.search(
+                r"advanced to (second|third|home)", segments[0], re.IGNORECASE
+            )
+            if extra and batter:
+                at = _find_runner(bases, batter)
+                if at is not None:
+                    dest = _BASE_WORD[extra.group(1).lower()]
+                    bases[at] = None
+                    if dest < 4:
+                        bases[dest] = batter.strip()
+    return bases, cur_half, before, _code(bases), r1, r2, r3
+
+
 def base_state_fsm(group: pd.DataFrame) -> pd.DataFrame:
     """One game's plays (sorted by play_id) -> base-state columns."""
     bases: dict[int, str | None] = {1: None, 2: None, 3: None}
     cur_half: tuple | None = None
     out_rows: list[tuple] = []
     for row in group.itertuples(index=False):
-        half_key = (row.inning, row.half)
-        if half_key != cur_half:
-            bases = {1: None, 2: None, 3: None}
-            cur_half = half_key
-        before = _code(bases)
-        r1, r2, r3 = bases[1], bases[2], bases[3]
-        text = row.play_text or ""
-        event = _classify(text)
-        segments = [s for s in re.split(r"[;]", text) if s.strip()]
-        if event not in (NO_PLAY, "SUB", "FOUL_ERR"):
-            batter_m = _BATTER_RE.match(segments[0]) if segments else None
-            batter = batter_m.group(1) if batter_m else None
-            for seg in segments[1:]:
-                _apply_runner_segment(bases, seg)
-            if event == "PKE":
-                # pickoff error: the runner is SAFE (reference regexes.py:109)
-                # — stays put unless the same segment narrates an advance
-                m = re.match(r"^\s*(.*?)\s+picked off", segments[0], re.IGNORECASE)
-                at = _find_runner(bases, m.group(1)) if m else None
-                if at is not None:
-                    adv = re.search(
-                        r"advanc(?:ed|es) to (second|third|home)|scor(?:ed|es)",
-                        segments[0], re.IGNORECASE,
-                    )
-                    if adv:
-                        name = bases[at]
-                        bases[at] = None
-                        dest = _BASE_WORD[adv.group(1).lower()] if adv.group(1) else 4
-                        if dest < 4:
-                            bases[dest] = name
-            elif event in _RUNNER_ONLY:
-                # runner-only events: the acting runner is in segment 1
-                _apply_runner_segment(bases, segments[0])
-            elif event == "HR":
-                bases = {1: None, 2: None, 3: None}
-            else:
-                _place_batter(bases, event, batter)
-                # batter extra advance narrated in the same segment, e.g.
-                # "reached on a throwing error, advanced to second"
-                extra = re.search(
-                    r"advanced to (second|third|home)", segments[0], re.IGNORECASE
-                )
-                if extra and batter:
-                    at = _find_runner(bases, batter)
-                    if at is not None:
-                        dest = _BASE_WORD[extra.group(1).lower()]
-                        bases[at] = None
-                        if dest < 4:
-                            bases[dest] = batter.strip()
-        out_rows.append(
-            (row.contest_id, row.play_id, before, _code(bases), r1, r2, r3)
+        bases, cur_half, before, after, r1, r2, r3 = fsm_step(
+            bases, cur_half, row.inning, row.half, row.play_text
         )
+        out_rows.append((row.contest_id, row.play_id, before, after, r1, r2, r3))
     return pd.DataFrame(
         out_rows,
         columns=[

@@ -74,3 +74,64 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming base-state FSM: the reference's core per-game tracker (F1) under
+# live-game ingest. Same transition function as the batch grouped map
+# (pbp.state.fsm_step), so batch/stream semantics agree by construction;
+# the (bases, current-half) tuple persists across micro-batches per game.
+# ---------------------------------------------------------------------------
+
+BASE_STATE_STREAM_SCHEMA = (
+    "contest_id long, play_id long, bases_before string, bases_after string, "
+    "r1_name string, r2_name string, r3_name string"
+)
+_BASE_STATE_STATE_SCHEMA = "r1 string, r2 string, r3 string, inning int, half string"
+
+
+def _base_state_with_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from d3d_etl_spark.pbp.state import fsm_step
+
+    if state.exists:
+        r1, r2, r3, inning, half = state.get
+        bases = {1: r1, 2: r2, 3: r3}
+        cur_half = (inning, half) if inning is not None else None
+    else:
+        bases, cur_half = {1: None, 2: None, 3: None}, None
+    out = []
+    for pdf in pdfs:
+        ordered = pdf.sort_values("play_id", kind="mergesort")
+        for row in ordered.itertuples(index=False):
+            bases, cur_half, before, after, r1, r2, r3 = fsm_step(
+                bases, cur_half, row.inning, row.half, row.play_text
+            )
+            out.append((key[0], row.play_id, before, after, r1, r2, r3))
+    state.update((
+        bases[1], bases[2], bases[3],
+        cur_half[0] if cur_half else None,
+        cur_half[1] if cur_half else None,
+    ))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "contest_id", "play_id", "bases_before", "bases_after",
+            "r1_name", "r2_name", "r3_name",
+        ],
+    )
+
+
+def streaming_base_state(plays: DataFrame) -> DataFrame:
+    """plays: streaming (contest_id, play_id, inning, half, play_text) —
+    within-game order must be delivered in play_id order across batches
+    (the live feed appends); out-of-order replay needs a reprocessing batch
+    run instead."""
+    return plays.groupBy("contest_id").applyInPandasWithState(
+        _base_state_with_state,
+        outputStructType=BASE_STATE_STREAM_SCHEMA,
+        stateStructType=_BASE_STATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

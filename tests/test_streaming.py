@@ -184,3 +184,67 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     got = {(r["event_id"], r["user_tier"]) for r in spark.sql("SELECT event_id, user_tier FROM enriched").collect()}
     want = {(r["event_id"], r["user_tier"]) for r in enrich_events(batch, dim).select("event_id", "user_tier").collect()}
     assert got == want and len(got) == 1000
+
+
+def test_streaming_base_state_matches_batch(spark, tmp_path):
+    """The streaming base-state FSM must equal the batch grouped map even
+    when a game's plays arrive across MULTIPLE micro-batches (state carries
+    runners over the trigger boundary)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.pbp.parser import add_events, add_metadata
+    from d3d_etl_spark.pbp.state import BASE_STATE_SCHEMA, base_state_fsm
+    from d3d_etl_spark.operators.fsm import run_grouped_fsm
+    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+    from d3d_etl_spark.streaming.stateful import streaming_base_state
+
+    raw = spark.createDataFrame(generate_games(6, seed=7), RAW_SCHEMA)
+    plays = add_metadata(raw).select(
+        "contest_id", "play_id", "inning", "half", "play_text"
+    )
+    batch_out = run_grouped_fsm(
+        plays, key_cols=["contest_id"], order_cols=["play_id"],
+        fsm=base_state_fsm, schema=BASE_STATE_SCHEMA,
+    )
+
+    # stage each game's plays as TWO files (first/second half of the play
+    # sequence) and force one file per trigger -> state must carry across
+    staged = os.path.join(str(tmp_path), "plays_stream")
+    med = plays.agg(F.expr("percentile(play_id, 0.5)")).first()[0]
+    plays.where(F.col("play_id") <= med).coalesce(1).write.parquet(
+        os.path.join(staged, "f1")
+    )
+    time.sleep(1.1)  # file source orders by modification time
+    plays.where(F.col("play_id") > med).coalesce(1).write.parquet(
+        os.path.join(staged, "f2")
+    )
+    stream_src = (
+        spark.readStream.schema(plays.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/*")
+    )
+    q = (
+        streaming_base_state(stream_src)
+        .writeStream.format("memory")
+        .queryName("base_state_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["contest_id"], r["play_id"]): (
+            r["bases_before"], r["bases_after"], r["r1_name"], r["r2_name"], r["r3_name"]
+        )
+        for r in spark.sql("SELECT * FROM base_state_stream").collect()
+    }
+    want = {
+        (r["contest_id"], r["play_id"]): (
+            r["bases_before"], r["bases_after"], r["r1_name"], r["r2_name"], r["r3_name"]
+        )
+        for r in batch_out.collect()
+    }
+    assert got == want
+    assert len(want) > 50
