@@ -199,7 +199,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
-    cands = emb.join(cand_ids, "vec_id", "left_semi")
+    # candidates = one LSH bucket (~n/2^planes ids): broadcast the semi-join
+    # probe so the corpus scan never shuffles (was a SortMergeJoin)
+    cands = emb.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     return cosine_topk(cands, query, _ANN_K)
 
 

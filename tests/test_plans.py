@@ -64,3 +64,14 @@ def test_complex_pipelines_no_sortmerge(spark, sf_dir):
         s = summarize_plan(df)
         assert s.n_sortmerge_joins == 0, f"{name} grew a sort-merge join"
         assert count_shuffles(df) <= max_shuffles, f"{name} gained shuffles"
+
+
+def test_benched_queries_no_sortmerge(spark, sf_dir):
+    """Every headline (benched) query must run SMJ-free at test scale:
+    a SortMergeJoin means a dimension/candidate side lost its broadcast and
+    the fact side started shuffling for it."""
+    for name, q in sorted(REGISTRY.items()):
+        if not q.bench:
+            continue
+        s = summarize_plan(q.fn(spark, sf_dir))
+        assert s.n_sortmerge_joins == 0, f"{name} grew a SortMergeJoin"
