@@ -78,3 +78,81 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_name="p_name",
         cutoff=_CUTOFF,
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_variation_match — the T6 variation-explode tier as a contract query:
+# candidate names explode to their deterministic variant set (flipped /
+# initialed / double-initial / 3-prefix / last-only forms in normalized
+# space), probes (half of them abbreviated to "f last" form) resolve by
+# EQUI-join on the variants — no fuzzy scoring. The oracle mirrors the
+# variant generator in SQL.
+# ---------------------------------------------------------------------------
+
+_VAR_ORACLE = """
+WITH parts AS (
+  SELECT p_partkey, p_brand,
+         trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM part
+),
+feat AS (
+  SELECT p_partkey, p_brand, norm,
+         string_split(norm, ' ')[1] AS fw,
+         string_split(norm, ' ')[len(string_split(norm, ' '))] AS lw
+  FROM parts
+),
+cand AS (
+  SELECT p_partkey, p_brand,
+         unnest(list_distinct([
+           norm,
+           lw || ' ' || fw,
+           substr(fw, 1, 1) || ' ' || lw,
+           fw || ' ' || substr(lw, 1, 1),
+           substr(fw, 1, 1) || ' ' || substr(lw, 1, 1),
+           substr(fw, 1, 1) || substr(lw, 1, 1),
+           lw,
+           CASE WHEN len(fw) >= 3 AND len(lw) >= 3
+                THEN substr(fw, 1, 3) || ' ' || substr(lw, 1, 3)
+                ELSE norm END
+         ])) AS variant
+  FROM feat
+),
+probes AS (
+  SELECT p_partkey AS probe_id, p_brand,
+         CASE WHEN p_partkey % 2 = 0 THEN substr(fw, 1, 1) || ' ' || lw
+              ELSE norm END AS pname
+  FROM feat
+),
+m AS (
+  SELECT probe_id, c.p_partkey AS matched_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c.p_partkey) AS rn
+  FROM probes p JOIN cand c ON p.p_brand = c.p_brand AND p.pname = c.variant
+)
+SELECT probe_id, matched_id, 'variation' AS tier FROM m WHERE rn = 1
+"""
+
+
+@register("fuzzy_variation_match", _VAR_ORACLE, tags=("fuzzy", "join"))
+def fuzzy_variation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import normalize_name
+    from d3d_etl_spark.operators.fuzzy_join import variation_tier
+
+    part = load_table(spark, sf_dir, "part")
+    norm = normalize_name(F.col("p_name"))
+    first = F.substring_index(norm, " ", 1)
+    last = F.substring_index(norm, " ", -1)
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.substring(first, 1, 1), F.lit(" "), last),
+        ).otherwise(norm).alias("probe_name"),
+    )
+    return variation_tier(
+        probes, part,
+        block_keys=["p_brand"],
+        probe_id="probe_id", probe_name="probe_name",
+        cand_id="p_partkey", cand_name="p_name",
+    )

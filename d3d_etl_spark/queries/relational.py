@@ -436,3 +436,29 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_prior_hour", F.lit(0)).alias("n_prior_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_salted — the skew-defusing join, oracled against the PLAIN join it
+# must be row-identical to (salting changes distribution, never results):
+# orders x customer segment lookup with the small side replicated 4-ways.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT o_orderkey, c_mktsegment,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("join_salted", _SALTED_ORACLE, tags=("join",))
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_join(orders, cust, ["c_custkey"], salt=4).select(
+        "o_orderkey", "c_mktsegment", cents(F.col("o_totalprice")).alias("price_cents")
+    )
