@@ -11,6 +11,7 @@ def load_all() -> None:
         dedup,
         fuzzy,
         relational,
+        sampling,
         scalars,
         simsearch,
         stateful,

@@ -70,3 +70,50 @@ def test_nfkc_titlecase(spark):
     # fullwidth compatibility chars fold to ASCII, ligature fi expands,
     # words title-case, whitespace collapses, None passes through
     assert got == ["Jose Nuñez", "Fielder Mcgee", "Smith, A.", None]
+
+
+def test_hash_split_total_and_stable(spark):
+    """Every key gets exactly one split; proportions track the weights; the
+    assignment is a pure function of the key (repartition-invariant)."""
+    from d3d_etl_spark.functions.sampling import hash_split
+
+    n = 20_000
+    df = spark.range(n).withColumn(
+        "split", hash_split(F.col("id"), [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    )
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n  # no null assignments
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+
+    again = (
+        spark.range(n)
+        .repartition(13)
+        .withColumn(
+            "split", hash_split(F.col("id"), [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+        )
+    )
+    assert df.select("id", "split").exceptAll(again.select("id", "split")).count() == 0
+
+
+def test_hash_sample_fraction_and_salt_independence(spark):
+    from d3d_etl_spark.functions.sampling import hash_bucket, hash_sample_pred
+
+    n = 20_000
+    df = spark.range(n)
+    kept = df.where(hash_sample_pred(F.col("id"), 0.25)).count()
+    assert abs(kept / n - 0.25) < 0.02
+
+    # different salts are independent hash functions: the overlap of two 25%
+    # samples should be ~6.25%, not ~25%
+    a = df.where(hash_sample_pred(F.col("id"), 0.25, salt="a")).select("id")
+    b = df.where(hash_sample_pred(F.col("id"), 0.25, salt="b")).select("id")
+    overlap = a.join(b, "id").count()
+    assert abs(overlap / n - 0.0625) < 0.02
+
+    # bucket range sanity
+    mm = df.select(
+        F.min(hash_bucket(F.col("id"))).alias("lo"), F.max(hash_bucket(F.col("id"))).alias("hi")
+    ).collect()[0]
+    assert mm["lo"] >= 0 and mm["hi"] < (1 << 32)
