@@ -207,3 +207,78 @@ def hyperplane_buckets(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id"
         F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")
     ).otherwise(F.lit(0).cast("long"))
     return dots.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
+
+
+def ivf_probe_labels(
+    centroids: DataFrame, query: DataFrame, label_col: str, nprobe: int
+) -> DataFrame:
+    """Rank coarse cells by cosine(query, centroid), keep the `nprobe`
+    closest — the list-pruning half of an IVF search. `centroids` is
+    (label, pos, c) from :func:`label_centroids`; `query` is one row
+    (q_vec). Output: one column `label_col`, nprobe rows.
+
+    The centroid table is k*dim rows (tiny at any corpus size) and the
+    query is one vector, so this whole step is broadcast-local work."""
+    qc = query.select(F.posexplode("q_vec").alias("pos", "qx")).select(
+        "pos", F.col("qx").cast("double").alias("qx")
+    )
+    scores = (
+        centroids.join(F.broadcast(qc), "pos")
+        .groupBy(label_col)
+        .agg(
+            F.sum(F.col("qx") * F.col("c")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("nc2"),
+            F.sum(F.col("qx") * F.col("qx")).alias("nq2"),
+        )
+    )
+    sim = F.round(F.col("dot") / (F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6)
+    return (
+        scores.select(F.col(label_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(label_col))
+        .limit(nprobe)
+        .select(label_col)
+    )
+
+
+def ivf_search_quantized(
+    emb: DataFrame,
+    query_id: int,
+    label_col: str,
+    nprobe: int,
+    k: int,
+    q_scale: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF ANN search: probe the `nprobe` nearest coarse cells, then
+    rank ONLY those cells' vectors by int8-quantized dot product with the
+    query — exact integer arithmetic, so the ranking needs no float
+    rounding contract at all.
+
+    The 100 TB shape: the corpus scan is partition-pruned to nprobe/k of
+    the data (store the table partitioned/bucketed by `label_col` and the
+    probe becomes literal partition pruning), the probe set and the query
+    vector are broadcast, and the final top-k is a partial agg. Recall is
+    governed by nprobe exactly as in a FAISS-style IVF index."""
+    cents = label_centroids(emb, label_col, vec_col)
+    query = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("q_vec"))
+    probe = ivf_probe_labels(cents, query, label_col, nprobe)
+
+    quant = lambda c: F.transform(c, lambda x: F.round(x.cast("double") * q_scale).cast("long"))  # noqa: E731
+    q8 = emb.select(id_col, label_col, quant(F.col(vec_col)).alias("q"))
+    qv = query.select(quant(F.col("q_vec")).alias("qv"))
+    cands = (
+        q8.join(F.broadcast(probe), label_col, "left_semi")
+        .where(F.col(id_col) != query_id)
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.crossJoin(F.broadcast(qv))
+        .select(id_col, qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(k)
+    )

@@ -348,3 +348,66 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_search — the full IVF ANN search: coarse-probe the nprobe nearest
+# centroid lists (cosine, round-6), scan ONLY those lists, rank by exact
+# int8-quantized dot product. Completes the IVF family: sim_kmeans_step
+# builds the index, sim_ivf_assign maintains it, this query answers with it.
+# With storage partitioned by list id, the probe is literal partition
+# pruning — the corpus scan reads nprobe/k of the data.
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+_IVF_SEARCH_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY label, pos
+),
+qv AS (SELECT pos, x AS qx FROM comps WHERE vec_id = {_QUERY_ID}),
+probe AS (
+  SELECT label FROM (
+    SELECT c.label,
+           ROUND(SUM(q.qx * c.c) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+    FROM cents c JOIN qv q ON c.pos = q.pos
+    GROUP BY c.label
+  ) ORDER BY sim DESC, label LIMIT {_NPROBE}
+),
+q8 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {_Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+qq AS (SELECT q AS qv FROM q8 WHERE vec_id = {_QUERY_ID}),
+cand AS (
+  SELECT vec_id, q FROM q8
+  WHERE label IN (SELECT label FROM probe) AND vec_id != {_QUERY_ID}
+),
+flat AS (
+  SELECT c.vec_id, unnest(c.q) AS x, unnest(range(len(c.q))) AS pos FROM cand c
+),
+qflat AS (SELECT unnest(qv) AS qx, unnest(range(len(qv))) AS pos FROM qq)
+SELECT f.vec_id, SUM(f.x * qf.qx) AS qdot
+FROM flat f JOIN qflat qf USING (pos)
+GROUP BY f.vec_id
+ORDER BY qdot DESC, vec_id
+LIMIT {_ANN_K}
+"""
+
+
+@register("sim_ivf_search", _IVF_SEARCH_ORACLE, tags=("similarity",), bench=True)
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.similarity import ivf_search_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_search_quantized(emb, _QUERY_ID, "label", _NPROBE, _ANN_K, _Q_SCALE)

@@ -249,3 +249,46 @@ def test_connected_components(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_ivf_search_full_probe_is_bruteforce(spark, sf_dir):
+    """IVF search with nprobe = (all lists) must equal the exact quantized
+    brute-force top-k — the pruning is the ONLY approximation."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.similarity import ivf_search_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists = emb.select("label").distinct().count()
+    full = ivf_search_quantized(emb, 0, "label", n_lists, 10).collect()
+
+    q8 = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 127).cast("long")).alias("q"),
+    )
+    qv = q8.where("vec_id = 0").select(F.col("q").alias("qv"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    bf = (
+        q8.where("vec_id != 0").crossJoin(qv)
+        .select("vec_id", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id")).limit(10).collect()
+    )
+    assert [(r["vec_id"], r["qdot"]) for r in full] == [(r["vec_id"], r["qdot"]) for r in bf]
+
+
+def test_ivf_probe_returns_nprobe_lists(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.similarity import ivf_probe_labels, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "label")
+    query = emb.where("vec_id = 0").select(F.col("embedding").alias("q_vec"))
+    labels = [r["label"] for r in ivf_probe_labels(cents, query, "label", 3).collect()]
+    assert len(labels) == len(set(labels)) == 3
