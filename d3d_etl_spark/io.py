@@ -150,3 +150,35 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# --- CSV compat path (S1) ---------------------------------------------------
+# The reference's storage IS csv (every stage boundary, SURVEY.md §1.1); the
+# engine's native storage is parquet, but a migrating user's first run reads
+# their existing CSVs. Schema-on-read inference is the reference's chief
+# fragility (SURVEY.md §1.2) — here CSV reads take a REQUIRED explicit
+# StructType, so a CSV scan has the same declared schema as the parquet scan.
+
+CSV_OPTIONS = {
+    "header": "true",
+    "nullValue": "",
+    "escape": '"',  # RFC-4180 doubled quotes, matches Spark's writer
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS[XXX]",
+    # exact value fidelity: the writer trims trailing whitespace by default
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink in the compat dialect (header, RFC-4180 quoting, µs
+    timestamps). Exists for parity/export; parquet is the native sink."""
+    df.write.mode("overwrite").options(**CSV_OPTIONS).csv(path)
+
+
+def load_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV scan with a declared schema (no inference — the engine treats
+    schemas as first-class, SURVEY.md §7.1). Projection/filter pushdown
+    works as with parquet minus column statistics; at scale prefer a
+    one-time CSV->parquet conversion with `write_partitioned`."""
+    return spark.read.schema(schema).options(**CSV_OPTIONS).csv(path)

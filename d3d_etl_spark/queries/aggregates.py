@@ -355,3 +355,59 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(packed, lambda s: s["event_type"]).alias("event_seq"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_bounds — the approximate-aggregate contract, oracle-checked.
+# Sketch values themselves can't hash-match a different engine's sketches,
+# but their ERROR BOUNDS can: Spark computes its HLL++ count-distinct and
+# GK-sketch median, checks them against the exact values / documented
+# bounds, and publishes booleans; the oracle states the bounds must hold
+# (TRUE) and re-computes the exact count. At 100 TB these sketches are the
+# count-distinct / percentile scale path (no full repartition, no sort),
+# so the bound contract is what makes them usable.
+# ---------------------------------------------------------------------------
+
+_ACD_RSD = 0.02
+_PCT_ACC = 1000
+
+_APPROX_ORACLE = """
+SELECT COUNT(DISTINCT l_orderkey) AS exact_cnt,
+       TRUE AS cd_within_bound,
+       TRUE AS p50_within_bound
+FROM lineitem
+"""
+
+
+@register("agg_approx_bounds", _APPROX_ORACLE, tags=("agg", "approx"))
+def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sketches = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_orderkey", _ACD_RSD).alias("approx_cnt"),
+        F.percentile_approx("l_extendedprice", 0.5, _PCT_ACC).alias("p50"),
+        F.count("*").alias("n"),
+    )
+    eps = 1.0 / _PCT_ACC
+    ranks = (
+        li.crossJoin(F.broadcast(sketches))
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.first("approx_cnt").alias("approx_cnt"),
+            F.first("n").alias("n"),
+            F.sum((F.col("l_extendedprice") < F.col("p50")).cast("long")).alias("below"),
+            F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias("at_or_below"),
+        )
+    )
+    return ranks.select(
+        "exact_cnt",
+        (
+            F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+            / F.col("exact_cnt")
+            <= 4 * _ACD_RSD
+        ).alias("cd_within_bound"),
+        (
+            (F.col("below") / F.col("n") <= 0.5 + eps)
+            & (F.col("at_or_below") / F.col("n") >= 0.5 - eps)
+        ).alias("p50_within_bound"),
+    )

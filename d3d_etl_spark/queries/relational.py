@@ -462,3 +462,64 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, cust, ["c_custkey"], salt=4).select(
         "o_orderkey", "c_mktsegment", cents(F.col("o_totalprice")).alias("price_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# csv_scan_compat — S1 CSV compat path end-to-end: export orders to the CSV
+# dialect, scan it back with a DECLARED schema (no inference), aggregate.
+# Proves the migrating-user path (the reference's storage is CSV at every
+# stage boundary) produces byte-identical results to the parquet scan: the
+# oracle below reads the PARQUET view, so any round-trip loss would
+# hash-mismatch. Exercises double round-trip (shortest-repr), timestamp
+# format, and RFC-4180 quoting.
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_sum_money("o_totalprice")} AS total_price,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("csv_scan_compat", _CSV_ORACLE, tags=("scan", "io"))
+def csv_scan_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from d3d_etl_spark.functions.money import sum_money
+    from d3d_etl_spark.io import load_csv, write_csv
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    csv_dir = os.path.join(
+        tempfile.gettempdir(), "d3d_csv_compat", os.path.basename(os.path.normpath(sf_dir)), "orders"
+    )
+    write_csv(load_table(spark, sf_dir, "orders"), csv_dir)
+    orders = load_csv(spark, csv_dir, schema)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        sum_money(F.col("o_totalprice")).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -104,3 +104,47 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """S1 compat: CSV dialect round-trips every value bit-exactly, so a
+    migrating user's CSV scan equals the native parquet scan."""
+    from d3d_etl_spark.io import load_csv, load_table, write_csv
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = load_csv(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+
+
+def test_csv_roundtrip_hostile_strings(spark, tmp_path):
+    """RFC-4180 quoting: commas, doubled quotes, embedded newlines, empty
+    vs NULL all survive the dialect (multiLine scan for embedded \\n)."""
+    from d3d_etl_spark.io import CSV_OPTIONS, load_csv, write_csv
+
+    rows = [
+        (1, 'comma, inside'),
+        (2, 'quote " inside'),
+        (3, 'newline\ninside'),
+        (4, None),
+        (5, 'trailing space '),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "hostile_csv")
+    write_csv(df, path)
+    back = (
+        df.sparkSession.read.schema(df.schema)
+        .options(**CSV_OPTIONS)
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    got = {r["id"]: r["text"] for r in back.collect()}
+    want = dict(rows)
+    assert got == want
+    # without multiLine the embedded-newline record splits: line-splittable
+    # CSV (the fast parallel path) requires newline-free values — use the
+    # multiLine option (whole-file parse) when values may contain newlines
+    assert load_csv(df.sparkSession, path, df.schema).count() == 6
