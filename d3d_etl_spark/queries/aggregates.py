@@ -411,3 +411,37 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("at_or_below") / F.col("n") >= 0.5 - eps)
         ).alias("p50_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (completes the cube/rollup
+# family): three chosen grains in ONE pass over the fact table with
+# GROUPING() markers disambiguating the null-as-total rows. At scale this
+# replaces three separate scans+shuffles with one expand+aggregate.
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", _GSETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -502,3 +502,43 @@ def window_range_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pc").over(w).cast("double") / 100.0).alias("rev_30d"),
         F.count("*").over(w).alias("n_orders_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window_rank_family — the complete ranking-function surface over one
+# deterministic total order (cents desc, key asc): rank, dense_rank,
+# percent_rank, cume_dist, ntile. All JVM-native window evaluation over a
+# single sort per partition — one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+_RANKF_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+)
+"""
+
+
+@register("window_rank_family", _RANKF_ORACLE, tags=("window",))
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        cents(F.col("o_totalprice")).desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
