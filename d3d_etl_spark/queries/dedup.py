@@ -285,3 +285,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     pairs = jaccard_pairs(sh, _JACCARD_T)
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# dedup_canonical — dedup as an actual corpus FILTER (the step training
+# pipelines run after pair detection): transitive near-dup clusters keep
+# only their min-id representative; everything else passes through. Output
+# is the deduplicated corpus profile per lang. One anti-join against the
+# (tiny) drop set — at scale the pairs/closure stay proportional to the
+# duplicate rate, never the corpus size.
+# ---------------------------------------------------------------------------
+
+_CANON_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT node FROM comp WHERE node != component)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+GROUP BY lang
+"""
+
+
+@register("dedup_canonical", _CANON_ORACLE, tags=("dedup",))
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
+    pairs = jaccard_pairs(sh, _JACCARD_T)
+    comp = connected_components(pairs)
+    drops = comp.where(F.col("node") != F.col("component")).select("node")
+    kept = docs.join(
+        F.broadcast(drops), docs["doc_id"] == F.col("node"), "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
