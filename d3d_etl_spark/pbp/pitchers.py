@@ -21,15 +21,38 @@ PITCHER_SCHEMA = "contest_id long, play_id long, pitcher_name string"
 _SUB_P_RE = re.compile(r"^\s*(.*?)\s+to p for\s+(.*?)\s*[.;]?\s*$", re.IGNORECASE)
 
 
-def _pitcher_fsm(plays: pd.DataFrame, lineup: pd.DataFrame) -> pd.DataFrame:
-    """One game's (plays, pitching lineup) -> active pitcher per play.
+def pitcher_step(
+    queues: dict[str, list[str]], ptr: dict[str, int], half: str, play_text: str | None
+) -> str | None:
+    """One play's transition: advance/patch the fielding side's queue on a
+    pitching substitution, return the active pitcher. Mutates queues/ptr.
 
     The FIELDING side's pitcher is on the mound: home pitches the Top half,
     away pitches the Bottom. A 'to p for' substitution takes effect for the
     side currently fielding, preferring the named sub; when the narration
     name is absent the queue supplies the next pitcher (the reference's
-    fallback order, names/names.py:59-92).
+    fallback order, names/names.py:59-92). Shared by the batch cogroup FSM
+    and the streaming twin (streaming/stateful.streaming_pitchers) so the
+    two agree by construction.
     """
+    fielding = "home" if half == "Top" else "away"
+    text = play_text or ""
+    m = _SUB_P_RE.match(text.split(";")[0])
+    if m:
+        sub_in = m.group(1).strip()
+        nxt = ptr[fielding] + 1
+        if nxt < len(queues[fielding]) and queues[fielding][nxt].strip().lower() == sub_in.lower():
+            ptr[fielding] = nxt
+        else:
+            # narration name not next in queue: trust the narration
+            queues[fielding].insert(ptr[fielding] + 1, sub_in)
+            ptr[fielding] += 1
+    q, p = queues[fielding], ptr[fielding]
+    return q[p] if p < len(q) else (q[-1] if q else None)
+
+
+def _pitcher_fsm(plays: pd.DataFrame, lineup: pd.DataFrame) -> pd.DataFrame:
+    """One game's (plays, pitching lineup) -> active pitcher per play."""
     plays = plays.sort_values("play_id", kind="mergesort")
     queues: dict[str, list[str]] = {}
     for side in ("home", "away"):
@@ -37,25 +60,10 @@ def _pitcher_fsm(plays: pd.DataFrame, lineup: pd.DataFrame) -> pd.DataFrame:
         queues[side] = list(rows["player_name"])
     ptr = {"home": 0, "away": 0}
 
-    def current(side: str) -> str | None:
-        q = queues[side]
-        return q[ptr[side]] if ptr[side] < len(q) else (q[-1] if q else None)
-
     out = []
     for row in plays.itertuples(index=False):
-        fielding = "home" if row.half == "Top" else "away"
-        text = row.play_text or ""
-        m = _SUB_P_RE.match(text.split(";")[0])
-        if m:
-            sub_in = m.group(1).strip()
-            nxt = ptr[fielding] + 1
-            if nxt < len(queues[fielding]) and queues[fielding][nxt].strip().lower() == sub_in.lower():
-                ptr[fielding] = nxt
-            else:
-                # narration name not next in queue: trust the narration
-                queues[fielding].insert(ptr[fielding] + 1, sub_in)
-                ptr[fielding] += 1
-        out.append((row.contest_id, row.play_id, current(fielding)))
+        name = pitcher_step(queues, ptr, row.half, row.play_text)
+        out.append((row.contest_id, row.play_id, name))
     return pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
 
 

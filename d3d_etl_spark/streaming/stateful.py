@@ -135,3 +135,87 @@ def streaming_base_state(plays: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming pitcher-queue FSM: the reference's ordered stateful join (F2/J15)
+# under live-game ingest. The static pitching lineup becomes per-game queue
+# ARRAYS attached to each play by a stream-static join; the cross-batch state
+# is the (possibly narration-patched) queues plus the two pointers. The step
+# function is pbp.pitchers.pitcher_step — the same code the batch cogroup FSM
+# runs, so batch/stream semantics agree by construction.
+# ---------------------------------------------------------------------------
+
+PITCHER_STREAM_SCHEMA = "contest_id long, play_id long, pitcher_name string"
+_PITCHER_STATE_SCHEMA = (
+    "home_q array<string>, away_q array<string>, home_ptr int, away_ptr int"
+)
+
+
+def _pitcher_with_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from d3d_etl_spark.pbp.pitchers import pitcher_step
+
+    if state.exists:
+        hq, aq, hp, ap = state.get
+        queues = {"home": list(hq or []), "away": list(aq or [])}
+        ptr = {"home": hp, "away": ap}
+    else:
+        queues, ptr = None, {"home": 0, "away": 0}
+    out = []
+    for pdf in pdfs:
+        ordered = pdf.sort_values("play_id", kind="mergesort")
+        for row in ordered.itertuples(index=False):
+            if queues is None:  # first play seen: queues ride in on the row
+                # arrays arrive as numpy arrays (or None for a missing join)
+                queues = {
+                    "home": [] if row.home_q is None else list(row.home_q),
+                    "away": [] if row.away_q is None else list(row.away_q),
+                }
+            out.append(
+                (key[0], row.play_id, pitcher_step(queues, ptr, row.half, row.play_text))
+            )
+    if queues is not None:
+        state.update((queues["home"], queues["away"], ptr["home"], ptr["away"]))
+    yield pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
+
+
+def lineup_queues(pitching_lineups: DataFrame) -> DataFrame:
+    """(contest_id, side, pitch_order, player_name) static table ->
+    (contest_id, home_q, away_q) ordered queue arrays. array_sort on
+    (pitch_order, name) structs gives a deterministic order; collect_list
+    ignores the other side's nulls."""
+    from pyspark.sql import functions as F
+
+    def side_q(side: str):
+        s = F.when(
+            F.col("side") == side, F.struct("pitch_order", "player_name")
+        )
+        return F.transform(
+            F.array_sort(F.collect_list(s)), lambda x: x["player_name"]
+        ).alias(f"{side}_q")
+
+    return pitching_lineups.groupBy("contest_id").agg(side_q("home"), side_q("away"))
+
+
+def streaming_pitchers(plays: DataFrame, pitching_lineups: DataFrame) -> DataFrame:
+    """plays: streaming (contest_id, play_id, half, play_text);
+    pitching_lineups: STATIC ordered lineup table. Stream-static equi-join
+    stamps each play with its game's queues (broadcast — lineups are tiny
+    per game); the grouped state then owns queue evolution across
+    micro-batches. Same in-order delivery contract as streaming_base_state.
+    """
+    from pyspark.sql import functions as F
+
+    queues = lineup_queues(pitching_lineups)
+    enriched = plays.select("contest_id", "play_id", "half", "play_text").join(
+        F.broadcast(queues), "contest_id", "left"
+    )
+    return enriched.groupBy("contest_id").applyInPandasWithState(
+        _pitcher_with_state,
+        outputStructType=PITCHER_STREAM_SCHEMA,
+        stateStructType=_PITCHER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

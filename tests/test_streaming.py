@@ -248,3 +248,105 @@ def test_streaming_base_state_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 50
+
+
+def test_streaming_pitchers_matches_batch(spark, tmp_path):
+    """Streaming pitcher-queue FSM == batch cogroup FSM, with substitutions
+    split ACROSS micro-batches: the narration-patched queue and advanced
+    pointer must survive in state, and a later in-queue sub must still
+    consume from the patched queue."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.pbp.parser import add_metadata
+    from d3d_etl_spark.pbp.pitchers import fill_pitchers
+    from d3d_etl_spark.streaming.stateful import streaming_pitchers
+
+    games = {
+        300: [  # sub before split; in-queue sub after split
+            (1, "T", "A1 singled"),
+            (1, "B", "H1 struck out swinging"),
+            (2, "T", "RELIEF, R. to p for STARTER, S."),
+            (2, "T", "A2 walked"),
+            # ---- micro-batch split ----
+            (3, "T", "A3 flied out to cf"),
+            (3, "B", "H2 singled"),
+            (4, "T", "CLOSER, C. to p for RELIEF, R."),
+            (4, "T", "A4 grounded out to ss"),
+        ],
+        301: [  # narration-patched queue (sub not in lineup) before split
+            (1, "T", "B1 doubled"),
+            (1, "T", "SURPRISE, X. to p for OPENER, O."),
+            # ---- micro-batch split ----
+            (2, "T", "B2 struck out looking"),
+            (2, "B", "V1 walked"),
+        ],
+    }
+    raw_rows = []
+    for cid, plays in games.items():
+        for seq, (inning, h, t) in enumerate(plays):
+            raw_rows.append(
+                (cid, inning, t if h == "T" else None, t if h == "B" else None, seq)
+            )
+    raw = spark.createDataFrame(
+        raw_rows,
+        "contest_id long, inning int, away_text string, home_text string, source_seq long",
+    )
+    plays = add_metadata(raw).select("contest_id", "play_id", "half", "play_text")
+    lineups = spark.createDataFrame(
+        [
+            (300, "home", 1, "STARTER, S."),
+            (300, "home", 2, "RELIEF, R."),
+            (300, "home", 3, "CLOSER, C."),
+            (300, "away", 1, "AWAY1, A."),
+            (301, "home", 1, "OPENER, O."),
+            (301, "home", 2, "PLANNED, P."),
+            (301, "away", 1, "VISIT, V."),
+        ],
+        "contest_id long, side string, pitch_order int, player_name string",
+    )
+    want = {
+        (r["contest_id"], r["play_id"]): r["pitcher_name"]
+        for r in fill_pitchers(plays, lineups).collect()
+    }
+
+    splits = {300: 4, 301: 2}  # first N source plays per game go to file 1
+    split_col = F.when(F.col("contest_id") == 300, F.lit(4)).otherwise(F.lit(2))
+    ranked = plays.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("contest_id").orderBy("play_id")),
+    )
+    staged = os.path.join(str(tmp_path), "pitcher_stream")
+    ranked.where(F.col("rn") <= split_col).drop("rn").coalesce(1).write.parquet(
+        os.path.join(staged, "f1")
+    )
+    time.sleep(1.1)
+    ranked.where(F.col("rn") > split_col).drop("rn").coalesce(1).write.parquet(
+        os.path.join(staged, "f2")
+    )
+    assert splits  # documents the intended per-game split sizes
+
+    stream_src = (
+        spark.readStream.schema(plays.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged + "/*")
+    )
+    q = (
+        streaming_pitchers(stream_src, lineups)
+        .writeStream.format("memory")
+        .queryName("pitcher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["contest_id"], r["play_id"]): r["pitcher_name"]
+        for r in spark.sql("SELECT * FROM pitcher_stream").collect()
+    }
+    assert got == want
+    assert want[(300, 7)] == "CLOSER, C."  # cross-batch in-queue sub
+    assert want[(301, 3)] == "SURPRISE, X."  # patched queue survived the split
