@@ -268,3 +268,124 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("doc_id", F.col("word").alias("top_word"), F.col("tfidf").alias("top_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk — fixed-size token windows with overlap (the LLM-training
+# chunking op): every doc emits ceil(n/stride) chunks of up to CHUNK tokens,
+# consecutive chunks sharing CHUNK-STRIDE tokens. Pure array expressions:
+# sequence() for starts, slice() per start — one narrow pass, fan-out via
+# explode, no shuffle (the output is chunk metadata + portable content
+# hash, so the oracle is exact).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 60
+_STRIDE = 45  # overlap = 15 tokens
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       start // {_STRIDE} AS chunk_idx,
+       len(list_slice(toks, start + 1, start + {_CHUNK})) AS n_tokens,
+       ('0x' || substr(md5(array_to_string(
+         list_slice(toks, start + 1, start + {_CHUNK}), ' ')), 1, 8))::BIGINT
+         AS chunk_hash
+FROM s
+"""
+
+
+@register("text_chunk", _CHUNK_ORACLE, tags=("text",))
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    starts = F.sequence(F.lit(0), F.size(tok) - 1, F.lit(_STRIDE))
+    base = docs.select(
+        "doc_id", tok.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.expr(f"slice(toks, start + 1, {_CHUNK})")
+    return base.select(
+        "doc_id",
+        F.expr(f"start div {_STRIDE}").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        md5_int(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pack_sequences — sequence packing: stream docs in doc_id order,
+# cut the token stream every BUDGET tokens; a doc belongs to the sequence
+# where it starts. Needs a GLOBAL prefix sum — the naive global-order
+# window collapses to one partition at scale, so this uses the two-level
+# pattern: per-bucket within-window cumsum + tiny running bucket offsets
+# broadcast back. The oracle states the same semantics with the plain
+# global window (fine for DuckDB).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({sql_tokens("text")}) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+)
+SELECT cum_before // {_PACK_BUDGET} AS seq_id,
+       COUNT(*) AS n_docs,
+       SUM(n) AS seq_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM c
+GROUP BY 1
+"""
+
+
+@register("text_pack_sequences", _PACK_ORACLE, tags=("text",))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # integer div (not double-cast division): exact for ids/counts past 2^53
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        F.expr(f"doc_id div {_PACK_BUCKET}").alias("bucket"),
+    )
+    # level 1: per-bucket running sum (parallel across buckets)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = t.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    # level 2: running offset across buckets (bucket list is tiny: one row
+    # per _PACK_BUCKET docs -> single-partition window is fine, broadcast back)
+    totals = t.groupBy("bucket").agg(F.sum("n").alias("btotal"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("btotal").over(w_b), F.lit(0))
+    ).select("bucket", "offset")
+    c = within.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_before", F.col("offset") + F.col("cum_in")
+    )
+    return (
+        c.withColumn("seq_id", F.expr(f"cum_before div {_PACK_BUDGET}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("seq_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
