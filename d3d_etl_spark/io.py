@@ -65,16 +65,34 @@ def write_partitioned(
     path: str,
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Parquet sink partitioned by storage keys (reference: filename-embedded
     ``{division}_{year}`` partitioning, SURVEY.md §1.4). With the session's
     ``partitionOverwriteMode=dynamic``, mode="overwrite" replaces only the
     partitions present in `df` — exactly the reference's delete-slice/append
-    upsert (leaderboards/main.py:169-194) with no custom code."""
+    upsert (leaderboards/main.py:169-194) with no custom code.
+
+    `max_records_per_file` bounds file size from above (the writer rolls a
+    new file past the cap); pair with `compact` to bound it from below."""
     w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact(df: DataFrame, n_files: int, sort_within: tuple[str, ...] = ()) -> DataFrame:
+    """Small-files compaction: coalesce (no shuffle) down to `n_files`
+    output tasks, optionally sorting within each so downstream scans get
+    clustered row groups (min/max pruning). The 100 TB hygiene op — a daily
+    incremental pipeline otherwise accretes thousands of tiny files per
+    partition and scan planning time degrades linearly with file count."""
+    out = df.coalesce(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    return out
 
 
 def upsert_partition(

@@ -148,3 +148,27 @@ def test_csv_roundtrip_hostile_strings(spark, tmp_path):
     # CSV (the fast parallel path) requires newline-free values — use the
     # multiLine option (whole-file parse) when values may contain newlines
     assert load_csv(df.sparkSession, path, df.schema).count() == 6
+
+
+def test_write_sizing_and_compaction(spark, sf_dir, tmp_path):
+    """maxRecordsPerFile bounds file size above; compact() bounds file count
+    below (and clusters rows for min/max pruning)."""
+    import glob
+
+    from d3d_etl_spark.io import compact, load_table, write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")  # sf0.001: 1500 rows
+    n = orders.count()
+
+    capped = str(tmp_path / "capped")
+    write_partitioned(orders.repartition(2), capped, max_records_per_file=100)
+    files = glob.glob(capped + "/*.parquet")
+    assert len(files) >= n // 100  # writer rolled new files at the cap
+    assert spark.read.parquet(capped).count() == n
+
+    compacted = str(tmp_path / "compacted")
+    write_partitioned(compact(orders.repartition(8), 2, ("o_orderkey",)), compacted)
+    files = glob.glob(compacted + "/*.parquet")
+    assert len(files) == 2
+    back = spark.read.parquet(compacted)
+    assert back.count() == n
