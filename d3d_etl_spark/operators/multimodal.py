@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -172,3 +173,62 @@ def resize_media(
 ) -> DataFrame:
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(resize_media_batch(target_w, target_h), RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Batched model inference (the GPU-pipeline plumbing): Arrow batches arrive
+# at mapInPandas granularity, but accelerators want FIXED micro-batches —
+# so the operator re-chunks every incoming frame to `batch_size` rows before
+# invoking the "model". The model here is a deterministic stub (logits
+# md5-derived from the payload hash, portable to SQL) — swap `_fake_logits`
+# for a real forward pass (ONNX/torch) and nothing else changes: schema,
+# batching, partition behavior are the production shape.
+# ---------------------------------------------------------------------------
+
+INFER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pred_class", LongType()),
+        StructField("confidence", DoubleType()),
+    ]
+)
+
+
+def _fake_logits(payload: bytes, n_classes: int) -> list[float]:
+    h = hashlib.md5(payload).hexdigest()
+    return [
+        int(hashlib.md5(f"{h}:{k}".encode()).hexdigest()[:8], 16) % 1000 / 1000.0
+        for k in range(n_classes)
+    ]
+
+
+def infer_media_batch(batch_size: int, n_classes: int = 4):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = []
+                for doc_id, payload in zip(chunk["doc_id"], chunk["payload"]):
+                    logits = _fake_logits(bytes(payload), n_classes)
+                    # argmax with lowest-class tiebreak: a total order
+                    best = max(range(n_classes), key=lambda k: (logits[k], -k))
+                    rows.append((doc_id, best, logits[best]))
+                yield pd.DataFrame(rows, columns=["doc_id", "pred_class", "confidence"])
+
+    return fn
+
+
+def batch_infer(
+    df: DataFrame,
+    batch_size: int = 32,
+    n_classes: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary) -> (id, pred_class, confidence) via fixed-size
+    micro-batched inference. At scale: repartition upstream so partitions
+    hold whole multiples of the accelerator batch, and size executors one
+    model replica per task slot."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(infer_media_batch(batch_size, n_classes), INFER_SCHEMA)

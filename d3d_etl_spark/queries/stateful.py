@@ -258,3 +258,109 @@ def pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
         teams.select("team_id", "division", "year", F.col("war").alias("team_war")),
         ["team_id", "division", "year"],
     ).drop("war")
+
+
+_INFER_CLASSES = 4
+
+_INFER_ORACLE = f"""
+WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+l AS (
+  SELECT p.doc_id, k.range AS k,
+         (('0x' || substr(md5(p.h || ':' || CAST(k.range AS VARCHAR)), 1, 8))::BIGINT
+          % 1000) / 1000.0 AS logit
+  FROM p, range({_INFER_CLASSES}) k
+),
+ranked AS (
+  SELECT doc_id, k, logit,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY logit DESC, k) AS rn
+  FROM l
+)
+SELECT doc_id, k AS pred_class, logit AS confidence
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("multimodal_batch_infer", _INFER_ORACLE, tags=("multimodal",))
+def multimodal_batch_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-micro-batch model inference over a binary column (the
+    GPU-pipeline plumbing, operators/multimodal.batch_infer). The stub
+    model's logits are md5-derived from the payload hash, so the whole
+    path — batching, argmax+tiebreak, confidence — is oracle-checked."""
+    from d3d_etl_spark.operators.multimodal import batch_infer
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return batch_infer(with_payload, batch_size=32, n_classes=_INFER_CLASSES)
+
+
+# ---------------------------------------------------------------------------
+# funnel_window — the SQL-expressible funnel: a purchase converts when a
+# click precedes it and a view precedes that click (no reset semantics —
+# that variant is the FSM, fsm_funnel). Two stacked conditional windows
+# over ONE (user, ts) sort: last-view-ts, then last-click-after-view-ts —
+# the second level reuses the first's partitioning, so the whole query is
+# a single shuffle. Oracle mirrors the same two-level window.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_W_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_view
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                  THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_valid_click
+  FROM o
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase'
+                        AND last_valid_click IS NOT NULL) AS n_conversions,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM c
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+"""
+
+
+@register("funnel_window", _FUNNEL_W_ORACLE, tags=("stateful", "window"))
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = ev.withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    c = o.withColumn(
+        "last_valid_click",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & F.col("last_view").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    is_purch = F.col("event_type") == "purchase"
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum(
+                (is_purch & F.col("last_valid_click").isNotNull()).cast("long")
+            ).alias("n_conversions"),
+            F.sum(is_purch.cast("long")).alias("n_purchases"),
+        )
+        .where(F.col("n_purchases") > 0)
+    )

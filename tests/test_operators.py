@@ -292,3 +292,22 @@ def test_ivf_probe_returns_nprobe_lists(spark, sf_dir):
     query = emb.where("vec_id = 0").select(F.col("embedding").alias("q_vec"))
     labels = [r["label"] for r in ivf_probe_labels(cents, query, "label", 3).collect()]
     assert len(labels) == len(set(labels)) == 3
+
+
+def test_batch_infer_invariant_to_batch_size(spark, sf_dir):
+    """Micro-batch size is an execution knob, never a semantics knob: the
+    same predictions must come out at any batch_size and partitioning."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.multimodal import batch_infer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    a = {r["doc_id"]: (r["pred_class"], r["confidence"]) for r in batch_infer(docs, 32).collect()}
+    b = {
+        r["doc_id"]: (r["pred_class"], r["confidence"])
+        for r in batch_infer(docs.repartition(7), 5).collect()
+    }
+    assert a == b and len(a) == docs.count()
