@@ -200,3 +200,20 @@ def load_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     works as with parquet minus column statistics; at scale prefer a
     one-time CSV->parquet conversion with `write_partitioned`."""
     return spark.read.schema(schema).options(**CSV_OPTIONS).csv(path)
+
+
+def ensure_table(spark: SparkSession, path: str, build) -> DataFrame:
+    """S19 skip-if-exists stage memoization (reference: output-file existence
+    check, run_all.py:15-20): materialize `build()` at `path` once; later
+    calls scan the existing parquet instead of recomputing. Existence is
+    probed by reading the dataset (not a driver-side path check), so it
+    works on any Hadoop filesystem; Spark's committer writes _SUCCESS last,
+    making a torn write read as absent-or-failing rather than half-present.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        build().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)

@@ -172,3 +172,19 @@ def test_write_sizing_and_compaction(spark, sf_dir, tmp_path):
     assert len(files) == 2
     back = spark.read.parquet(compacted)
     assert back.count() == n
+
+
+def test_ensure_table_builds_once(spark, tmp_path):
+    from d3d_etl_spark.io import ensure_table
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10).selectExpr("id", "id * 2 AS v")
+
+    path = str(tmp_path / "memo")
+    a = ensure_table(spark, path, build)
+    b = ensure_table(spark, path, build)
+    assert a.count() == b.count() == 10
+    assert len(calls) == 1  # second call scanned, didn't rebuild
