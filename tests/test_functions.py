@@ -117,3 +117,32 @@ def test_hash_sample_fraction_and_salt_independence(spark):
         F.min(hash_bucket(F.col("id"))).alias("lo"), F.max(hash_bucket(F.col("id"))).alias("hi")
     ).collect()[0]
     assert mm["lo"] >= 0 and mm["hi"] < (1 << 32)
+
+
+def test_grouped_agg_pandas_udaf(spark):
+    """§2.10 UDAF surface: an Arrow-batched grouped-agg pandas UDF (exact
+    interquartile range — not natively expressible as one aggregate) agrees
+    with the two-sided native percentile computation. The UDAF slot is for
+    genuinely custom statistics; everything standard stays JVM-native."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # hint-free + explicit functionType: evaluated type hints (PEP 563, this
+    # module's `from __future__ import annotations`) break inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr(v):
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    df = spark.range(1000).selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS x")
+    got = {r["g"]: r["iqr"] for r in df.groupBy("g").agg(iqr("x").alias("iqr")).collect()}
+    want = {
+        r["g"]: r["hi"] - r["lo"]
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("x", 0.75).alias("hi"),
+            F.percentile("x", 0.25).alias("lo"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in got:
+        assert abs(got[g] - want[g]) < 1e-9

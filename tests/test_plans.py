@@ -7,6 +7,8 @@ dimensions, or grows extra shuffles.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from d3d_etl_spark.plans.inspect import count_shuffles, has_pushed_filter, summarize_plan
 from d3d_etl_spark.queries.registry import REGISTRY
 import d3d_etl_spark.queries as qmod
@@ -75,3 +77,49 @@ def test_benched_queries_no_sortmerge(spark, sf_dir):
             continue
         s = summarize_plan(q.fn(spark, sf_dir))
         assert s.n_sortmerge_joins == 0, f"{name} grew a SortMergeJoin"
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew evidence: with skew-join thresholds lowered, AQE marks
+    the join `SortMergeJoin(skew=true)` and splits the hot partition into
+    multiple tasks. This is the moderate-skew path the engine leans on by
+    default; operators/joins.salted_join is the extreme-skew fallback."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        # 95% of fact rows share one key. Pitfalls this construction dodges:
+        # payload must SURVIVE the join (column pruning would shrink the
+        # shuffle below every threshold), must not COMPRESS away (AQE sees
+        # compressed block sizes), and the downstream agg must be GLOBAL —
+        # a groupBy(k) right after would make the skew split introduce an
+        # extra shuffle, which AQE refuses without forceOptimizeSkewedJoin.
+        fact = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 20 = 0 THEN CAST(id % 50 AS LONG) ELSE 0L END AS k",
+            "md5(CAST(id AS STRING)) AS payload",
+        )
+        dim = spark.range(50).selectExpr("id AS k", "id * 10 AS dval")
+        joined = fact.join(dim, "k").agg(
+            F.sum(F.length("payload") + F.col("dval")).alias("s")
+        )
+        joined.collect()  # materialize so AQE finalizes the plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "skewed" in final  # the AQEShuffleRead actually split it
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

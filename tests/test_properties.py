@@ -138,3 +138,29 @@ def test_binned_range_join_matches_naive(spark, intervals, values, width):
         if rk == k and lo <= v <= lo + span
     )
     assert got == want
+
+
+# --- sampling threshold properties (pure python, no Spark) -----------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.text("ab", min_size=1, max_size=3), st.floats(0.001, 100.0)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_split_thresholds_cover_and_order(weights):
+    from d3d_etl_spark.functions.sampling import _HASH_CARD, _thresholds
+
+    th = _thresholds(weights)
+    bounds = [b for _, b in th]
+    assert bounds[-1] == _HASH_CARD  # total coverage: no key unassigned
+    assert all(b1 <= b2 for b1, b2 in zip(bounds, bounds[1:]))  # cascade order
+    # each slice is proportional to its normalized weight (within rounding)
+    total = sum(w for _, w in weights)
+    prev = 0
+    for (_, w), b in zip(weights, bounds):
+        want = w / total * _HASH_CARD
+        assert abs((b - prev) - want) <= len(weights) + 1
+        prev = b
