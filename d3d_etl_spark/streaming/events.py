@@ -82,3 +82,35 @@ def enrich_events(events: DataFrame, dim: DataFrame, key: str = "user_id") -> Da
     the standard streaming lookup shape (dims re-read per batch pick up
     slowly-changing updates)."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...],
+    dedup_keys: tuple[str, ...] = (),
+):
+    """Exactly-once streaming upsert into a partitioned parquet lake via
+    foreachBatch: each micro-batch runs the SAME io.upsert_partition the
+    batch jobs use (dedup on keys + dynamic partition overwrite), so
+    replaying a batch after a failure rewrites its slice instead of
+    duplicating it — idempotent as long as the batch's rows land in the
+    partitions it touches. The checkpoint tracks source progress; the sink's
+    idempotence makes the end-to-end effectively exactly-once (the standard
+    Structured Streaming contract: replayable source + idempotent sink).
+
+    Returns the DataStreamWriter (caller picks the trigger and starts it).
+    """
+    from d3d_etl_spark.io import upsert_partition
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partition(batch_df, path, partition_by, dedup_keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -350,3 +350,50 @@ def test_streaming_pitchers_matches_batch(spark, tmp_path):
     assert got == want
     assert want[(300, 7)] == "CLOSER, C."  # cross-batch in-queue sub
     assert want[(301, 3)] == "SURPRISE, X."  # patched queue survived the split
+
+
+def test_stream_upsert_sink_idempotent(spark, tmp_path):
+    """foreachBatch upsert lake sink: streamed rows land partitioned and
+    deduped; replaying the same data (fresh checkpoint, same sink path)
+    leaves the table unchanged — idempotence is what upgrades at-least-once
+    replay to exactly-once results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.streaming.events import stream_upsert_sink
+
+    rows = [(1, "a", 2023, 10.0), (2, "a", 2023, 20.0), (2, "a", 2023, 20.0), (3, "b", 2024, 30.0)]
+    src_df = spark.createDataFrame(rows, "k long, div string, year int, v double")
+    staged = os.path.join(str(tmp_path), "src")
+    src_df.coalesce(1).write.parquet(staged)
+
+    lake = os.path.join(str(tmp_path), "lake")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        q = (
+            stream_upsert_sink(
+                stream, lake, checkpoint, ("year", "div"), dedup_keys=("k",)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(os.path.join(str(tmp_path), "ckpt1"))
+    first = sorted(
+        (r["k"], r["div"], r["year"], r["v"]) for r in spark.read.parquet(lake).collect()
+    )
+    assert first == [(1, "a", 2023, 10.0), (2, "a", 2023, 20.0), (3, "b", 2024, 30.0)]
+
+    # full replay with a FRESH checkpoint: same slices rewritten, no dupes
+    run(os.path.join(str(tmp_path), "ckpt2"))
+    second = sorted(
+        (r["k"], r["div"], r["year"], r["v"]) for r in spark.read.parquet(lake).collect()
+    )
+    assert second == first
