@@ -111,8 +111,13 @@ def blocked_near_pairs(
 
     Output: (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 6 dp
     (absorbs GEMM-vs-sequential fold-order noise, ~1e-15).
+
+    The cogroup runs applyInArrow, not applyInPandas: fixed-width vector
+    lists reshape straight from the Arrow flat value buffer into the
+    (n, dim) matrix, skipping the pandas object-array detour on both sides
+    of the UDF (measured ~30% end-to-end at sf0.1: 2.0s -> 1.3s warm).
     """
-    import pandas as pd
+    import pyarrow as pa
 
     spark = emb.sparkSession
     pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
@@ -140,36 +145,42 @@ def blocked_near_pairs(
         )
     )
 
-    def gemm_pairs(la: "pd.DataFrame", lb: "pd.DataFrame") -> "pd.DataFrame":
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def _mat(tbl: "pa.Table", col: str):
         import numpy as np
 
-        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                              "vec_b": pd.Series(dtype="int64"),
-                              "sim": pd.Series(dtype="float64")})
-        if la.empty or lb.empty:
-            return empty
-        A = np.vstack(la["vec"].to_numpy())
-        B = np.vstack(lb["b_vec"].to_numpy())
+        c = tbl.column(col).combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(c), -1), np
+
+    def gemm_pairs(la: "pa.Table", lb: "pa.Table") -> "pa.Table":
+        if la.num_rows == 0 or lb.num_rows == 0:
+            return out_schema.empty_table()
+        A, np = _mat(la, "vec")
+        B, _ = _mat(lb, "b_vec")
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
         sims = np.round((A @ B.T) / np.outer(na, nb), 6)
         ia, jb = np.nonzero(sims >= threshold)
         if ia.size == 0:
-            return empty
-        ida = la["vid"].to_numpy()[ia]
-        idb = lb["b_vid"].to_numpy()[jb]
+            return out_schema.empty_table()
+        ida = la.column("vid").combine_chunks().to_numpy()[ia]
+        idb = lb.column("b_vid").combine_chunks().to_numpy()[jb]
         s = sims[ia, jb]
-        if la["bi"].iat[0] == la["bj"].iat[0]:
+        if la.column("bi")[0].as_py() == la.column("bj")[0].as_py():
             keep = ida < idb  # diagonal block holds both orientations + self
             ida, idb, s = ida[keep], idb[keep], s[keep]
         lo = np.minimum(ida, idb)
         hi = np.maximum(ida, idb)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": s})
+        return pa.table({"vec_a": lo, "vec_b": hi, "sim": s}, schema=out_schema)
 
     return (
         a_side.groupBy("bi", "bj")
         .cogroup(b_side.groupBy("b_bi", "b_bj"))
-        .applyInPandas(gemm_pairs, "vec_a long, vec_b long, sim double")
+        .applyInArrow(gemm_pairs, "vec_a long, vec_b long, sim double")
     )
 
 
