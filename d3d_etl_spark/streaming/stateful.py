@@ -219,3 +219,87 @@ def streaming_pitchers(plays: DataFrame, pitching_lineups: DataFrame) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant of the funnel: the modern arbitrary-state API
+# (Spark 4) — named state variables, optional timers/TTL, RocksDB-backed.
+# Same _funnel_step transition as streaming_funnel/applyInPandasWithState,
+# so all three implementations (batch FSM, legacy state API, this) agree by
+# construction. Requires the RocksDB state store provider (set by
+# streaming_funnel_tws below; the HDFS-backed default does not support
+# transformWithState).
+# ---------------------------------------------------------------------------
+
+
+def _tws_classes():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    return StatefulProcessor, StatefulProcessorHandle
+
+
+def make_funnel_processor():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    StatefulProcessor, _ = _tws_classes()
+    state_schema = StructType(
+        [
+            StructField("st", LongType()),
+            StructField("funnels", LongType()),
+            StructField("abandoned", LongType()),
+        ]
+    )
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("funnel", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = tuple(self._state.get()) if self._state.exists() else (0, 0, 0)
+            for pdf in rows:
+                ordered = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for et in ordered["event_type"]:
+                    st = _funnel_step(st, et)
+            self._state.update(st)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_funnels": [st[1]],
+                    "n_abandoned": [st[2]],
+                    "final_state": [st[0]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return FunnelProcessor()
+
+
+def streaming_funnel_tws(events: DataFrame) -> DataFrame:
+    """Funnel via transformWithStateInPandas. Output rows/semantics match
+    streaming_funnel exactly; the API difference is the state surface
+    (named variables, timers, TTL) and the mandatory RocksDB provider.
+
+    Environment note: the worker-side state protocol imports
+    google.protobuf, which not every pyspark install ships — the parity
+    test skips where it's absent and applyInPandasWithState
+    (streaming_funnel) remains the proven path."""
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_funnel_processor(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -397,3 +397,56 @@ def test_stream_upsert_sink_idempotent(spark, tmp_path):
         (r["k"], r["div"], r["year"], r["v"]) for r in spark.read.parquet(lake).collect()
     )
     assert second == first
+
+
+def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The transformWithState funnel (modern arbitrary-state API, RocksDB
+    store) ends with the same per-user totals as the batch grouped FSM —
+    third implementation of the same transition function, same answer.
+
+    The API's worker protocol needs google.protobuf (not shipped in every
+    pyspark install) — skip, not fail, where it's absent."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.operators.fsm import FUNNEL_SCHEMA, funnel_fsm, run_grouped_fsm
+    from d3d_etl_spark.streaming.stateful import streaming_funnel_tws
+
+    batch = load_table(spark, sf_dir, "events").limit(2000)
+    staged = os.path.join(str(tmp_path), "events_tws")
+    batch.coalesce(1).write.parquet(staged)
+    stream_src = spark.readStream.schema(batch.schema).parquet(staged)
+
+    q = (
+        streaming_funnel_tws(stream_src)
+        .writeStream.format("memory")
+        .queryName("funnel_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_funnels, n_abandoned FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY n_funnels DESC, n_abandoned DESC) AS rn
+              FROM funnel_tws
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_funnels"], r["n_abandoned"])
+        for r in run_grouped_fsm(
+            batch.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA,
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
