@@ -10,6 +10,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         fuzzy,
+        pipeline_corpus,
         relational,
         sampling,
         scalars,

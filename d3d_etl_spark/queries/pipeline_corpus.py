@@ -1,0 +1,132 @@
+"""corpus_pipeline — the LLM-training-data pipeline END-TO-END as one
+oracled query: near-dup dedup -> canonical filter -> deterministic
+train/val/test split -> token counting -> chunk counting -> sequence
+packing, composed from the same operators the standalone queries use.
+
+This is the flagship composition for the repo's north star (large-scale
+training-data preparation): every stage is the scale-shaped operator
+(inverted-index dedup pairs, broadcast anti-join drop set, scan-local hash
+split, two-level prefix-sum packing), and the whole chain is exact —
+the DuckDB oracle recomputes all six stages and must hash-match.
+
+Output grain: one row per split with corpus statistics after dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
+from d3d_etl_spark.functions.text import tokens, word_shingles
+from d3d_etl_spark.io import load_table
+from d3d_etl_spark.operators.dedup import connected_components, jaccard_pairs, shingle_rows
+from d3d_etl_spark.queries.dedup import _JACCARD_T, _SHINGLE_CTES, _SHINGLE_N
+from d3d_etl_spark.queries.registry import register
+from d3d_etl_spark.queries.sampling import _SPLITS
+
+_STRIDE = 45
+_BUDGET = 512
+_BUCKET = 100
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT node FROM comp WHERE node != component),
+kept AS (
+  SELECT doc_id,
+         {sql_hash_split("doc_id", _SPLITS)} AS split,
+         len(w) AS n
+  FROM toks
+  WHERE doc_id NOT IN (SELECT node FROM drops)
+),
+packed AS (
+  SELECT split, n,
+         COALESCE(SUM(n) OVER (
+           PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_BUDGET} AS seq_id
+  FROM kept
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       SUM(n) AS total_tokens,
+       SUM((n + {_STRIDE} - 1) // {_STRIDE}) AS n_chunks,
+       COUNT(DISTINCT seq_id) AS n_sequences
+FROM packed
+GROUP BY split
+"""
+
+
+@register("corpus_pipeline", _PIPELINE_ORACLE, tags=("dedup", "sampling", "text"), bench=True)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1-2: near-dup pairs -> transitive clusters -> drop non-representatives
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
+    comp = connected_components(jaccard_pairs(sh, _JACCARD_T))
+    drops = comp.where(F.col("node") != F.col("component")).select("node")
+
+    # 3-4: split assignment + token counts on the surviving corpus
+    kept = (
+        docs.join(F.broadcast(drops), docs["doc_id"] == F.col("node"), "left_anti")
+        .select(
+            "doc_id",
+            hash_split(F.col("doc_id"), _SPLITS).alias("split"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        )
+    )
+
+    # 5: per-split sequence packing via the two-level prefix sum
+    # (within-bucket window in parallel; per-split bucket offsets are tiny)
+    t = kept.withColumn("bucket", F.expr(f"doc_id div {_BUCKET}"))
+    w_in = (
+        Window.partitionBy("split", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = t.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    totals = t.groupBy("split", "bucket").agg(F.sum("n").alias("btotal"))
+    w_b = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("btotal").over(w_b), F.lit(0))
+    ).select("split", "bucket", "offset")
+    packed = within.join(F.broadcast(offsets), ["split", "bucket"]).withColumn(
+        "seq_id", F.expr(f"(offset + cum_in) div {_BUDGET}")
+    )
+
+    # 6: corpus statistics per split (chunk count = ceil(n / stride))
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.expr(f"(n + {_STRIDE} - 1) div {_STRIDE}")).alias("n_chunks"),
+        F.countDistinct("seq_id").alias("n_sequences"),
+    )
