@@ -123,3 +123,25 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the training-pipeline ops added late in round 1."""
+    # chunking: pure narrow map + explode, zero shuffles
+    df = REGISTRY["text_chunk"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 0, "text_chunk gained a shuffle"
+
+    # hash split: scan-local predicate work + one final aggregation exchange
+    df = REGISTRY["split_train_test"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, "split_train_test should only shuffle for the agg"
+    s = summarize_plan(df)
+    assert s.scan_reads_only("doc_id", "lang", "n_chars")
+
+    # deterministic sample: predicate evaluated at the scan, one agg exchange
+    df = REGISTRY["sample_hash"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+    # IVF search: everything dimensional broadcasts; no sort-merge join
+    df = REGISTRY["sim_ivf_search"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0, "IVF search must not SMJ"
