@@ -238,3 +238,47 @@ def baserunning_board(plays: DataFrame, min_events: int = 1) -> DataFrame:
     return board.withColumn(
         "sb_pct", F.round(safe_div(F.col("sb").cast("double"), F.col("sb") + F.col("cs")), 3)
     )
+
+
+def team_rollup(
+    board: DataFrame,
+    group_cols: list[str],
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic player-board -> team-board rollup (reference
+    war_calculation/common.py:39-48 `aggregate_team`: sum every numeric
+    column, `first` of the carried dims). The reference publishes each
+    leaderboard at both grains; this one generic produces every team
+    variant, so the 20-table fan-out is 7 boards x this rollup plus the
+    standalone tables. Rate columns (averages/percentages) must be
+    recomputed AFTER summing, not summed — they are dropped here and the
+    caller re-derives them from the summed counting stats."""
+    from pyspark.sql.types import NumericType
+
+    dim_cols = dim_cols or []
+    sums = [
+        F.sum(f.name).alias(f.name)
+        for f in board.schema.fields
+        if isinstance(f.dataType, NumericType)
+        and f.name not in group_cols
+        and f.name not in dim_cols
+        and not f.name.endswith("_pct")  # rates re-derive, never sum
+    ]
+    firsts = [F.first(c).alias(c) for c in dim_cols]
+    return board.groupBy(*group_cols).agg(*sums, *firsts)
+
+
+def team_batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
+    """Team-grain batting board: roll the player board up by batting team
+    and re-derive the rate column from the summed counts."""
+    player = batting_board(plays, min_pa).join(
+        plays.where(F.col("batter_name").isNotNull())
+        .groupBy("division", "year", "batter_name")
+        .agg(F.first("batting_team").alias("batting_team")),
+        ["division", "year", "batter_name"],
+    )
+    team = team_rollup(player, ["division", "year", "batting_team"])
+    return team.withColumn(
+        "ob_pct",
+        safe_div((F.col("h") + F.col("bb") + F.col("hbp")).cast("double"), F.col("pa")),
+    )

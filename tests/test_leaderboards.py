@@ -159,3 +159,36 @@ def test_baserunning_board(parsed):
     assert (s["advances"], s["runs_scored"]) == (1, 2)
     # CLARK: forced out at second on the GDP (p9)
     assert board["CLARK, H."]["outs_on_bases"] == 1
+
+
+def test_team_rollup_sums_and_rates(spark):
+    """Team board counts = sum of its players' counts; rates re-derived
+    from sums (never summed)."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.pbp.leaderboards import team_batting_board
+    from d3d_etl_spark.pbp.parser import parse_pbp
+    from d3d_etl_spark.pbp.synth import generate_games_df
+
+    raw = (
+        generate_games_df(spark, 6, seed=11)
+        .withColumn("division", F.lit("d3"))
+        .withColumn("year", F.lit(2024))
+        # synth has no team ids; the rollup groups on batting_team
+        .withColumn("away_team_id", F.concat(F.lit("A"), F.col("contest_id") % 3))
+        .withColumn("home_team_id", F.concat(F.lit("H"), F.col("contest_id") % 3))
+    )
+    plays = parse_pbp(raw)
+    team = team_batting_board(plays)
+    rows = team.collect()
+    assert len(rows) >= 2  # home + away team ids exist per game
+    total_pa_team = sum(r["pa"] for r in rows)
+
+    from d3d_etl_spark.pbp.leaderboards import batting_board
+
+    total_pa_player = sum(r["pa"] for r in batting_board(plays).collect())
+    assert total_pa_team == total_pa_player
+    for r in rows:
+        want = (r["h"] + r["bb"] + r["hbp"]) / r["pa"] if r["pa"] else None
+        if want is not None:
+            assert abs(r["ob_pct"] - want) < 1e-9
