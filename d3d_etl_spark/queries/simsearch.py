@@ -411,3 +411,72 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_search_quantized(emb, _QUERY_ID, "label", _NPROBE, _ANN_K, _Q_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# sim_dedup_canonical — embedding-space dedup as a corpus FILTER: cosine
+# near-dup pairs -> transitive clusters -> keep each cluster's min-id
+# vector. Same connected-components + broadcast-anti-join machinery as the
+# text-side dedup_canonical; the pair step is the blocked-GEMM operator, so
+# the scale path (LSH/IVF gating in front, drop set ∝ duplicate rate) is
+# identical. Output: surviving-corpus profile per label.
+# ---------------------------------------------------------------------------
+
+_DEDUP_T = 0.35
+
+_SIM_CANON_ORACLE = f"""
+WITH RECURSIVE e0 AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na2, SUM(b.x * b.x) AS nb2
+  FROM e0 a JOIN e0 b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM s
+  WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_DEDUP_T}
+),
+e AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+drops AS (SELECT node FROM comp WHERE node != component)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec,
+       MAX(vec_id) AS max_vec
+FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM drops)
+GROUP BY label
+"""
+
+
+@register("sim_dedup_canonical", _SIM_CANON_ORACLE, tags=("similarity", "dedup"))
+def sim_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.dedup import connected_components
+    from d3d_etl_spark.operators.similarity import blocked_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_near_pairs(emb, _DEDUP_T).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    drops = comp.where(F.col("node") != F.col("component")).select("node")
+    kept = emb.join(F.broadcast(drops), emb["vec_id"] == F.col("node"), "left_anti")
+    return kept.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
