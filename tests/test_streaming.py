@@ -450,3 +450,40 @@ def test_transform_with_state_funnel_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_csv_source(spark, sf_dir, tmp_path):
+    """The CSV compat dialect also works as a STREAMING source (a migrating
+    user's incremental drops land as CSV files): declared schema, same
+    options, windowed agg matches the batch run over the same files."""
+    from d3d_etl_spark.io import CSV_OPTIONS, load_table, write_csv
+    from d3d_etl_spark.streaming.events import windowed_event_counts
+
+    batch = load_table(spark, sf_dir, "events").limit(2000)
+    staged = os.path.join(str(tmp_path), "events_csv")
+    write_csv(batch, staged)
+
+    stream_src = (
+        spark.readStream.schema(batch.schema).options(**CSV_OPTIONS).csv(staged)
+    )
+    q = (
+        windowed_event_counts(stream_src)
+        .writeStream.format("memory")
+        .queryName("csv_win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM csv_win_counts").collect()
+    }
+    csv_batch = (
+        spark.read.schema(batch.schema).options(**CSV_OPTIONS).csv(staged)
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in windowed_event_counts(csv_batch).collect()
+    }
+    assert got == want and len(got) > 0
