@@ -328,7 +328,11 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PACK_BUDGET = 512
-_PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+# doc_ids per prefix-sum bucket. SIZING RULE at scale: the offsets table is
+# one row per bucket and must stay broadcastable, so pick bucket size ≈
+# n_docs / (a few × cluster parallelism) — e.g. 1B docs on 1000 executors
+# -> ~100k docs/bucket -> 10k offset rows. 100 here matches the testdata.
+_PACK_BUCKET = 100
 
 _PACK_ORACLE = f"""
 WITH t AS (
