@@ -32,21 +32,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet, schema embedded).
 
-    `events.ts` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long nanoseconds and
-    is converted to a microsecond timestamp here (integer division — the
-    values are µs-precision, so this is exact and matches DuckDB's read).
+    `events.ts` has shipped as parquet TIMESTAMP(NANOS) (scanned as long
+    nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong``) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (scanned as TIMESTAMP_NTZ).
+    Both are normalized to a session-TZ (UTC) TIMESTAMP here so every
+    downstream expression (`unix_micros`, windows, watermarks) sees one
+    type; the values are µs-precision wall-clock either way, matching
+    DuckDB's naive read exactly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         # defensive: the session may not be ours (the verify driver builds its
         # own); the nanos knob is runtime-settable, so set it before the scan
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # session TZ is UTC -> NTZ wall time reinterpreted as UTC instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from d3d_etl_spark.functions.strings import md5_int
 
@@ -154,6 +155,12 @@ def lsh_band_keys(df: DataFrame | None = None, id_col: str | None = None,
 
 def lsh_candidates(band_df: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) sharing at least one band bucket."""
+    # Materialize before the self-join: the band table is tiny (n_bands rows
+    # per doc) but its lineage is the full 16-min signature groupBy over the
+    # shingle table — without a barrier Catalyst recomputes that pass on BOTH
+    # join sides (same HOF/CSE trap dedup_simhash_pairs documents; measured
+    # ~2x the pair-stage cost at sf0.1).
+    band_df = band_df.localCheckpoint()
     a = band_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
     b = band_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
     return (
@@ -258,22 +265,65 @@ def simhash_near_pairs(df: DataFrame, id_col: str, sim_col: str,
 
 
 def connected_components(
-    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node in `edges`, component = min node id
     reachable — the cluster-assignment step after near-dup pair generation
     (pairs say WHO matches; canonical-document selection needs the
     transitive closure).
 
-    Iterative label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converged when no label changes.
-    Rounds = graph diameter (near-dup clusters are shallow); each round is
-    one join + one partial-agg groupBy, with a localCheckpoint barrier so
-    the plan doesn't grow with iterations (lineage blowup is the classic
-    iterative-DataFrame failure mode at scale).
+    Two physical strategies behind one contract:
+
+    - **Small edge sets** (≤ `driver_threshold` edges — the common case:
+      near-dup edges scale with the duplicate rate, not the corpus) collect
+      to the driver for a union-find pass. The distributed loop costs a
+      fixed ~2 joins + checkpoint per round regardless of size; on a graph
+      with hundreds of edges that overhead dominates by 10x.
+    - **Large edge sets** run iterative min-label propagation: each round
+      every node takes the min of its own and its neighbors' labels;
+      converged when no label changes. Rounds = graph diameter (near-dup
+      clusters are shallow); each round is one join + one partial-agg
+      groupBy, with a localCheckpoint barrier so the plan doesn't grow with
+      iterations (lineage blowup is the classic iterative-DataFrame failure
+      mode at scale).
+
+    Both produce identical (node, component) assignments.
     """
-    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    pair = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).localCheckpoint()
+    if pair.count() <= driver_threshold:
+        node_type = pair.schema["src"].dataType
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        collected = pair.collect()
+        for r in collected:
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # union-by-min keeps each root the component minimum, so find(n)
+        # IS the min-label assignment
+        nodes = {x for r in collected for x in (r.src, r.dst)}
+        rows = [(n, find(n)) for n in nodes]
+        return edges.sparkSession.createDataFrame(
+            rows,
+            StructType(
+                [StructField("node", node_type), StructField("component", node_type)]
+            ),
+        )
+
+    sym = pair.unionByName(
+        pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.localCheckpoint()
     labels = (

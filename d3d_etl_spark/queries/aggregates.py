@@ -331,14 +331,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # agg_collect_ordered — deterministic ordered collect: the event sequence
-# per user as an array. collect_list order is NONDETERMINISTIC under
-# parallelism — sort_array over (ts, id, value) structs imposes the total
-# order after collection (one shuffle; the sort is per-group, local).
+# per user. collect_list order is NONDETERMINISTIC under parallelism —
+# sort_array over (ts, id, value) structs imposes the total order after
+# collection (one shuffle; the sort is per-group, local). Published as a
+# '|'-joined scalar string: the sequence content is identical to the array
+# form, and a scalar column is hashable by any downstream comparator
+# (pandas cannot canonicalize list-valued cells).
 # ---------------------------------------------------------------------------
 
 _COLLECT_ORACLE = """
 SELECT user_id,
-       list(event_type ORDER BY ts, event_id) AS event_seq,
+       array_to_string(list(event_type ORDER BY ts, event_id), '|') AS event_seq,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -352,7 +355,9 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
     )
     return ev.groupBy("user_id").agg(
-        F.transform(packed, lambda s: s["event_type"]).alias("event_seq"),
+        F.array_join(
+            F.transform(packed, lambda s: s["event_type"]), "|"
+        ).alias("event_seq"),
         F.count("*").alias("n_events"),
     )
 
@@ -425,7 +430,7 @@ SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status,
        COUNT(*) AS n,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
@@ -437,8 +442,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               GROUPING(l_returnflag) AS g_flag,
-               GROUPING(l_linestatus) AS g_status,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
                COUNT(*) AS n,
                SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
         FROM _gs_lineitem

@@ -105,7 +105,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh — signatures -> bands -> candidate pairs -> verified
 # ---------------------------------------------------------------------------
 
-def _minhash_oracle() -> str:
+def _lsh_cand_ctes() -> str:
+    """Oracle CTEs mirroring lsh_band_keys + lsh_candidates exactly
+    (same md5 hash family), appended after _SHINGLE_CTES. Yields `cand`
+    (doc_a < doc_b candidate pairs) and a candidate-gated `inter`."""
     n_bands = _N_HASHES // _ROWS_PER_BAND
     sig_exprs = ",\n  ".join(
         f"COALESCE(list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min'), 'EMPTY') AS sig{j}"
@@ -117,9 +120,7 @@ def _minhash_oracle() -> str:
         + "))"
         for i in range(n_bands)
     )
-    return f"""
-WITH {_SHINGLE_CTES},
-sigs AS (SELECT doc_id, {sig_exprs} FROM sh_arr),
+    return f"""sigs AS (SELECT doc_id, {sig_exprs} FROM sh_arr),
 bands AS (
   SELECT doc_id,
          unnest([{band_exprs}]) AS band_key,
@@ -138,7 +139,36 @@ inter AS (
   JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
   JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc
   GROUP BY 1, 2
-)
+)"""
+
+
+# LSH-gated verified pairs as oracle CTEs: cand -> gated inter -> pairs.
+# Shared by the flagship compositions (dedup_canonical, corpus_pipeline) so
+# their oracles take the SAME sub-quadratic pair path as the Spark plans.
+_LSH_PAIR_CTES = f"""{_lsh_cand_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+)"""
+
+
+def lsh_gated_pairs(sh: DataFrame) -> DataFrame:
+    """Sub-quadratic near-dup pairs: MinHash bands -> candidate pairs ->
+    exact-Jaccard verify on candidates only. The scale path every flagship
+    composition uses — cost tracks the duplicate rate, never the corpus
+    size squared (the bare inverted-index self-join's Σ posting-list² blows
+    up on any corpus with common shingles)."""
+    bands = lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND)
+    return jaccard_pairs(sh, _JACCARD_T, candidates=lsh_candidates(bands))
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_SHINGLE_CTES},
+{_lsh_cand_ctes()}
 SELECT doc_a, doc_b,
        CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
 FROM inter
@@ -298,18 +328,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANON_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTES},
-inter AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON doc_a = sa.doc
-  JOIN sizes sb ON doc_b = sb.doc
-  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
-),
+{_LSH_PAIR_CTES},
 e AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -324,7 +343,7 @@ comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
 drops AS (SELECT node FROM comp WHERE node != component)
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id NOT IN (SELECT node FROM drops)
 GROUP BY lang
@@ -339,8 +358,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(
         docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
     ).localCheckpoint()
-    pairs = jaccard_pairs(sh, _JACCARD_T)
-    comp = connected_components(pairs)
+    comp = connected_components(lsh_gated_pairs(sh))
     drops = comp.where(F.col("node") != F.col("component")).select("node")
     kept = docs.join(
         F.broadcast(drops), docs["doc_id"] == F.col("node"), "left_anti"

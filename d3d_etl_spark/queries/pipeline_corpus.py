@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
 from d3d_etl_spark.functions.text import tokens, word_shingles
 from d3d_etl_spark.io import load_table
-from d3d_etl_spark.operators.dedup import connected_components, jaccard_pairs, shingle_rows
-from d3d_etl_spark.queries.dedup import _JACCARD_T, _SHINGLE_CTES, _SHINGLE_N
+from d3d_etl_spark.operators.dedup import connected_components, shingle_rows
+from d3d_etl_spark.queries.dedup import (
+    _LSH_PAIR_CTES,
+    _SHINGLE_CTES,
+    _SHINGLE_N,
+    lsh_gated_pairs,
+)
 from d3d_etl_spark.queries.registry import register
 from d3d_etl_spark.queries.sampling import _SPLITS
 
@@ -31,18 +36,7 @@ _BUCKET = 100
 
 _PIPELINE_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTES},
-inter AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON doc_a = sa.doc
-  JOIN sizes sb ON doc_b = sb.doc
-  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
-),
+{_LSH_PAIR_CTES},
 e AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -72,8 +66,8 @@ packed AS (
 )
 SELECT split,
        COUNT(*) AS n_docs,
-       SUM(n) AS total_tokens,
-       SUM((n + {_STRIDE} - 1) // {_STRIDE}) AS n_chunks,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM((n + {_STRIDE} - 1) // {_STRIDE}) AS BIGINT) AS n_chunks,
        COUNT(DISTINCT seq_id) AS n_sequences
 FROM packed
 GROUP BY split
@@ -84,11 +78,15 @@ GROUP BY split
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1-2: near-dup pairs -> transitive clusters -> drop non-representatives
+    # 1-2: LSH-gated near-dup pairs -> transitive clusters -> drop
+    # non-representatives. The gate (MinHash bands -> candidates -> exact
+    # verify) keeps pair generation sub-quadratic; the bare inverted-index
+    # self-join is only the standalone exactness baseline
+    # (dedup_jaccard_pairs), never the flagship path.
     sh = shingle_rows(
         docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
     ).localCheckpoint()
-    comp = connected_components(jaccard_pairs(sh, _JACCARD_T))
+    comp = connected_components(lsh_gated_pairs(sh))
     drops = comp.where(F.col("node") != F.col("component")).select("node")
 
     # 3-4: split assignment + token counts on the surviving corpus

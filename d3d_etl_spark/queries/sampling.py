@@ -38,7 +38,7 @@ _SPLIT_ORACLE = f"""
 SELECT {sql_hash_split("doc_id", _SPLITS)} AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
@@ -131,7 +131,7 @@ WITH kept AS (
 SELECT k.lang,
        COUNT(*) AS n_kept,
        t.n_total,
-       SUM(n_chars) AS kept_chars
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM kept k
 JOIN (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1) t
   ON k.lang = t.lang

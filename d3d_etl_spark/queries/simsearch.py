@@ -321,7 +321,7 @@ ev AS (
   SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS pos
   FROM q8 WHERE vec_id != {_QUERY_ID}
 )
-SELECT e.vec_id, SUM(e.x * qv.qx) AS qdot
+SELECT e.vec_id, CAST(SUM(e.x * qv.qx) AS BIGINT) AS qdot
 FROM ev e JOIN qv USING (pos)
 GROUP BY e.vec_id
 ORDER BY qdot DESC, vec_id
@@ -397,7 +397,7 @@ flat AS (
   SELECT c.vec_id, unnest(c.q) AS x, unnest(range(len(c.q))) AS pos FROM cand c
 ),
 qflat AS (SELECT unnest(qv) AS qx, unnest(range(len(qv))) AS pos FROM qq)
-SELECT f.vec_id, SUM(f.x * qf.qx) AS qdot
+SELECT f.vec_id, CAST(SUM(f.x * qf.qx) AS BIGINT) AS qdot
 FROM flat f JOIN qflat qf USING (pos)
 GROUP BY f.vec_id
 ORDER BY qdot DESC, vec_id

@@ -35,8 +35,8 @@ flags AS (
 ),
 sess AS (
   SELECT *,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_seq
   FROM flags
 )
 SELECT user_id, session_seq,

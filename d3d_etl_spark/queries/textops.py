@@ -345,9 +345,9 @@ c AS (
          ), 0) AS cum_before
   FROM t
 )
-SELECT cum_before // {_PACK_BUDGET} AS seq_id,
+SELECT CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
        COUNT(*) AS n_docs,
-       SUM(n) AS seq_tokens,
+       CAST(SUM(n) AS BIGINT) AS seq_tokens,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM c

@@ -425,7 +425,7 @@ WITH flagged AS (
 ),
 seg AS (
   SELECT *,
-         SUM(boundary) OVER ({_EV_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+         CAST(SUM(boundary) OVER ({_EV_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
   FROM flagged
 )
 SELECT event_id, user_id, segment_id,

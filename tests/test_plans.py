@@ -145,3 +145,37 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     df = REGISTRY["sim_ivf_search"].fn(spark, sf_dir)
     s = summarize_plan(df)
     assert s.n_sortmerge_joins == 0, "IVF search must not SMJ"
+
+
+def test_flagship_dedup_pair_stage_lsh_gated(spark, sf_dir):
+    """The flagship compositions (corpus_pipeline, dedup_canonical) must take
+    the sub-quadratic LSH-gated pair path: MinHash bands -> candidates ->
+    exact verify on candidates only. The bare inverted-index self-join
+    (cost Σ posting-list²) is a scale-killer and is allowed only as the
+    standalone exactness baseline (dedup_jaccard_pairs)."""
+    import inspect
+
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.dedup import shingle_rows
+    from d3d_etl_spark.queries.dedup import _SHINGLE_N, lsh_gated_pairs
+    import d3d_etl_spark.queries.dedup as dq
+    import d3d_etl_spark.queries.pipeline_corpus as pc
+
+    # plan shape: every shingle-equality join in the gated pair stage is
+    # candidate-driven (also keyed on a doc column) — never the bare
+    # shingle-only self-join
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N))
+    plan = lsh_gated_pairs(sh)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "shingle#" in line:
+            assert "doc_b#" in line, f"bare shingle-shingle self-join:\n{line}"
+
+    # and the flagship query fns actually route through the gate (their
+    # final plans hide the pair stage behind connected_components'
+    # localCheckpoint barriers, so pin at the source level too)
+    for fn in (pc.corpus_pipeline, dq.dedup_canonical):
+        src = inspect.getsource(fn)
+        assert "lsh_gated_pairs" in src, f"{fn.__name__} lost the LSH gate"
+        assert "jaccard_pairs(sh" not in src, f"{fn.__name__} calls the un-gated pair path"
