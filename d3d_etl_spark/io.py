@@ -130,18 +130,28 @@ def export_sqlite(
     db_path: str,
     table: str,
     dedup_keys: tuple[str, ...] = (),
-    replace_where: str | None = None,
+    replace_where: tuple[str, str, object] | None = None,
 ) -> int:
     """S6 parity: publish a (small, final) table to SQLite the way the
     reference's upload_to_db.py:64-138 does — optional slice delete
-    (`replace_where`, e.g. "year = 2024"), append, dedup on keys.
+    (`replace_where`, a validated ``(column, op, value)`` tuple, e.g.
+    ``("year", "=", 2024)``), append, dedup on keys.
 
     This is a driver-side egress for published leaderboard-sized tables
     (the reference's SQLite is the serving layer, not the compute layer);
     big data stays in parquet. Returns rows written. Dedup happens in Spark
     BEFORE egress — the reference dedups after load with DELETE..GROUP BY.
+
+    `table` and the slice column are validated as SQL identifiers, the op
+    against an allowlist, and the value is bound as a parameter — caller
+    input never reaches the DELETE statement verbatim.
     """
+    import re
     import sqlite3
+
+    _ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not _ident.match(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
 
     if dedup_keys:
         df = df.dropDuplicates(list(dedup_keys))
@@ -152,7 +162,12 @@ def export_sqlite(
             "SELECT name FROM sqlite_master WHERE type='table' AND name=?", (table,)
         ).fetchone()
         if exists and replace_where:
-            con.execute(f"DELETE FROM {table} WHERE {replace_where}")  # noqa: S608
+            col, op, value = replace_where
+            if not _ident.match(col):
+                raise ValueError(f"invalid column identifier: {col!r}")
+            if op not in ("=", "<", "<=", ">", ">=", "!="):
+                raise ValueError(f"invalid operator: {op!r}")
+            con.execute(f"DELETE FROM {table} WHERE {col} {op} ?", (value,))  # noqa: S608
         pdf.to_sql(table, con, if_exists="append" if exists else "replace", index=False)
         con.commit()
     finally:

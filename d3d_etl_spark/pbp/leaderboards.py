@@ -92,8 +92,15 @@ def clutch_board(plays_with_wp: DataFrame) -> DataFrame:
         .groupBy("division", "year", "batter_name")
         .agg(
             F.sum("wpa").alias("wpa"),
-            F.sum(F.when(F.col("wpa") > 0, F.col("wpa"))).alias("wpa_pos"),
-            F.sum(F.when(F.col("wpa") < 0, F.col("wpa"))).alias("wpa_neg"),
+            # pandas' sum over an empty selection is 0, not NULL — a player
+            # with no positive (or negative) WPA plays must get 0.0 so
+            # downstream arithmetic (wpa_pos + wpa_neg) never nulls out
+            F.coalesce(
+                F.sum(F.when(F.col("wpa") > 0, F.col("wpa"))), F.lit(0.0)
+            ).alias("wpa_pos"),
+            F.coalesce(
+                F.sum(F.when(F.col("wpa") < 0, F.col("wpa"))), F.lit(0.0)
+            ).alias("wpa_neg"),
             F.sum("wpa_li").alias("wpa_li"),
             F.avg("li").alias("avg_li"),
             F.count("*").alias("n_plays"),
@@ -264,7 +271,9 @@ def team_rollup(
         and f.name not in dim_cols
         and not f.name.endswith("_pct")  # rates re-derive, never sum
     ]
-    firsts = [F.first(c).alias(c) for c in dim_cols]
+    # deterministic dim pick: F.first is shuffle-order dependent when a
+    # group carries more than one value; MIN is stable across partitionings
+    firsts = [F.min(c).alias(c) for c in dim_cols]
     return board.groupBy(*group_cols).agg(*sums, *firsts)
 
 
@@ -274,7 +283,7 @@ def team_batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
     player = batting_board(plays, min_pa).join(
         plays.where(F.col("batter_name").isNotNull())
         .groupBy("division", "year", "batter_name")
-        .agg(F.first("batting_team").alias("batting_team")),
+        .agg(F.min("batting_team").alias("batting_team")),  # deterministic pick
         ["division", "year", "batter_name"],
     )
     team = team_rollup(player, ["division", "year", "batting_team"])

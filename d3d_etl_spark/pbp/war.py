@@ -20,7 +20,7 @@ shape as additional broadcast joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions import saber
@@ -66,7 +66,9 @@ def sos_adjust(war_df: DataFrame, rankings: DataFrame) -> DataFrame:
     creates, wins).
 
     Exactness: SoS z uses integer-moment stats over sos_val scaled 1e6;
-    the rescale ratio is exact-sum/exact-sum of scaled WAR.
+    the rescale ratio is exact-sum/exact-sum of WAR scaled 1e9 to long
+    (never-sum-raw-doubles, functions/money.py — the ratio is identical
+    for any partitioning, so the rescaled WAR survives a value-hash).
     """
     ranked = war_df.join(
         F.broadcast(rankings.select("team_id", "division", "year", "sos_val")),
@@ -82,28 +84,39 @@ def sos_adjust(war_df: DataFrame, rankings: DataFrame) -> DataFrame:
         "war_tilted", F.col("war_raw") + 0.1 * F.col("_z")
     )
     w = Window.partitionBy("division", "year")
-    raw_total = F.sum("war_raw").over(w)
-    tilt_total = F.sum("war_tilted").over(w)
+    raw_total = F.sum(F.round(F.col("war_raw") * 1_000_000_000).cast("long")).over(w)
+    tilt_total = F.sum(F.round(F.col("war_tilted") * 1_000_000_000).cast("long")).over(w)
     return (
         tilted.withColumn(
             "war",
-            F.when(tilt_total != 0, F.col("war_tilted") * raw_total / tilt_total).otherwise(
-                F.col("war_raw")
-            ),
+            F.when(
+                tilt_total != 0,
+                F.col("war_tilted")
+                * (raw_total.cast("double") / tilt_total.cast("double")),
+            ).otherwise(F.col("war_raw")),
         )
         .drop("_z", "war_tilted")
     )
 
 
 def team_war(player_war: DataFrame) -> DataFrame:
-    """A7 team rollup: sum the player table to team grain."""
+    """A7 team rollup: sum the player table to team grain.
+
+    Rate/win columns are doubles, so they aggregate as 1e-9-scaled longs
+    and convert back once (never-sum-raw-doubles, functions/money.py)."""
+
+    def _sum_exact(c: str) -> Column:
+        return (
+            F.sum(F.round(F.col(c) * 1_000_000_000).cast("long")).cast("double") / 1e9
+        ).alias(c)
+
     return player_war.groupBy("team_id", "division", "year").agg(
         F.count("*").alias("n_players"),
         F.sum("pa").alias("pa"),
-        F.sum("wraa").alias("wraa"),
-        F.sum("bsr").alias("bsr"),
-        F.sum("rar").alias("rar"),
-        F.sum("war").alias("war"),
+        _sum_exact("wraa"),
+        _sum_exact("bsr"),
+        _sum_exact("rar"),
+        _sum_exact("war"),
     )
 
 
@@ -145,7 +158,11 @@ def add_conference_rates(war_df: DataFrame) -> DataFrame:
     no extra join or shuffle beyond the window exchange."""
     w = Window.partitionBy("division", "year", "conference")
     conf_pa = F.sum("pa").over(w)
-    conf_war = F.sum("war_raw").over(w)
+    # scaled-long sum: partition-order independent (functions/money.py)
+    conf_war = (
+        F.sum(F.round(F.col("war_raw") * 1_000_000_000).cast("long")).over(w).cast("double")
+        / 1e9
+    )
     return war_df.withColumn(
         "conf_war_per_600pa",
         F.when(conf_pa > 0, conf_war / conf_pa * 600.0).otherwise(F.lit(0.0)),

@@ -108,10 +108,17 @@ def add_win_probability(plays: DataFrame, win_exp: DataFrame, leverage: DataFram
             "left",
         )
     )
-    # game over (no successor state in the table): WE_after = 1 if home leads
+    # game over (no successor state in the table): WE_after = 1 if home leads.
+    # A game rolling to extra innings TIED has no decided outcome and no
+    # table row (innings stop at 9) — it gets 0.5 (a table row, if one ever
+    # exists, wins) so we_after/wpa never go NULL and the play still counts
+    # in WPA sums (clutch_board filters wpa.isNotNull()).
     game_over = (F.col("a_inning") > 9) & (F.col("a_half") == "Top")
     we_after = F.when(
-        game_over, F.when(F.col("_diff_a") > 0, 1.0).otherwise(F.when(F.col("_diff_a") < 0, 0.0))
+        game_over,
+        F.when(F.col("_diff_a") > 0, F.lit(1.0))
+        .when(F.col("_diff_a") < 0, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("we_after_raw"), F.lit(0.5))),
     ).otherwise(F.col("we_after_raw"))
     delta_home = we_after - F.col("we_before")
     batter_is_home = F.col("half") == "Bottom"

@@ -69,7 +69,7 @@ def test_export_sqlite_slice_replace(spark, tmp_path):
         [(2024, "b", 9.0), (2024, "b", 9.0), (2024, "c", 3.0)],
         "year int, k string, v double",
     )
-    export_sqlite(v2, db, "board", dedup_keys=("year", "k"), replace_where="year = 2024")
+    export_sqlite(v2, db, "board", dedup_keys=("year", "k"), replace_where=("year", "=", 2024))
     con = sqlite3.connect(db)
     rows = sorted(con.execute("SELECT year, k, v FROM board").fetchall())
     con.close()

@@ -99,3 +99,26 @@ def test_wpa_signs(with_wp):
         want = delta_home if r["half"] == "Bottom" else -delta_home
         assert r["wpa"] == pytest.approx(want)
         assert r["li"] > 0 and r["wpa_li"] == pytest.approx(r["wpa"] / r["li"])
+
+
+def test_tied_extra_innings_has_we_after(spark, lookups):
+    """A 9th-inning 3rd out with the game TIED rolls to extras: no lookup
+    row exists past inning 9 and neither decided-outcome branch applies —
+    we_after must still be defined (0.5) so the play keeps its WPA."""
+    we, li = lookups
+    plays = spark.createDataFrame(
+        [
+            # tied after the play -> extras (the once-NULL branch)
+            (9, "Bottom", "YNN", 1, 3, 3, 3, 3, 3),
+            # home wins it -> decided branch, WE_after = 1
+            (9, "Bottom", "YNN", 1, 3, 3, 4, 3, 3),
+        ],
+        "inning int, half string, bases_before string, outs_before int, "
+        "outs_after int, home_score_before int, home_score_after int, "
+        "away_score_before int, away_score_after int",
+    ).withColumn("bases_after", F.lit("NNN"))
+    out = add_win_probability(plays, we, li).orderBy("home_score_after").collect()
+    tied, won = out
+    assert tied["we_after"] == pytest.approx(0.5)
+    assert tied["wpa"] is not None
+    assert won["we_after"] == pytest.approx(1.0)
