@@ -94,8 +94,11 @@ def pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain pipeline end-to-end: generated narration (the testdata has
     no baseball tables) -> parse (classifier + windows + base-state FSM) ->
     RE24 -> batting board. Game count scales with the SF in `sf_dir`; no
-    SQL oracle (the FSM is not SQL-expressible — rows-only check), pytest
-    validates the pipeline against hand-traced fixtures instead."""
+    SQL oracle HERE (the FSM is not SQL-expressible — rows-only check):
+    verification is split instead — pytest proves the FSM against
+    hand-traced fixtures, and queries/domain.py materializes the FSM output
+    and hash-checks every downstream stage (ER matrix, linear weights,
+    boards, guts, WAR) against DuckDB oracles over that parquet."""
     import re as _re
 
     from d3d_etl_spark.pbp.pipeline import run_analytics
@@ -191,7 +194,8 @@ def pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube_batting shape, derived from the same plays) -> batting WAR ->
     team rollup join-back. Rows-only (the FSM upstream is not
     SQL-expressible); the WAR arithmetic itself is pytest-verified against
-    hand-computed fixtures (tests/test_war.py)."""
+    hand-computed fixtures (tests/test_war.py) AND oracled end-to-end over
+    the materialized FSM output (queries/domain.py: domain_war_batting)."""
     import re as _re
 
     from pyspark.sql import functions as F
