@@ -84,6 +84,73 @@ def situational_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
     )
 
 
+def handedness_dim(name_col: F.Column, kind: str) -> F.Column:
+    """Deterministic handedness from a name (the engine-portable stand-in
+    for the reference's player-bio handedness maps, leaderboards/common.py:
+    89-113: player_id -> bats/throws). md5-derived so any SQL engine
+    assigns the identical hand.
+
+    kind='bats': 'L' (~37.5%), 'S' (~12.5%), 'R'; kind='throws': 'L'/'R'
+    50/50 (first md5 hex char buckets)."""
+    c = F.substring(F.md5(name_col), 1, 1)
+    if kind == "throws":
+        return F.when(c.isin(*"01234567"), "L").otherwise("R")
+    return (
+        F.when(c.isin(*"012345"), "L").when(c.isin("e", "f"), "S").otherwise("R")
+    )
+
+
+def handedness_splits_board(
+    plays: DataFrame,
+    group_cols: list[str],
+    opp_hand_col: str,
+    suffixes: tuple[tuple[str, str | None], ...],
+    min_pa: int = 1,
+) -> DataFrame:
+    """Generic handedness-splits board (A8; reference splits.py:30-58):
+    per group, PA/AB/H/OB counts and BA/OB%% rates overall and per opposing
+    hand — one pass of conditional aggregation over the play scan (the
+    pivot columns are fixed, so sum(when) beats a pivot shuffle).
+
+    `suffixes`: (column_suffix, hand_value-or-None-for-overall), e.g.
+    (("overall", None), ("vs_lhp", "L"), ("vs_rhp", "R")).
+    """
+    ev = F.col("event_type")
+    pa_cond = ev.isin(*PA_EVENTS)
+    hit_cond = ev.isin(*_HIT_EVENTS)
+    ob_cond = ev.isin(*_OB_EVENTS)
+    nonab_cond = ev.isin("BB", "IBB", "HBP", "SF", "SH")
+    aggs = []
+    for name, hand in suffixes:
+        c = F.lit(True) if hand is None else (F.col(opp_hand_col) == hand)
+        aggs += [
+            _n(c & pa_cond).alias(f"pa_{name}"),
+            (_n(c & pa_cond) - _n(c & nonab_cond)).alias(f"ab_{name}"),
+            _n(c & hit_cond).alias(f"h_{name}"),
+            _n(c & ob_cond).alias(f"ob_{name}"),
+        ]
+    board = (
+        plays.where(F.col(group_cols[-1]).isNotNull())
+        .groupBy(*group_cols)
+        .agg(*aggs)
+        .where(F.col(f"pa_{suffixes[0][0]}") >= min_pa)
+    )
+    return add_split_rates(board, [s for s, _ in suffixes])
+
+
+def add_split_rates(board: DataFrame, suffixes: list[str]) -> DataFrame:
+    """Re-derive BA/OB%% per split from summed counts (rates never sum —
+    the same rule team_rollup enforces)."""
+    out = board
+    for s in suffixes:
+        out = out.withColumn(
+            f"ba_{s}", safe_div(F.col(f"h_{s}").cast("double"), F.col(f"ab_{s}"))
+        ).withColumn(
+            f"ob_pct_{s}", safe_div(F.col(f"ob_{s}").cast("double"), F.col(f"pa_{s}"))
+        )
+    return out
+
+
 def clutch_board(plays_with_wp: DataFrame) -> DataFrame:
     """Clutch/value stats (reference batting.py:174-211, value.py:34-38):
     WPA sums with positive/negative splits and mean leverage."""

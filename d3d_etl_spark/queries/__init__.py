@@ -16,6 +16,7 @@ def load_all() -> None:
         sampling,
         scalars,
         simsearch,
+        splits,
         stateful,
         textops,
         windows,

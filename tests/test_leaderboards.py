@@ -192,3 +192,31 @@ def test_team_rollup_sums_and_rates(spark):
         want = (r["h"] + r["bb"] + r["hbp"]) / r["pa"] if r["pa"] else None
         if want is not None:
             assert abs(r["ob_pct"] - want) < 1e-9
+
+
+def test_handedness_splits_invariants(spark, sf_dir):
+    """Splits board structural invariants: hands partition PA (pitcher
+    throws is binary, so batter splits must sum exactly; batters include
+    switch hitters, so pitcher splits may undercount), and the team grain
+    totals equal the summed player grain."""
+    import d3d_etl_spark.queries as qmod
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from pyspark.sql import functions as F
+
+    qmod.load_all()
+    bat = REGISTRY["domain_splits_batter"].fn(spark, sf_dir).cache()
+    r = bat.select(
+        F.sum((F.col("pa_vs_lhp") + F.col("pa_vs_rhp") != F.col("pa_overall")).cast("int")).alias("bad"),
+        F.sum("pa_overall").alias("pa_total"),
+    ).first()
+    assert r["bad"] == 0, "throws is L/R-only: LHP+RHP PA must equal overall"
+    assert r["pa_total"] > 0
+
+    pit = REGISTRY["domain_splits_pitcher"].fn(spark, sf_dir)
+    bad_pit = pit.where(
+        F.col("pa_vs_lhb") + F.col("pa_vs_rhb") > F.col("pa_overall")
+    ).count()
+    assert bad_pit == 0, "L+R batters can never exceed overall PA"
+
+    team = REGISTRY["domain_splits_batting_team"].fn(spark, sf_dir)
+    assert team.agg(F.sum("pa_overall")).first()[0] == r["pa_total"]
