@@ -11,6 +11,7 @@ def load_all() -> None:
         dedup,
         domain,
         fuzzy,
+        pbpwide,
         pipeline_corpus,
         relational,
         sampling,
