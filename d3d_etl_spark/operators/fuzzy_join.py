@@ -97,6 +97,152 @@ def blocked_fuzzy_join(
     return exact.unionByName(fuzzy)
 
 
+def leading_int(c: Column) -> Column:
+    """Leading integer of a jersey-number string ('12A' -> 12), NULL when
+    absent (reference map_ncaa_to_cube.py:28-44 jersey parsing)."""
+    d = F.regexp_extract(c.cast("string"), r"^\s*(\d+)", 1)
+    return F.when(d != "", d.cast("int"))
+
+
+def token_sort_key(c: Column) -> Column:
+    """Normalized name with tokens sorted — the deterministic half of
+    token_sort_ratio (rapidfuzz sorts tokens before scoring)."""
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    return F.array_join(F.array_sort(F.split(normalize_name(c), " ")), " ")
+
+
+def roster_cascade(
+    probes: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str],
+    probe_id: str,
+    probe_name: str,
+    cand_id: str,
+    cand_name: str,
+    probe_number: str | None = None,
+    cand_number: str | None = None,
+    cutoff: float = 0.7,
+    use_rapidfuzz: bool = False,
+) -> DataFrame:
+    """The reference's five-tier roster reconciliation
+    (map_ncaa_to_cube.py:125-175) as ONE cascade over blocked joins:
+
+        1. jersey   — leading-int number equality within the block
+        2. exact    — trimmed name equality
+        3. last     — lowercase last name, only when UNIQUE in the block
+        4. initlast — first initial + last name, only when unique
+        5. fuzzy    — token-sorted similarity >= cutoff, top-1
+
+    Each tier sees only probes unmatched by earlier tiers; every ambiguous
+    pick is determinized by min candidate id (extractOne's list-order tie
+    break made partition-stable). Returns (probe_id, matched_id, tier).
+
+    `use_rapidfuzz=True` swaps tier 5's JVM token-sort-Levenshtein score
+    for the reference's exact rapidfuzz token_sort_ratio semantics via an
+    Arrow-batched pandas UDF (functions/fuzzscore.py; pure-python fallback
+    when rapidfuzz isn't installed). The default stays JVM-side: codegen'd,
+    and mirrored exactly by SQL oracles.
+    """
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    out_cols = lambda tier: [  # noqa: E731
+        F.col(probe_id),
+        F.col(cand_id).alias("matched_id"),
+        F.lit(tier).alias("tier"),
+    ]
+    w_min = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
+    tiers: list[DataFrame] = []
+    remaining = probes
+
+    def _advance(matched: DataFrame) -> None:
+        nonlocal remaining
+        matched = matched.localCheckpoint()  # feeds union AND anti-join
+        tiers.append(matched)
+        remaining = remaining.join(matched.select(probe_id), probe_id, "left_anti")
+
+    if probe_number is not None and cand_number is not None:
+        cnum = candidates.select(
+            *block_keys, F.col(cand_id), leading_int(F.col(cand_number)).alias("_n")
+        ).where(F.col("_n").isNotNull())
+        jersey = (
+            remaining.withColumn("_pn", leading_int(F.col(probe_number)))
+            .where(F.col("_pn").isNotNull())
+            .join(cnum, [*block_keys])
+            .where(F.col("_pn") == F.col("_n"))
+            .withColumn("_rn", F.row_number().over(w_min))
+            .where("_rn = 1")
+            .select(*out_cols("jersey"))
+        )
+        _advance(jersey)
+
+    exact = (
+        remaining.join(candidates, block_keys)
+        .where(F.trim(F.col(probe_name)) == F.trim(F.col(cand_name)))
+        .withColumn("_rn", F.row_number().over(w_min))
+        .where("_rn = 1")
+        .select(*out_cols("exact"))
+    )
+    _advance(exact)
+
+    # block-level last-name / initial+last uniqueness over ALL candidates
+    # (the reference indexes the full cube, not the unmatched subset)
+    norm_c = normalize_name(F.col(cand_name))
+    last_c = F.substring_index(norm_c, " ", -1)
+    init_last_c = F.concat(F.substring(norm_c, 1, 1), F.lit(" "), last_c)
+    for tier_name, cand_key_expr, probe_key_expr in (
+        ("last", last_c, F.substring_index(normalize_name(F.col(probe_name)), " ", -1)),
+        (
+            "initlast",
+            init_last_c,
+            F.concat(
+                F.substring(normalize_name(F.col(probe_name)), 1, 1),
+                F.lit(" "),
+                F.substring_index(normalize_name(F.col(probe_name)), " ", -1),
+            ),
+        ),
+    ):
+        keyed = candidates.select(*block_keys, F.col(cand_id), cand_key_expr.alias("_k"))
+        unique = (
+            keyed.groupBy(*block_keys, "_k")
+            .agg(F.count("*").alias("_cnt"), F.min(cand_id).alias("matched_id"))
+            .where("_cnt = 1")
+        )
+        m = (
+            remaining.withColumn("_k", probe_key_expr)
+            .join(unique, [*block_keys, "_k"])
+            .select(F.col(probe_id), F.col("matched_id"), F.lit(tier_name).alias("tier"))
+        )
+        _advance(m)
+
+    # tier 5: fuzzy top-1 over token-sorted names
+    n_parts = probes.sparkSession.sparkContext.defaultParallelism
+    remaining = remaining.repartition(n_parts)
+    if use_rapidfuzz:
+        from d3d_etl_spark.functions.fuzzscore import token_sort_ratio_udf
+
+        score = token_sort_ratio_udf(F.col(probe_name), F.col(cand_name)) / 100.0
+    else:
+        score = levenshtein_sim(
+            token_sort_key(F.col(probe_name)), token_sort_key(F.col(cand_name))
+        )
+    w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("_score"), F.asc(cand_id))
+    fuzzy = (
+        remaining.join(candidates, block_keys)
+        .withColumn("_score", score)
+        .where(F.col("_score") >= cutoff)
+        .withColumn("_rn", F.row_number().over(w_fuzzy))
+        .where("_rn = 1")
+        .select(*out_cols("fuzzy"))
+    )
+    tiers.append(fuzzy)
+
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def name_variations(col: Column, number: Column | None = None) -> Column:
     """T6: deterministic variant set for a "First Last"-shaped name
     (reference names/helpers.py:56-111 generates ~20 variants per name;

@@ -14,6 +14,7 @@ def load_all() -> None:
         pbpwide,
         pipeline_corpus,
         relational,
+        roster,
         sampling,
         scalars,
         simsearch,
