@@ -21,5 +21,6 @@ def load_all() -> None:
         splits,
         stateful,
         textops,
+        value,
         windows,
     )

@@ -1,0 +1,307 @@
+"""Value-board family (reference leaderboards/value.py:34-135): WPA value
+tables at batter / pitcher / batting-team / pitching-team grain with the
+reference's exact column contract (wpa, neg_wpa, pos_wpa, rea, rew, pli,
+wpa_li, clutch), oracled over the materialized plays.
+
+Win expectancy & leverage come from a CLOSED-FORM rational lookup (pure
++/* arithmetic, no exp/log), generated as the full
+(inning, half, runners, outs, score_diff) cross-product table: the Spark
+side drives it through the real `add_win_probability` broadcast-lookup
+join (state-after rewrite, diff clipping, game-over branch included),
+while the oracle evaluates the same closed form inline — identical IEEE
+expression trees, so the hash matches bit-for-bit.
+
+Per-play wpa/li/wpa_li/rea quantize to 1e-9-scaled longs before any
+aggregation (never-sum-raw-doubles); every published double is a fixed
+expression tree over those exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.queries.domain import _PARSED_GLOB, materialized_parsed
+from d3d_etl_spark.queries.registry import register
+
+_CODES = ["NNN", "YNN", "NYN", "YYN", "NNY", "YNY", "NYY", "YYY"]
+
+
+def _we_py(inning: int, half: str, runners: str, outs: int, diff: int) -> float:
+    n = runners.count("Y")
+    s = 1.0 if half == "Bottom" else -1.0
+    raw = 0.5 + 0.042 * diff + s * (0.013 * n - 0.009 * outs) + 0.0035 * inning
+    return min(0.97, max(0.03, raw))
+
+
+def _li_py(runners: str, outs: int, diff: int) -> float:
+    n = runners.count("Y")
+    return 0.47 + 0.11 * n + 0.06 * outs + 0.008 * abs(diff)
+
+
+def _we_sql(inning: str, half: str, runners: str, outs: str, diff: str) -> str:
+    n = f"len(replace({runners}, 'N', ''))"
+    s = f"(CASE WHEN {half} = 'Bottom' THEN 1.0 ELSE -1.0 END)"
+    raw = f"0.5 + 0.042 * {diff} + {s} * (0.013 * {n} - 0.009 * {outs}) + 0.0035 * {inning}"
+    return f"LEAST(0.97, GREATEST(0.03, {raw}))"
+
+
+def _li_sql(runners: str, outs: str, diff: str) -> str:
+    n = f"len(replace({runners}, 'N', ''))"
+    return f"0.47 + 0.11 * {n} + 0.06 * {outs} + 0.008 * abs({diff})"
+
+
+def _lookups(spark: SparkSession):
+    rows = [
+        (i, h, r, o, d, _we_py(i, h, r, o, d), _li_py(r, o, d))
+        for i in range(1, 10)
+        for h in ("Top", "Bottom")
+        for r in _CODES
+        for o in range(3)
+        for d in range(-10, 11)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "inning int, half string, runners string, outs int, score_diff int, "
+        "win_expectancy double, leverage_index double",
+    )
+    we = df.select("inning", "half", "runners", "outs", "score_diff", "win_expectancy")
+    li = df.select("inning", "half", "runners", "outs", "score_diff", "leverage_index")
+    return we, li
+
+
+def _wp_plays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized plays + RE24 + win probability + team/pitcher identity,
+    with the micro-quantized metric columns the boards aggregate."""
+    from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long
+    from d3d_etl_spark.pbp.win_prob import add_win_probability
+
+    parsed = materialized_parsed(spark, sf_dir)
+    plays = add_re24(parsed, expected_runs_long(parsed))
+    we, li = _lookups(spark)
+    wp = add_win_probability(plays, we, li)
+    is_top = F.col("half") == "Top"
+    cid = F.col("contest_id").cast("string")
+    u = lambda c: F.round(F.col(c) * 1_000_000_000).cast("long")  # noqa: E731
+    return (
+        wp.withColumn(
+            "bat_team_id",
+            F.concat(F.lit("T_"), cid, F.when(is_top, "_away").otherwise("_home")),
+        )
+        .withColumn(
+            "pitch_team_id",
+            F.concat(F.lit("T_"), cid, F.when(is_top, "_home").otherwise("_away")),
+        )
+        .withColumn(
+            "pitcher_name",
+            F.concat(
+                F.lit("P0_"), F.when(is_top, "home").otherwise("away"), F.lit("_"), cid
+            ),
+        )
+        .withColumn("wpa_u", u("wpa"))
+        .withColumn("wpali_u", u("wpa_li"))
+        .withColumn("li_u", u("li"))
+        .withColumn("rea_u", u("re24"))
+    )
+
+
+# shared oracle CTEs: plays -> state-after -> closed-form WE/LI -> wpa ->
+# micro-quantized metric columns
+_WP_CTES = f"""
+p0 AS (
+  SELECT *,
+         GREATEST(-10, LEAST(10, home_score_before - away_score_before)) AS dby,
+         GREATEST(-10, LEAST(10, home_score_after - away_score_after)) AS day
+  FROM read_parquet('{_PARSED_GLOB}')
+),
+st AS (
+  SELECT *,
+         CASE WHEN outs_after >= 3 AND half = 'Bottom' THEN inning + 1 ELSE inning END AS a_inning,
+         CASE WHEN outs_after >= 3 THEN (CASE WHEN half = 'Top' THEN 'Bottom' ELSE 'Top' END)
+              ELSE half END AS a_half,
+         CASE WHEN outs_after >= 3 THEN 'NNN' ELSE bases_after END AS a_runners,
+         CASE WHEN outs_after >= 3 THEN 0 ELSE outs_after END AS a_outs
+  FROM p0
+),
+wp AS (
+  SELECT *,
+         {_we_sql("inning", "half", "bases_before", "outs_before", "dby")} AS we_b,
+         CASE WHEN a_inning > 9 AND a_half = 'Top' THEN
+                CASE WHEN day > 0 THEN 1.0 WHEN day < 0 THEN 0.0 ELSE 0.5 END
+              ELSE {_we_sql("a_inning", "a_half", "a_runners", "a_outs", "day")}
+         END AS we_a,
+         {_li_sql("bases_before", "outs_before", "dby")} AS li
+  FROM st
+),
+metrics AS (
+  SELECT *,
+         CASE WHEN half = 'Bottom' THEN we_a - we_b ELSE -(we_a - we_b) END AS wpa
+  FROM wp
+),
+q AS (
+  SELECT m.*,
+         'T_' || CAST(contest_id AS VARCHAR)
+              || (CASE WHEN half = 'Top' THEN '_away' ELSE '_home' END) AS bat_team_id,
+         'T_' || CAST(contest_id AS VARCHAR)
+              || (CASE WHEN half = 'Top' THEN '_home' ELSE '_away' END) AS pitch_team_id,
+         'P0_' || (CASE WHEN half = 'Top' THEN 'home' ELSE 'away' END)
+               || '_' || CAST(contest_id AS VARCHAR) AS pitcher_name,
+         CAST(ROUND(wpa * 1000000000) AS BIGINT) AS wpa_u,
+         CAST(ROUND((CASE WHEN li > 0 THEN wpa / li ELSE 0.0 END) * 1000000000) AS BIGINT) AS wpali_u,
+         CAST(ROUND(li * 1000000000) AS BIGINT) AS li_u,
+         CAST(ROUND((
+           (CASE WHEN m.outs_after >= 3 THEN 0.0 ELSE COALESCE(ea.erv, 0.0) END)
+           - COALESCE(eb.erv, 0.0) + CAST(m.runs_on_play AS DOUBLE)
+         ) * 1000000000) AS BIGINT) AS rea_u
+  FROM metrics m
+  LEFT JOIN (
+    SELECT division, year, bases_before AS bases, outs_before AS outs,
+           CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
+    FROM read_parquet('{_PARSED_GLOB}')
+    WHERE outs_before <= 2 GROUP BY 1, 2, 3, 4
+  ) eb ON m.division = eb.division AND m.year = eb.year
+      AND m.bases_before = eb.bases AND m.outs_before = eb.outs
+  LEFT JOIN (
+    SELECT division, year, bases_before AS bases, outs_before AS outs,
+           CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
+    FROM read_parquet('{_PARSED_GLOB}')
+    WHERE outs_before <= 2 GROUP BY 1, 2, 3, 4
+  ) ea ON m.division = ea.division AND m.year = ea.year
+      AND m.bases_after = ea.bases AND m.outs_after = ea.outs
+),
+rw AS (
+  SELECT division, year,
+         9.0 * (CAST(SUM(runs_on_play) AS DOUBLE) * 3.0 / SUM(outs_on_play)) * 1.5 + 3.0 AS runs_win
+  FROM read_parquet('{_PARSED_GLOB}')
+  GROUP BY 1, 2
+)
+"""
+
+
+def _value_board(
+    plays: DataFrame,
+    runs_win: DataFrame,
+    id_col: str,
+    id_alias: str,
+    team_col: str | None,
+    flip: bool,
+) -> DataFrame:
+    sgn = -1 if flip else 1
+    split_src = (-F.col("wpa_u")) if flip else F.col("wpa_u")
+    aggs = [
+        (sgn * F.sum("wpa_u")).cast("double") / 1e9,
+        F.sum(F.when(split_src < 0, split_src).otherwise(F.lit(0))).cast("double") / 1e9,
+        F.sum(F.when(split_src > 0, split_src).otherwise(F.lit(0))).cast("double") / 1e9,
+        (sgn * F.sum("rea_u")).cast("double") / 1e9,
+        F.sum("li_u").cast("double") / F.count("*") / 1e9,
+        (sgn * F.sum("wpali_u")).cast("double") / 1e9,
+    ]
+    names = ["wpa", "neg_wpa", "pos_wpa", "rea", "pli", "wpa_li"]
+    group = [F.col(id_col).alias(id_alias)] + (
+        [F.col(team_col).alias("team_id"), F.col(team_col).alias("team_name")]
+        if team_col
+        else []
+    )
+    board = (
+        plays.where(F.col(id_col).isNotNull())
+        .join(F.broadcast(runs_win), ["division", "year"])
+        .groupBy(*group)
+        .agg(
+            *[a.alias(n) for a, n in zip(aggs, names)],
+            F.min("runs_win").alias("_rw"),
+        )
+    )
+    return board.select(
+        *[id_alias, *(["team_id", "team_name"] if team_col else [])],
+        "wpa", "neg_wpa", "pos_wpa", "rea",
+        (F.col("rea") / F.col("_rw")).alias("rew"),
+        "pli", "wpa_li",
+        F.when(
+            F.col("pli") > 0, F.col("wpa") / F.col("pli") - F.col("wpa_li")
+        ).alias("clutch"),
+    )
+
+
+def _runs_win(plays: DataFrame) -> DataFrame:
+    return plays.groupBy("division", "year").agg(
+        (
+            9.0
+            * (F.sum("runs_on_play").cast("double") * 3.0 / F.sum("outs_on_play"))
+            * 1.5
+            + 3.0
+        ).alias("runs_win")
+    )
+
+
+def _mk_oracle(id_expr: str, id_alias: str, team_expr: str | None, flip: bool) -> str:
+    extra = (
+        f"\n       {team_expr} AS team_id, {team_expr} AS team_name," if team_expr else ""
+    )
+    group_cols = [id_expr] + ([team_expr, team_expr] if team_expr else [])
+    body = f"""
+SELECT {id_expr} AS {id_alias},{extra}
+       CAST({"-" if flip else ""}SUM(wpa_u) AS DOUBLE) / 1e9 AS wpa,
+       CAST(SUM(CASE WHEN {"-wpa_u" if flip else "wpa_u"} < 0 THEN {"-wpa_u" if flip else "wpa_u"} ELSE 0 END) AS DOUBLE) / 1e9 AS neg_wpa,
+       CAST(SUM(CASE WHEN {"-wpa_u" if flip else "wpa_u"} > 0 THEN {"-wpa_u" if flip else "wpa_u"} ELSE 0 END) AS DOUBLE) / 1e9 AS pos_wpa,
+       CAST({"-" if flip else ""}SUM(rea_u) AS DOUBLE) / 1e9 AS rea,
+       (CAST({"-" if flip else ""}SUM(rea_u) AS DOUBLE) / 1e9) / MIN(rw.runs_win) AS rew,
+       CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 AS pli,
+       CAST({"-" if flip else ""}SUM(wpali_u) AS DOUBLE) / 1e9 AS wpa_li,
+       CASE WHEN CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 > 0
+            THEN (CAST({"-" if flip else ""}SUM(wpa_u) AS DOUBLE) / 1e9)
+                 / (CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9)
+                 - CAST({"-" if flip else ""}SUM(wpali_u) AS DOUBLE) / 1e9
+       END AS clutch
+FROM q JOIN rw ON q.division = rw.division AND q.year = rw.year
+WHERE {id_expr} IS NOT NULL
+GROUP BY {", ".join(dict.fromkeys(group_cols))}
+"""
+    return f"WITH {_WP_CTES}\n{body}"
+
+
+@register(
+    "domain_value_batter",
+    _mk_oracle("batter_name", "player_name", "bat_team_id", flip=False),
+    tags=("domain", "value"),
+)
+def domain_value_batter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plays = _wp_plays(spark, sf_dir)
+    return _value_board(
+        plays, _runs_win(plays), "batter_name", "player_name", "bat_team_id", flip=False
+    )
+
+
+@register(
+    "domain_value_pitcher",
+    _mk_oracle("pitcher_name", "player_name", "pitch_team_id", flip=True),
+    tags=("domain", "value"),
+)
+def domain_value_pitcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plays = _wp_plays(spark, sf_dir)
+    return _value_board(
+        plays, _runs_win(plays), "pitcher_name", "player_name", "pitch_team_id", flip=True
+    )
+
+
+@register(
+    "domain_value_batting_team",
+    _mk_oracle("bat_team_id", "team_id", None, flip=False),
+    tags=("domain", "value"),
+)
+def domain_value_batting_team(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plays = _wp_plays(spark, sf_dir)
+    return _value_board(
+        plays, _runs_win(plays), "bat_team_id", "team_id", None, flip=False
+    )
+
+
+@register(
+    "domain_value_pitching_team",
+    _mk_oracle("pitch_team_id", "team_id", None, flip=True),
+    tags=("domain", "value"),
+)
+def domain_value_pitching_team(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plays = _wp_plays(spark, sf_dir)
+    return _value_board(
+        plays, _runs_win(plays), "pitch_team_id", "team_id", None, flip=True
+    )
