@@ -184,3 +184,44 @@ def add_park_adjusted(war_df: DataFrame, park_factors: DataFrame, guts: DataFram
     return with_guts.withColumn("wrc", wrc).withColumn(
         "wrc_plus", saber.wrc_plus(wrc, F.col("pa"), F.col("runs_pa"), F.col("pf"))
     ).drop("runs_pa")
+
+
+def normalize_division_war(
+    bat_war: DataFrame,
+    pitch_war: DataFrame,
+    standings: DataFrame,
+    pitcher_share: float = 0.40,
+    rep_wp: float = 0.294,
+) -> tuple[DataFrame, DataFrame]:
+    """W14 division-level rescale (reference sos_utils.py:112-138): scale
+    batting and pitching WAR so the division's total equals the standings
+    target ``wins - 0.294 * games``, split `pitcher_share` to pitchers.
+
+    `standings`: (division, year, wins, games) at team grain. Totals are
+    scaled-long sums (never-sum-raw-doubles); the reconciliation invariant
+    Σwar == target (get_war.py:186-188) is asserted by tests/test_war.py.
+    """
+
+    def _scaled(df: DataFrame, target_frac: float) -> DataFrame:
+        totals = standings.groupBy("division", "year").agg(
+            F.sum("wins").alias("_w"), F.sum("games").alias("_g")
+        )
+        war_total = (
+            F.sum(F.round(F.col("war") * 1_000_000_000).cast("long"))
+            .over(Window.partitionBy("division", "year"))
+            .cast("double")
+            / 1e9
+        )
+        target = (F.col("_w") - rep_wp * F.col("_g")) * target_frac
+        return (
+            df.join(F.broadcast(totals), ["division", "year"], "left")
+            .withColumn(
+                "war",
+                F.when(
+                    F.abs(war_total) > 1e-12, F.col("war") * (target / war_total)
+                ).otherwise(F.col("war")),
+            )
+            .drop("_w", "_g")
+        )
+
+    return _scaled(bat_war, 1.0 - pitcher_share), _scaled(pitch_war, pitcher_share)

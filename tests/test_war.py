@@ -178,3 +178,42 @@ def test_park_adjustment(spark, std_guts, cube):
                ).collect()}
     assert adj["p1"]["wrc_plus"] < neutral["p1"]["wrc_plus"]
     assert adj["p1"]["wrc"] == pytest.approx(neutral["p1"]["wrc"])  # wrc itself unscaled
+
+
+def test_normalize_division_war_reconciliation(spark, std_guts, cube):
+    """The reference's end-to-end WAR invariant (get_war.py:186-188):
+    after division normalization, Σ batting WAR + Σ pitching WAR equals
+    the standings target wins - 0.294*games, split 60/40."""
+    from d3d_etl_spark.pbp.war import (
+        batting_war,
+        normalize_division_war,
+        pitching_war,
+        sos_adjust,
+    )
+
+    rankings = spark.createDataFrame(
+        [("t1", "ncaa_3", 2024, 2.0), ("t2", "ncaa_3", 2024, -2.0)],
+        "team_id string, division string, year int, sos_val double",
+    )
+    cube_p = spark.createDataFrame(
+        [("q1", "Ace Arm", "t1", "conf-a", "ncaa_3", 2024, "60.0", 20, 55, 18, 3, 4, 80),
+         ("q2", "Wild Thing", "t2", "conf-a", "ncaa_3", 2024, "30.2", 28, 45, 30, 7, 6, 15)],
+        "player_id string, player_name string, team_id string, conference string, "
+        "division string, year int, ip string, er long, h long, bb long, "
+        "hr_a long, hbp long, so long",
+    )
+    bat = sos_adjust(batting_war(cube, std_guts), rankings)
+    pit = sos_adjust(
+        pitching_war(cube_p, std_guts).withColumnRenamed("ip_thirds", "pa"), rankings
+    )
+    standings = spark.createDataFrame(
+        [("ncaa_3", 2024, "t1", 30, 40), ("ncaa_3", 2024, "t2", 12, 40)],
+        "division string, year int, team_id string, wins long, games long",
+    )
+    nb, np_ = normalize_division_war(bat, pit, standings)
+    target = (30 + 12) - 0.294 * 80
+    bt = nb.agg(F.sum("war")).first()[0]
+    pt = np_.agg(F.sum("war")).first()[0]
+    assert bt == pytest.approx(target * 0.6, abs=1e-6)
+    assert pt == pytest.approx(target * 0.4, abs=1e-6)
+    assert bt + pt == pytest.approx(target, abs=1e-6)
