@@ -325,3 +325,82 @@ def variation_tier(
             F.lit("variation").alias("tier"),
         )
     )
+
+
+def headshot_cascade(
+    probes: DataFrame,
+    candidates: DataFrame,
+    team_key: str,
+    year_key: str,
+    probe_id: str,
+    probe_name: str,
+    cand_id: str,
+    cand_name: str,
+    cutoff: float = 0.9,
+) -> DataFrame:
+    """The reference's headshot→player reconciliation
+    (reconcile_players.py:413-469) as a BLOCK-RELAXATION cascade:
+
+        1. direct         — (team, year) block, normalized-name equality
+        2. fuzzy          — (team, year) block, similarity top-1 >= cutoff
+        3. fuzzy_fallback — (team) block only, similarity top-1 >= cutoff
+
+    The reference scores with rapidfuzz WRatio >= 90; the engine default is
+    the deterministic token-sorted similarity at the same 0.9 cutoff
+    (oracle-mirrorable; a WRatio pandas UDF can replace the scorer column
+    without changing the cascade shape — functions/fuzzscore.py shows the
+    pattern). Ambiguity determinized by (score desc, cand_id asc), the
+    extractOne list-order tie break made partition-stable.
+
+    Returns (probe_id, matched_id, tier).
+    """
+    from d3d_etl_spark.functions.strings import normalize_name
+
+    w_min = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
+    w_top = Window.partitionBy(probe_id).orderBy(F.desc("_score"), F.asc(cand_id))
+    sim = levenshtein_sim(
+        token_sort_key(F.col(probe_name)), token_sort_key(F.col(cand_name))
+    )
+    tiers: list[DataFrame] = []
+    remaining = probes
+
+    def _advance(matched: DataFrame) -> None:
+        nonlocal remaining
+        matched = matched.localCheckpoint()
+        tiers.append(matched)
+        remaining = remaining.join(matched.select(probe_id), probe_id, "left_anti")
+
+    direct = (
+        remaining.join(candidates, [team_key, year_key])
+        .where(
+            normalize_name(F.col(probe_name)) == normalize_name(F.col(cand_name))
+        )
+        .withColumn("_rn", F.row_number().over(w_min))
+        .where("_rn = 1")
+        .select(
+            F.col(probe_id),
+            F.col(cand_id).alias("matched_id"),
+            F.lit("direct").alias("tier"),
+        )
+    )
+    _advance(direct)
+
+    for tier_name, keys in (("fuzzy", [team_key, year_key]), ("fuzzy_fallback", [team_key])):
+        m = (
+            remaining.join(candidates, keys)
+            .withColumn("_score", sim)
+            .where(F.col("_score") >= cutoff)
+            .withColumn("_rn", F.row_number().over(w_top))
+            .where("_rn = 1")
+            .select(
+                F.col(probe_id),
+                F.col(cand_id).alias("matched_id"),
+                F.lit(tier_name).alias("tier"),
+            )
+        )
+        _advance(m)
+
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out

@@ -179,3 +179,107 @@ def domain_roster_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_number="pnum", cand_number="cnum",
         cutoff=_CUTOFF,
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_headshot_match — the reference's headshot->player reconciliation
+# (reconcile_players.py:413-469) as the block-relaxation cascade:
+# (team, year) direct -> (team, year) fuzzy >= 0.9 -> (team) fuzzy >= 0.9.
+# Probe classes by partkey mod 3: direct hit, corrupted name (fuzzy), and
+# corrupted name with a WRONG year (must fall through to the team-only
+# fallback block). team = p_brand, year = p_size.
+# ---------------------------------------------------------------------------
+
+_HS_CUTOFF = 0.9
+
+
+def _sim_sql(a: str, b: str) -> str:
+    ta, tb = _tsk(a), _tsk(b)
+    return f"1.0 - CAST(levenshtein({ta}, {tb}) AS DOUBLE) / GREATEST(len({ta}), len({tb}))"
+
+
+_HEADSHOT_ORACLE = f"""
+WITH cand AS (
+  SELECT p_partkey AS cand_id, p_brand AS team, p_size AS year, p_name AS cname
+  FROM part
+),
+probes AS (
+  SELECT p_partkey AS probe_id, p_brand AS team,
+         CASE WHEN p_partkey % 3 = 2 THEN p_size + 1 ELSE p_size END AS year,
+         CASE WHEN p_partkey % 3 = 0 THEN p_name
+              ELSE substr(p_name, 1, len(p_name) - 2) END AS pname
+  FROM part
+),
+direct AS (
+  SELECT probe_id, matched_id, 'direct' AS tier
+  FROM (
+    SELECT p.probe_id, c.cand_id AS matched_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY c.cand_id) AS rn
+    FROM probes p
+    JOIN cand c ON p.team = c.team AND p.year = c.year
+    WHERE {_norm("p.pname")} = {_norm("c.cname")}
+  ) WHERE rn = 1
+),
+fz AS (
+  SELECT probe_id, matched_id, 'fuzzy' AS tier
+  FROM (
+    SELECT p.probe_id, c.cand_id AS matched_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY {_sim_sql("p.pname", "c.cname")} DESC, c.cand_id
+           ) AS rn
+    FROM probes p
+    JOIN cand c ON p.team = c.team AND p.year = c.year
+    WHERE p.probe_id NOT IN (SELECT probe_id FROM direct)
+      AND {_sim_sql("p.pname", "c.cname")} >= {_HS_CUTOFF}
+  ) WHERE rn = 1
+),
+fb AS (
+  SELECT probe_id, matched_id, 'fuzzy_fallback' AS tier
+  FROM (
+    SELECT p.probe_id, c.cand_id AS matched_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY {_sim_sql("p.pname", "c.cname")} DESC, c.cand_id
+           ) AS rn
+    FROM probes p
+    JOIN cand c ON p.team = c.team
+    WHERE p.probe_id NOT IN (SELECT probe_id FROM direct)
+      AND p.probe_id NOT IN (SELECT probe_id FROM fz)
+      AND {_sim_sql("p.pname", "c.cname")} >= {_HS_CUTOFF}
+  ) WHERE rn = 1
+)
+SELECT * FROM direct
+UNION ALL SELECT * FROM fz
+UNION ALL SELECT * FROM fb
+"""
+
+
+@register("domain_headshot_match", _HEADSHOT_ORACLE, tags=("domain", "fuzzy", "join"))
+def domain_headshot_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.operators.fuzzy_join import headshot_cascade
+
+    part = load_table(spark, sf_dir, "part")
+    cands = part.select(
+        F.col("p_partkey").alias("cand_id"),
+        F.col("p_brand").alias("team"),
+        F.col("p_size").alias("year"),
+        F.col("p_name").alias("cname"),
+    )
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        F.col("p_brand").alias("team"),
+        F.when(F.col("p_partkey") % 3 == 2, F.col("p_size") + 1)
+        .otherwise(F.col("p_size"))
+        .alias("year"),
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_name"))
+        .otherwise(F.expr("substr(p_name, 1, length(p_name) - 2)"))
+        .alias("pname"),
+    )
+    return headshot_cascade(
+        probes, cands,
+        team_key="team", year_key="year",
+        probe_id="probe_id", probe_name="pname",
+        cand_id="cand_id", cand_name="cname",
+        cutoff=_HS_CUTOFF,
+    )

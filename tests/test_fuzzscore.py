@@ -104,3 +104,36 @@ def test_cascade_tier_order(spark):
     assert out[11]["tier"] == "last" and out[11]["matched_id"] == 3
     # "smith" vs token-sorted full names is far below 0.7 -> unmatched
     assert 12 not in out
+
+
+def test_headshot_cascade_block_relaxation(spark):
+    """reconcile_players precedence: (team,year) direct beats (team,year)
+    fuzzy beats the team-only fallback block (reconcile_players.py:413-469)."""
+    from d3d_etl_spark.operators.fuzzy_join import headshot_cascade
+
+    cands = spark.createDataFrame(
+        [(1, "tA", 2023, "John Smith"), (2, "tA", 2024, "John Smith"),
+         (3, "tA", 2024, "Alice Wong")],
+        "cand_id int, team string, year int, cname string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, "tA", 2024, "john smith"),    # direct (normalized) in-year
+            (11, "tA", 2024, "Alice Wongg"),   # fuzzy in-year
+            (12, "tA", 2025, "John Smith"),    # wrong year -> team fallback
+        ],
+        "probe_id int, team string, year int, pname string",
+    )
+    out = {
+        r["probe_id"]: r
+        for r in headshot_cascade(
+            probes, cands,
+            team_key="team", year_key="year",
+            probe_id="probe_id", probe_name="pname",
+            cand_id="cand_id", cand_name="cname",
+            cutoff=0.9,
+        ).collect()
+    }
+    assert out[10]["tier"] == "direct" and out[10]["matched_id"] == 2
+    assert out[11]["tier"] == "fuzzy" and out[11]["matched_id"] == 3
+    assert out[12]["tier"] == "fuzzy_fallback" and out[12]["matched_id"] == 1
