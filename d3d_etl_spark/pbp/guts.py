@@ -23,11 +23,21 @@ _W_EVENTS = {
 }
 
 
-def guts_constants(plays: DataFrame, lw: DataFrame, lg_obp: float = 0.360) -> DataFrame:
+def guts_constants(
+    plays: DataFrame,
+    lw: DataFrame,
+    lg_obp: float = 0.360,
+    cube_pitching: DataFrame | None = None,
+) -> DataFrame:
     """(division, year) -> league constants row.
 
     `plays`: parsed plays (event_type, runs_on_play, outs_on_play).
     `lw`: linear_weights output (pbp/metrics.linear_weights).
+    `cube_pitching` (optional): season pitching totals (er, hr_a, bb, hbp,
+    so, ip as the base-3 codec) — when given, cFIP derives from league
+    totals exactly like the reference (get_guts.py:103-117:
+    lgERA - FIP components per IP); otherwise the documented default
+    constant stands in.
     """
     ev = F.col("event_type")
     league = plays.groupBy("division", "year").agg(
@@ -65,6 +75,19 @@ def guts_constants(plays: DataFrame, lw: DataFrame, lg_obp: float = 0.360) -> Da
         .join(F.broadcast(out_lw), ["division", "year"], "left")
         .join(F.broadcast(scale), ["division", "year"], "left")
     )
+    if cube_pitching is not None:
+        from d3d_etl_spark.functions import saber
+        from d3d_etl_spark.functions.math import ip_to_thirds
+
+        fip_const = cube_pitching.groupBy("division", "year").agg(
+            saber.cfip(
+                F.sum("er"), F.sum("hr_a"), F.sum("bb"), F.sum("hbp"),
+                F.sum("so"), F.sum(ip_to_thirds(F.col("ip"))),
+            ).alias("_cfip")
+        )
+        joined = joined.join(F.broadcast(fip_const), ["division", "year"], "left")
+    else:
+        joined = joined.withColumn("_cfip", F.lit(None).cast("double"))
     runs_pa = safe_div(F.col("lg_runs").cast("double"), F.col("lg_pa"))
     runs_out = -F.coalesce(F.col("_lw_out"), F.lit(-0.1))
     rpi = safe_div(F.col("lg_runs").cast("double") * 3.0, F.col("lg_outs"))  # runs per inning
@@ -80,5 +103,5 @@ def guts_constants(plays: DataFrame, lw: DataFrame, lg_obp: float = 0.360) -> Da
         runs_pa.alias("runs_pa"),
         runs_out.alias("runs_out"),
         (9.0 * rpi * 1.5 + 3.0).alias("runs_win"),
-        F.lit(3.10).alias("cfip"),
+        F.coalesce(F.col("_cfip"), F.lit(3.10)).alias("cfip"),
     )

@@ -217,3 +217,40 @@ def test_normalize_division_war_reconciliation(spark, std_guts, cube):
     assert bt == pytest.approx(target * 0.6, abs=1e-6)
     assert pt == pytest.approx(target * 0.4, abs=1e-6)
     assert bt + pt == pytest.approx(target, abs=1e-6)
+
+
+def test_guts_cfip_from_pitching_totals(spark, guts):
+    """cFIP derives from league pitching totals when supplied (reference
+    get_guts.py:103-117): lgERA - FIP components per IP."""
+    from d3d_etl_spark.pbp.guts import guts_constants
+    from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long, linear_weights
+    from d3d_etl_spark.pbp.parser import parse_pbp
+
+    rows = [
+        (2024, "ncaa_3", 100, inning,
+         text if half == "T" else None,
+         text if half == "B" else None,
+         seq)
+        for seq, (inning, half, text) in enumerate(_GAME)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    parsed = parse_pbp(raw)
+    plays = add_re24(parsed, expected_runs_long(parsed))
+    lw = linear_weights(plays, lg_obp=0.360)
+    cube_p = spark.createDataFrame(
+        [("q1", "ncaa_3", 2024, "60.0", 20, 18, 3, 4, 80),
+         ("q2", "ncaa_3", 2024, "30.0", 28, 30, 7, 6, 15)],
+        "player_id string, division string, year int, ip string, er long, "
+        "bb long, hr_a long, hbp long, so long",
+    )
+    g = guts_constants(plays, lw, cube_pitching=cube_p).first()
+    ip = 90.0  # 60 + 30 innings
+    lg_era = (20 + 28) * 9 / ip
+    comp = (13 * (3 + 7) + 3 * ((18 + 30) + (4 + 6)) - 2 * (80 + 15)) / ip
+    assert g["cfip"] == pytest.approx(lg_era - comp)
+    # and the default stands in without pitching totals
+    assert guts.first()["cfip"] == pytest.approx(3.10)
