@@ -68,7 +68,12 @@ def run_analytics(
             path = os.path.join(checkpoint_dir, name)
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
-        return df.cache()
+        # localCheckpoint, not cache(): cache is lazy, so the eager broadcast
+        # subtrees downstream (ER lookup, linear weights, guts) re-derive the
+        # whole parse — FSM included — before the main job ever populates the
+        # cache. The eager barrier computes the spine exactly once
+        # (measured ~40% off the full DAG at sf0.1).
+        return df.localCheckpoint()
 
     parsed = _materialize(parse_pbp(raw_pbp), "parsed_pbp")
     er_long = expected_runs_long(parsed)
