@@ -358,3 +358,50 @@ def team_batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
         "ob_pct",
         safe_div((F.col("h") + F.col("bb") + F.col("hbp")).cast("double"), F.col("pa")),
     )
+
+
+def condition_splits_board(
+    plays: DataFrame,
+    group_cols: list[str],
+    conditions: dict[str, F.Column | None],
+    min_pa: int = 1,
+) -> DataFrame:
+    """Generic situation-splits board (A8; reference situational.py:19-44):
+    per group, PA/AB/H/OB counts + BA/OB%% rates for each named condition
+    (None = overall) — one pass of conditional aggregation, fixed columns.
+
+    The reference's situation set is {overall, risp, runners_on,
+    high_leverage, low_leverage}; callers supply whatever subset their
+    play columns support (leverage needs an `li` column)."""
+    ev = F.col("event_type")
+    pa_cond = ev.isin(*PA_EVENTS)
+    hit_cond = ev.isin(*_HIT_EVENTS)
+    ob_cond = ev.isin(*_OB_EVENTS)
+    nonab_cond = ev.isin("BB", "IBB", "HBP", "SF", "SH")
+    aggs = []
+    names = list(conditions)
+    for name in names:
+        cond = conditions[name]
+        c = F.lit(True) if cond is None else cond
+        aggs += [
+            _n(c & pa_cond).alias(f"pa_{name}"),
+            (_n(c & pa_cond) - _n(c & nonab_cond)).alias(f"ab_{name}"),
+            _n(c & hit_cond).alias(f"h_{name}"),
+            _n(c & ob_cond).alias(f"ob_{name}"),
+        ]
+    board = (
+        plays.where(F.col(group_cols[-1]).isNotNull())
+        .groupBy(*group_cols)
+        .agg(*aggs)
+        .where(F.col(f"pa_{names[0]}") >= min_pa)
+    )
+    return add_split_rates(board, names)
+
+
+def risp_cond() -> F.Column:
+    """Runner in scoring position: 2nd or 3rd occupied before the play."""
+    return F.col("bases_before").substr(2, 2) != "NN"
+
+
+def runners_on_cond() -> F.Column:
+    return F.col("bases_before") != "NNN"

@@ -305,3 +305,71 @@ def domain_value_pitching_team(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _value_board(
         plays, _runs_win(plays), "pitch_team_id", "team_id", None, flip=True
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_situational — the reference's full situation set (situational.py:
+# 19-26: overall / risp / runners_on / high_leverage / low_leverage) as the
+# generic condition-splits board over the WP plays; leverage comes from the
+# same closed-form LI both engines compute.
+# ---------------------------------------------------------------------------
+
+_SIT_NAMES = ["overall", "risp", "runners_on", "high_leverage", "low_leverage"]
+
+_SIT_CONDS_SQL = {
+    "overall": "TRUE",
+    "risp": "substr(bases_before, 2, 2) != 'NN'",
+    "runners_on": "bases_before != 'NNN'",
+    "high_leverage": "li >= 2",
+    "low_leverage": "li <= 0.85",
+}
+
+from d3d_etl_spark.pbp.events import PA_EVENTS as _PA_EVENTS_SRC
+
+_PA_IN = "(" + ", ".join(f"'{e}'" for e in sorted(_PA_EVENTS_SRC)) + ")"
+_HIT_IN = "('1B', '2B', '3B', 'HR')"
+_OB_IN = "('1B', '2B', '3B', 'HR', 'BB', 'IBB', 'HBP')"
+_NONAB_IN = "('BB', 'IBB', 'HBP', 'SF', 'SH')"
+
+
+_SIT_ORACLE = f"""
+WITH {_WP_CTES}
+SELECT b.*, {", ".join(
+    f"CASE WHEN ab_{s} != 0 THEN CAST(h_{s} AS DOUBLE) / ab_{s} ELSE 0.0 END AS ba_{s}, "
+    f"CASE WHEN pa_{s} != 0 THEN CAST(ob_{s} AS DOUBLE) / pa_{s} ELSE 0.0 END AS ob_pct_{s}"
+    for s in _SIT_NAMES)}
+FROM (
+  SELECT division, year, batter_name, {", ".join(
+    f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_PA_IN} THEN 1 ELSE 0 END) AS BIGINT) AS pa_{s}, "
+    f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_PA_IN} THEN 1 ELSE 0 END)"
+    f" - SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_NONAB_IN} THEN 1 ELSE 0 END) AS BIGINT) AS ab_{s}, "
+    f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_HIT_IN} THEN 1 ELSE 0 END) AS BIGINT) AS h_{s}, "
+    f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_OB_IN} THEN 1 ELSE 0 END) AS BIGINT) AS ob_{s}"
+    for s in _SIT_NAMES)}
+  FROM metrics
+  WHERE batter_name IS NOT NULL
+  GROUP BY 1, 2, 3
+  HAVING SUM(CASE WHEN event_type IN {_PA_IN} THEN 1 ELSE 0 END) >= 1
+) b
+"""
+
+
+@register("domain_situational", _SIT_ORACLE, tags=("domain", "splits"))
+def domain_situational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.pbp.leaderboards import (
+        condition_splits_board,
+        risp_cond,
+        runners_on_cond,
+    )
+
+    plays = _wp_plays(spark, sf_dir)
+    conds = {
+        "overall": None,
+        "risp": risp_cond(),
+        "runners_on": runners_on_cond(),
+        "high_leverage": F.col("li") >= 2,
+        "low_leverage": F.col("li") <= 0.85,
+    }
+    return condition_splits_board(
+        plays, ["division", "year", "batter_name"], conds, min_pa=1
+    )
