@@ -618,3 +618,65 @@ def domain_guts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("runs_win"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_rolling_form — the rolling-wOBA board shape (W10; reference
+# leaderboards/rolling.py:19-43): rolling on-base rate over the last n PAs
+# per batter with pandas min-periods semantics, the value n PAs earlier,
+# the trend delta, latest row per batter. Rates are single divisions of
+# exact integer window sums.
+# ---------------------------------------------------------------------------
+
+_ROLL_N = 10
+
+_ROLL_ORACLE = f"""
+WITH pa AS (
+  SELECT division, year, batter_name, contest_id, play_id,
+         CASE WHEN event_type IN ('1B','2B','3B','HR','BB','IBB','HBP')
+              THEN 1 ELSE 0 END AS ob
+  FROM read_parquet('{_PARSED_GLOB}')
+  WHERE batter_name IS NOT NULL
+    AND event_type IN {{pa_in}}
+),
+rolled AS (
+  SELECT *,
+         ROW_NUMBER() OVER w_asc AS pa_seq,
+         CASE WHEN COUNT(*) OVER frame_cur = {_ROLL_N}
+              THEN CAST(SUM(ob) OVER frame_cur AS DOUBLE) / {_ROLL_N} END AS roll_ob,
+         CASE WHEN COUNT(*) OVER frame_prev = {_ROLL_N}
+              THEN CAST(SUM(ob) OVER frame_prev AS DOUBLE) / {_ROLL_N} END AS roll_ob_prev
+  FROM pa
+  WINDOW
+    w_asc AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id),
+    frame_cur AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id
+                  ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW),
+    frame_prev AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id
+                   ROWS BETWEEN {2 * _ROLL_N - 1} PRECEDING AND {_ROLL_N} PRECEDING)
+),
+latest AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY division, year, batter_name
+                            ORDER BY contest_id DESC, play_id DESC) AS rn
+  FROM rolled
+)
+SELECT division, year, batter_name,
+       CAST(pa_seq AS BIGINT) AS total_pa,
+       roll_ob, roll_ob_prev,
+       roll_ob - roll_ob_prev AS trend
+FROM latest WHERE rn = 1
+"""
+
+
+def _roll_oracle() -> str:
+    pa_in = "(" + ", ".join(f"'{e}'" for e in _PA_EVENTS) + ")"
+    return _ROLL_ORACLE.format(pa_in=pa_in)
+
+
+@register("domain_rolling_form", _roll_oracle(), tags=("domain", "window"))
+def domain_rolling_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.pbp.leaderboards import rolling_form_board
+
+    parsed = materialized_parsed(spark, sf_dir)
+    board = rolling_form_board(parsed, n=_ROLL_N)
+    return board.withColumn("total_pa", F.col("total_pa").cast("long"))
