@@ -8,6 +8,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from d3d_etl_spark.queries import (  # noqa: F401
         aggregates,
+        boards,
         dedup,
         domain,
         fuzzy,
