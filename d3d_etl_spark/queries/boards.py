@@ -194,3 +194,60 @@ def domain_team_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ob_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_baserunning — runner-grain baserunning stats (A9 + T2/T3;
+# reference baserunning.py): explode narration segments, classify each
+# with one regexp, aggregate per runner. Segment 0 is the batter's action
+# except on runner-only events.
+# ---------------------------------------------------------------------------
+
+_RUNNER_ACTION_SQL = (
+    r"^\s*(.*?)\s+(stole (?:second|third|home)|caught stealing|picked off"
+    r"|advanced to (?:second|third|home)|scored|out at (?:second|third|home))"
+)
+_RUNNER_ONLY_IN = "('SB','CS','PK','PKE','WP','PB','BK','DI','ERR','ADV')"
+
+_BR_ORACLE = f"""
+WITH segs AS (
+  SELECT division, year, event_type,
+         unnest(string_split(play_text, ';')) AS seg,
+         unnest(range(len(string_split(play_text, ';')))) AS pos
+  FROM read_parquet('{_PARSED_GLOB}')
+),
+classed AS (
+  SELECT division, year,
+         regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 1) AS runner_name,
+         lower(regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 2)) AS action
+  FROM segs
+  WHERE (pos > 0 OR event_type IN {_RUNNER_ONLY_IN})
+),
+board AS (
+  SELECT division, year, runner_name,
+         CAST(SUM(CASE WHEN action LIKE 'stole%' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN action = 'caught stealing' THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+         CAST(SUM(CASE WHEN action = 'picked off' THEN 1 ELSE 0 END) AS BIGINT) AS pk,
+         CAST(SUM(CASE WHEN action LIKE 'advanced%' THEN 1 ELSE 0 END) AS BIGINT) AS advances,
+         CAST(SUM(CASE WHEN action = 'scored' THEN 1 ELSE 0 END) AS BIGINT) AS runs_scored,
+         CAST(SUM(CASE WHEN action LIKE 'out at%' THEN 1 ELSE 0 END) AS BIGINT) AS outs_on_bases
+  FROM classed
+  WHERE runner_name != '' AND action != ''
+  GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT *, sb + cs + pk + advances + runs_scored + outs_on_bases AS n_events
+  FROM board
+)
+SELECT *,
+       ROUND(CASE WHEN sb + cs != 0 THEN CAST(sb AS DOUBLE) / (sb + cs) ELSE 0.0 END, 3) AS sb_pct
+FROM t
+WHERE n_events >= 1
+"""
+
+
+@register("domain_baserunning", _BR_ORACLE, tags=("domain",))
+def domain_baserunning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.pbp.leaderboards import baserunning_board
+
+    return baserunning_board(materialized_parsed(spark, sf_dir), min_events=1)
