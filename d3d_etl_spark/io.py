@@ -45,8 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events":
         # defensive: the session may not be ours (the verify driver builds its
-        # own); the nanos knob is runtime-settable, so set it before the scan
+        # own); the nanos knob is runtime-settable, so set it before the scan.
+        # Pin the session TZ too — the NTZ->timestamp cast below reinterprets
+        # wall-clock time in the SESSION zone, so a non-UTC driver session
+        # would silently shift every instant and break oracle parity.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = df.schema["ts"].dataType

@@ -269,7 +269,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 50,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node in `edges`, component = min node id
     reachable — the cluster-assignment step after near-dup pair generation

@@ -190,8 +190,20 @@ def roster_cascade(
     norm_c = normalize_name(F.col(cand_name))
     last_c = F.substring_index(norm_c, " ", -1)
     init_last_c = F.concat(F.substring(norm_c, 1, 1), F.lit(" "), last_c)
-    for tier_name, cand_key_expr, probe_key_expr in (
-        ("last", last_c, F.substring_index(normalize_name(F.col(probe_name)), " ", -1)),
+    # two-token guard: the reference builds by_initlast only for names with
+    # >= 2 tokens and skips tier 4 for single-token probes
+    # (map_ncaa_to_cube len(parts) >= 2) — a single-token 'smith' must fall
+    # through to fuzzy, not match 's smith'
+    two_tok_c = F.size(F.split(norm_c, " ")) >= 2
+    two_tok_p = F.size(F.split(normalize_name(F.col(probe_name)), " ")) >= 2
+    for tier_name, cand_key_expr, probe_key_expr, cand_guard, probe_guard in (
+        (
+            "last",
+            last_c,
+            F.substring_index(normalize_name(F.col(probe_name)), " ", -1),
+            F.lit(True),
+            F.lit(True),
+        ),
         (
             "initlast",
             init_last_c,
@@ -200,16 +212,21 @@ def roster_cascade(
                 F.lit(" "),
                 F.substring_index(normalize_name(F.col(probe_name)), " ", -1),
             ),
+            two_tok_c,
+            two_tok_p,
         ),
     ):
-        keyed = candidates.select(*block_keys, F.col(cand_id), cand_key_expr.alias("_k"))
+        keyed = candidates.where(cand_guard).select(
+            *block_keys, F.col(cand_id), cand_key_expr.alias("_k")
+        )
         unique = (
             keyed.groupBy(*block_keys, "_k")
             .agg(F.count("*").alias("_cnt"), F.min(cand_id).alias("matched_id"))
             .where("_cnt = 1")
         )
         m = (
-            remaining.withColumn("_k", probe_key_expr)
+            remaining.where(probe_guard)
+            .withColumn("_k", probe_key_expr)
             .join(unique, [*block_keys, "_k"])
             .select(F.col(probe_id), F.col("matched_id"), F.lit(tier_name).alias("tier"))
         )

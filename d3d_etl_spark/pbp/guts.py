@@ -79,10 +79,15 @@ def guts_constants(
         from d3d_etl_spark.functions import saber
         from d3d_etl_spark.functions.math import ip_to_thirds
 
+        # published at 3 decimals exactly like the reference
+        # (get_guts.py round(lg_era - fip_components, 3))
         fip_const = cube_pitching.groupBy("division", "year").agg(
-            saber.cfip(
-                F.sum("er"), F.sum("hr_a"), F.sum("bb"), F.sum("hbp"),
-                F.sum("so"), F.sum(ip_to_thirds(F.col("ip"))),
+            F.round(
+                saber.cfip(
+                    F.sum("er"), F.sum("hr_a"), F.sum("bb"), F.sum("hbp"),
+                    F.sum("so"), F.sum(ip_to_thirds(F.col("ip"))),
+                ),
+                3,
             ).alias("_cfip")
         )
         joined = joined.join(F.broadcast(fip_const), ["division", "year"], "left")

@@ -213,12 +213,17 @@ def normalize_division_war(
             / 1e9
         )
         target = (F.col("_w") - rep_wp * F.col("_g")) * target_frac
+        # a (division, year) absent from standings must stay unscaled, not
+        # go NULL — gate the rescale on the join actually landing
         return (
             df.join(F.broadcast(totals), ["division", "year"], "left")
             .withColumn(
                 "war",
                 F.when(
-                    F.abs(war_total) > 1e-12, F.col("war") * (target / war_total)
+                    F.col("_w").isNotNull()
+                    & F.col("_g").isNotNull()
+                    & (F.abs(war_total) > 1e-12),
+                    F.col("war") * (target / war_total),
                 ).otherwise(F.col("war")),
             )
             .drop("_w", "_g")

@@ -279,18 +279,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTES},
-inter AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON doc_a = sa.doc
-  JOIN sizes sb ON doc_b = sb.doc
-  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
-),
+{_LSH_PAIR_CTES},
 e AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -313,8 +302,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(
         docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
     ).localCheckpoint()
-    pairs = jaccard_pairs(sh, _JACCARD_T)
-    return connected_components(pairs)
+    # LSH-gated pair stage (never the raw shingle self-join): cluster
+    # assignment runs over the same sub-quadratic candidate set the flagship
+    # compositions use; the oracle takes the identical gate via _LSH_PAIR_CTES
+    return connected_components(lsh_gated_pairs(sh))
 
 
 # ---------------------------------------------------------------------------

@@ -98,8 +98,12 @@ last_t AS (
     AND p.probe_id NOT IN (SELECT probe_id FROM exact)
 ),
 uniq_initlast AS (
+  -- two-token guard (reference map_ncaa_to_cube: by_initlast only built
+  -- for len(parts) >= 2; single-token probes skip tier 4)
   SELECT p_brand, cinitlast AS k, MIN(cand_id) AS matched_id
-  FROM cfeat GROUP BY 1, 2 HAVING COUNT(*) = 1
+  FROM cfeat
+  WHERE len(string_split(cnorm, ' ')) >= 2
+  GROUP BY 1, 2 HAVING COUNT(*) = 1
 ),
 initlast_t AS (
   SELECT p.probe_id, u.matched_id, 'initlast' AS tier
@@ -111,6 +115,7 @@ initlast_t AS (
   WHERE p.probe_id NOT IN (SELECT probe_id FROM jersey)
     AND p.probe_id NOT IN (SELECT probe_id FROM exact)
     AND p.probe_id NOT IN (SELECT probe_id FROM last_t)
+    AND len(string_split({_norm("p.pname")}, ' ')) >= 2
 ),
 fuzzy AS (
   SELECT probe_id, matched_id, 'fuzzy' AS tier

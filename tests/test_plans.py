@@ -175,7 +175,7 @@ def test_flagship_dedup_pair_stage_lsh_gated(spark, sf_dir):
     # and the flagship query fns actually route through the gate (their
     # final plans hide the pair stage behind connected_components'
     # localCheckpoint barriers, so pin at the source level too)
-    for fn in (pc.corpus_pipeline, dq.dedup_canonical):
+    for fn in (pc.corpus_pipeline, dq.dedup_canonical, dq.dedup_clusters):
         src = inspect.getsource(fn)
         assert "lsh_gated_pairs" in src, f"{fn.__name__} lost the LSH gate"
         assert "jaccard_pairs(sh" not in src, f"{fn.__name__} calls the un-gated pair path"

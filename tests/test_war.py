@@ -251,6 +251,6 @@ def test_guts_cfip_from_pitching_totals(spark, guts):
     ip = 90.0  # 60 + 30 innings
     lg_era = (20 + 28) * 9 / ip
     comp = (13 * (3 + 7) + 3 * ((18 + 30) + (4 + 6)) - 2 * (80 + 15)) / ip
-    assert g["cfip"] == pytest.approx(lg_era - comp)
+    assert g["cfip"] == pytest.approx(round(lg_era - comp, 3))
     # and the default stands in without pitching totals
     assert guts.first()["cfip"] == pytest.approx(3.10)
