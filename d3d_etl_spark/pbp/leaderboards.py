@@ -201,20 +201,24 @@ def pitching_board(plays_with_pitchers: DataFrame) -> DataFrame:
     )
 
 
-def rolling_form_board(plays: DataFrame, n: int = 25) -> DataFrame:
-    """Rolling on-base rate over the last n PAs per batter, with the value n
-    PAs earlier and the trend delta, keeping each batter's latest row —
+def rolling_form_board(
+    plays: DataFrame, n: int = 25, entity_col: str = "batter_name"
+) -> DataFrame:
+    """Rolling on-base rate over the last n PAs per entity, with the value n
+    PAs earlier and the trend delta, keeping each entity's latest row —
     the reference's rolling-wOBA board shape (leaderboards/rolling.py:19-43:
     rolling(n) -> shift(n) -> iloc[-1]), with pandas min-periods semantics
-    (null until the frame holds n PAs)."""
+    (null until the frame holds n PAs). `entity_col` selects the grain:
+    batter (reference rolling.py default) or pitcher (rolling_pitcher —
+    on-base rate ALLOWED over the last n batters faced)."""
     from pyspark.sql import Window
 
     from d3d_etl_spark.operators.windows import latest_per_key, rolling_sum_minp
 
     ev = F.col("event_type")
-    pa = plays.where(F.col("batter_name").isNotNull() & ev.isin(*PA_EVENTS))
+    pa = plays.where(F.col(entity_col).isNotNull() & ev.isin(*PA_EVENTS))
     ob = F.when(ev.isin(*_OB_EVENTS), 1).otherwise(0)
-    w = Window.partitionBy("division", "year", "batter_name").orderBy(
+    w = Window.partitionBy("division", "year", entity_col).orderBy(
         "contest_id", "play_id"
     )
     s, c = rolling_sum_minp(ob, w, n)
@@ -225,14 +229,14 @@ def rolling_form_board(plays: DataFrame, n: int = 25) -> DataFrame:
         .withColumn("roll_ob", F.when(c == n, s.cast("double") / n))
         .withColumn("roll_ob_prev", F.when(c_prev == n, s_prev.cast("double") / n))
     )
-    w_desc = Window.partitionBy("division", "year", "batter_name").orderBy(
+    w_desc = Window.partitionBy("division", "year", entity_col).orderBy(
         F.desc("contest_id"), F.desc("play_id")
     )
     return (
         with_roll.withColumn("_rn", latest_per_key(w_desc))
         .where("_rn = 1")
         .select(
-            "division", "year", "batter_name",
+            "division", "year", entity_col,
             F.col("pa_seq").alias("total_pa"),
             "roll_ob", "roll_ob_prev",
             (F.col("roll_ob") - F.col("roll_ob_prev")).alias("trend"),
@@ -240,17 +244,21 @@ def rolling_form_board(plays: DataFrame, n: int = 25) -> DataFrame:
     )
 
 
-def batted_ball_board(plays: DataFrame, min_bb: int = 1) -> DataFrame:
-    """Batted-ball profile per batter (reference batted_ball.py: GB/FB/LD/PU
-    distribution): one conditional-agg pass over contact events."""
+def batted_ball_board(
+    plays: DataFrame, min_bb: int = 1, entity_col: str = "batter_name"
+) -> DataFrame:
+    """Batted-ball profile per entity (reference batted_ball.py: GB/FB/LD/PU
+    distribution; published at batter, pitcher and both team grains —
+    leaderboards/main.py output_files): one conditional-agg pass over
+    contact events, grain selected by `entity_col`."""
     ev = F.col("event_type")
     gb = ev.isin("GO", "GDP", "TP", "DP")
     fb = ev.isin("FO", "SF")
     ld = ev == "LO"
     pu = ev.isin("PO", "IF", "FOUL")
     board = (
-        plays.where(F.col("batter_name").isNotNull())
-        .groupBy("division", "year", "batter_name")
+        plays.where(F.col(entity_col).isNotNull())
+        .groupBy("division", "year", entity_col)
         .agg(
             _n(gb).alias("gb"),
             _n(fb).alias("fb"),
@@ -276,16 +284,25 @@ _RUNNER_ACTION = (
 )
 
 
-def baserunning_board(plays: DataFrame, min_events: int = 1) -> DataFrame:
-    """Runner-grain baserunning stats (reference baserunning.py): steals,
-    caught-stealing, pickoffs, advances, runs scored — from the narration
-    SEGMENTS rather than masked indicator frames (A9): explode the play text
-    on ';', classify each segment with one regexp, aggregate per runner.
-    One explode + one shuffle; scales with total segment count."""
+def baserunning_board(
+    plays: DataFrame, min_events: int = 1, entity_col: str | None = None
+) -> DataFrame:
+    """Runner-grain baserunning stats (reference baserunning.py; the team
+    grain is baserunning.py:120-133): steals, caught-stealing, pickoffs,
+    advances, runs scored — from the narration SEGMENTS rather than masked
+    indicator frames (A9): explode the play text on ';', classify each
+    segment with one regexp, aggregate per runner. One explode + one
+    shuffle; scales with total segment count.
+
+    `entity_col=None` groups by the extracted runner name; a column name
+    (e.g. a batting-team id) groups the same classified segments by that
+    play-level column instead — the team rollup."""
     from d3d_etl_spark.pbp.state import _RUNNER_ONLY
 
+    group_col = entity_col or "runner_name"
     seg = F.posexplode(F.split(F.col("play_text"), ";"))
-    segs = plays.select("division", "year", "event_type", seg.alias("pos", "seg")).where(
+    carry = ["division", "year", "event_type"] + ([entity_col] if entity_col else [])
+    segs = plays.select(*carry, seg.alias("pos", "seg")).where(
         # segment 0 is the BATTER's action (its trailing "advanced to" is a
         # batter extra advance, not a runner) — except on runner-only events,
         # where the acting runner IS segment 0
@@ -294,10 +311,13 @@ def baserunning_board(plays: DataFrame, min_events: int = 1) -> DataFrame:
     name = F.regexp_extract(F.col("seg"), _RUNNER_ACTION, 1)
     action = F.lower(F.regexp_extract(F.col("seg"), _RUNNER_ACTION, 2))
     classed = segs.select(
-        "division", "year", name.alias("runner_name"), action.alias("action")
-    ).where((F.col("runner_name") != "") & (F.col("action") != ""))
+        "division", "year",
+        (F.col(entity_col) if entity_col else name).alias(group_col),
+        action.alias("action"),
+        name.alias("_runner"),
+    ).where((F.col("_runner") != "") & (F.col("action") != ""))
     board = (
-        classed.groupBy("division", "year", "runner_name")
+        classed.groupBy("division", "year", group_col)
         .agg(
             _n(F.col("action").startswith("stole")).alias("sb"),
             _n(F.col("action") == "caught stealing").alias("cs"),

@@ -19,24 +19,56 @@ from d3d_etl_spark.queries.domain import (
 from d3d_etl_spark.queries.registry import register
 
 # ---------------------------------------------------------------------------
-# domain_batted_ball — GB/FB/LD/PU distribution per batter
+# domain_batted_ball — GB/FB/LD/PU distribution at ALL FOUR reference grains
+# (batter, pitcher, batting team, pitching team — leaderboards/main.py
+# output_files publishes batted_ball at each; batted_ball.py). One tagged
+# union: grain + entity columns, identical metric schema per grain.
 # ---------------------------------------------------------------------------
 
 _GB = ("GO", "GDP", "TP", "DP")
 _FB = ("FO", "SF")
 _PU = ("PO", "IF", "FOUL")
 
-_BB_ORACLE = f"""
-WITH b AS (
-  SELECT division, year, batter_name,
+# deterministic identity expressions shared with domain_pitching_board /
+# domain_team_batting (and mirrored in SQL below): mid-game pitching change
+# at inning 3, team ids from contest + half
+_IDS_SQL = """
+  SELECT *,
+         'P' || (CASE WHEN inning <= 2 THEN '0' ELSE '1' END)
+             || '_' || (CASE WHEN half = 'Top' THEN 'home' ELSE 'away' END)
+             || '_' || CAST(contest_id AS VARCHAR) AS pitcher_name,
+         'T_' || CAST(contest_id AS VARCHAR)
+              || (CASE WHEN half = 'Top' THEN '_away' ELSE '_home' END) AS bat_team_id,
+         'T_' || CAST(contest_id AS VARCHAR)
+              || (CASE WHEN half = 'Top' THEN '_home' ELSE '_away' END) AS pitch_team_id
+"""
+
+_BB_GRAINS = (
+    ("batter", "batter_name"),
+    ("pitcher", "pitcher_name"),
+    ("batting_team", "bat_team_id"),
+    ("pitching_team", "pitch_team_id"),
+)
+
+
+def _bb_grain_sql(grain: str, entity: str) -> str:
+    return f"""
+  SELECT '{grain}' AS grain, division, year, {entity} AS entity,
          CAST(SUM(CASE WHEN event_type IN {_sql_in(_GB)} THEN 1 ELSE 0 END) AS BIGINT) AS gb,
          CAST(SUM(CASE WHEN event_type IN {_sql_in(_FB)} THEN 1 ELSE 0 END) AS BIGINT) AS fb,
          CAST(SUM(CASE WHEN event_type = 'LO' THEN 1 ELSE 0 END) AS BIGINT) AS ld,
          CAST(SUM(CASE WHEN event_type IN {_sql_in(_PU)} THEN 1 ELSE 0 END) AS BIGINT) AS pu
+  FROM wp
+  WHERE {entity} IS NOT NULL
+  GROUP BY 1, 2, 3, 4"""
+
+
+_BB_ORACLE = f"""
+WITH wp AS (
+{_IDS_SQL}
   FROM read_parquet('{_PARSED_GLOB}')
-  WHERE batter_name IS NOT NULL
-  GROUP BY 1, 2, 3
 ),
+b AS ({" UNION ALL ".join(_bb_grain_sql(g, e) for g, e in _BB_GRAINS)}),
 t AS (SELECT *, gb + fb + ld + pu AS batted_balls FROM b WHERE gb + fb + ld + pu >= 1)
 SELECT *,
        ROUND(CASE WHEN batted_balls != 0 THEN CAST(gb AS DOUBLE) / batted_balls ELSE 0.0 END, 3) AS gb_pct,
@@ -47,11 +79,53 @@ FROM t
 """
 
 
+def _with_ids(parsed: DataFrame) -> DataFrame:
+    """pitcher_name / bat_team_id / pitch_team_id identity columns (the
+    Spark twin of _IDS_SQL)."""
+    cid = F.col("contest_id").cast("string")
+    is_top = F.col("half") == "Top"
+    return (
+        parsed.withColumn(
+            "pitcher_name",
+            F.concat(
+                F.lit("P"),
+                F.when(F.col("inning") <= 2, "0").otherwise("1"),
+                F.lit("_"),
+                F.when(is_top, "home").otherwise("away"),
+                F.lit("_"),
+                cid,
+            ),
+        )
+        .withColumn(
+            "bat_team_id",
+            F.concat(F.lit("T_"), cid, F.when(is_top, "_away").otherwise("_home")),
+        )
+        .withColumn(
+            "pitch_team_id",
+            F.concat(F.lit("T_"), cid, F.when(is_top, "_home").otherwise("_away")),
+        )
+    )
+
+
 @register("domain_batted_ball", _BB_ORACLE, tags=("domain",))
 def domain_batted_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
     from d3d_etl_spark.pbp.leaderboards import batted_ball_board
 
-    return batted_ball_board(materialized_parsed(spark, sf_dir), min_bb=1)
+    wp = _with_ids(materialized_parsed(spark, sf_dir))
+    parts = []
+    for grain, entity in _BB_GRAINS:
+        b = batted_ball_board(wp, min_bb=1, entity_col=entity)
+        parts.append(
+            b.select(
+                F.lit(grain).alias("grain"), "division", "year",
+                F.col(entity).alias("entity"),
+                "gb", "fb", "ld", "pu", "batted_balls",
+                "gb_pct", "fb_pct", "ld_pct", "pu_pct",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 # ---------------------------------------------------------------------------
@@ -209,31 +283,43 @@ _RUNNER_ACTION_SQL = (
 )
 _RUNNER_ONLY_IN = "('SB','CS','PK','PKE','WP','PB','BK','DI','ERR','ADV')"
 
-_BR_ORACLE = f"""
-WITH segs AS (
-  SELECT division, year, event_type,
-         unnest(string_split(play_text, ';')) AS seg,
-         unnest(range(len(string_split(play_text, ';')))) AS pos
-  FROM read_parquet('{_PARSED_GLOB}')
-),
-classed AS (
-  SELECT division, year,
-         regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 1) AS runner_name,
-         lower(regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 2)) AS action
-  FROM segs
-  WHERE (pos > 0 OR event_type IN {_RUNNER_ONLY_IN})
-),
-board AS (
-  SELECT division, year, runner_name,
+_BR_METRICS_SQL = """
          CAST(SUM(CASE WHEN action LIKE 'stole%' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
          CAST(SUM(CASE WHEN action = 'caught stealing' THEN 1 ELSE 0 END) AS BIGINT) AS cs,
          CAST(SUM(CASE WHEN action = 'picked off' THEN 1 ELSE 0 END) AS BIGINT) AS pk,
          CAST(SUM(CASE WHEN action LIKE 'advanced%' THEN 1 ELSE 0 END) AS BIGINT) AS advances,
          CAST(SUM(CASE WHEN action = 'scored' THEN 1 ELSE 0 END) AS BIGINT) AS runs_scored,
          CAST(SUM(CASE WHEN action LIKE 'out at%' THEN 1 ELSE 0 END) AS BIGINT) AS outs_on_bases
+"""
+
+_BR_ORACLE = f"""
+WITH segs AS (
+  SELECT division, year, event_type,
+         'T_' || CAST(contest_id AS VARCHAR)
+              || (CASE WHEN half = 'Top' THEN '_away' ELSE '_home' END) AS bat_team_id,
+         unnest(string_split(play_text, ';')) AS seg,
+         unnest(range(len(string_split(play_text, ';')))) AS pos
+  FROM read_parquet('{_PARSED_GLOB}')
+),
+classed AS (
+  SELECT division, year, bat_team_id,
+         regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 1) AS runner_name,
+         lower(regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 2)) AS action
+  FROM segs
+  WHERE (pos > 0 OR event_type IN {_RUNNER_ONLY_IN})
+),
+board AS (
+  SELECT 'runner' AS grain, division, year, runner_name AS entity,
+{_BR_METRICS_SQL}
   FROM classed
   WHERE runner_name != '' AND action != ''
-  GROUP BY 1, 2, 3
+  GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT 'team' AS grain, division, year, bat_team_id AS entity,
+{_BR_METRICS_SQL}
+  FROM classed
+  WHERE runner_name != '' AND action != ''
+  GROUP BY 1, 2, 3, 4
 ),
 t AS (
   SELECT *, sb + cs + pk + advances + runs_scored + outs_on_bases AS n_events
@@ -248,6 +334,22 @@ WHERE n_events >= 1
 
 @register("domain_baserunning", _BR_ORACLE, tags=("domain",))
 def domain_baserunning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runner grain + team rollup (reference baserunning.py:120-133) as one
+    tagged union over the same classified narration segments."""
     from d3d_etl_spark.pbp.leaderboards import baserunning_board
 
-    return baserunning_board(materialized_parsed(spark, sf_dir), min_events=1)
+    wp = _with_ids(materialized_parsed(spark, sf_dir))
+    runner = baserunning_board(wp, min_events=1)
+    team = baserunning_board(wp, min_events=1, entity_col="bat_team_id")
+
+    def _shape(df: DataFrame, grain: str, entity: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"), "division", "year",
+            F.col(entity).alias("entity"),
+            "sb", "cs", "pk", "advances", "runs_scored", "outs_on_bases",
+            "n_events", "sb_pct",
+        )
+
+    return _shape(runner, "runner", "runner_name").unionByName(
+        _shape(team, "team", "bat_team_id")
+    )

@@ -622,55 +622,71 @@ def domain_guts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # domain_rolling_form — the rolling-wOBA board shape (W10; reference
-# leaderboards/rolling.py:19-43): rolling on-base rate over the last n PAs
-# per batter with pandas min-periods semantics, the value n PAs earlier,
-# the trend delta, latest row per batter. Rates are single divisions of
-# exact integer window sums.
+# leaderboards/rolling.py:19-43) at BOTH published grains (rolling +
+# rolling_pitcher, leaderboards/main.py output_files): rolling on-base rate
+# over the last n PAs per entity with pandas min-periods semantics, the
+# value n PAs earlier, the trend delta, latest row per entity. Rates are
+# single divisions of exact integer window sums. The pitcher grain rolls
+# on-base rate ALLOWED over the last n batters faced (deterministic
+# mid-game pitching-change identity shared with domain_pitching_board).
 # ---------------------------------------------------------------------------
 
 _ROLL_N = 10
 
-_ROLL_ORACLE = f"""
-WITH pa AS (
-  SELECT division, year, batter_name, contest_id, play_id,
-         CASE WHEN event_type IN ('1B','2B','3B','HR','BB','IBB','HBP')
-              THEN 1 ELSE 0 END AS ob
-  FROM read_parquet('{_PARSED_GLOB}')
-  WHERE batter_name IS NOT NULL
-    AND event_type IN {{pa_in}}
-),
-rolled AS (
+
+def _roll_grain_sql(grain: str, entity: str, pa_in: str) -> str:
+    return f"""
+rolled_{grain} AS (
   SELECT *,
          ROW_NUMBER() OVER w_asc AS pa_seq,
          CASE WHEN COUNT(*) OVER frame_cur = {_ROLL_N}
               THEN CAST(SUM(ob) OVER frame_cur AS DOUBLE) / {_ROLL_N} END AS roll_ob,
          CASE WHEN COUNT(*) OVER frame_prev = {_ROLL_N}
               THEN CAST(SUM(ob) OVER frame_prev AS DOUBLE) / {_ROLL_N} END AS roll_ob_prev
-  FROM pa
+  FROM (
+    SELECT division, year, {entity} AS entity, contest_id, play_id,
+           CASE WHEN event_type IN ('1B','2B','3B','HR','BB','IBB','HBP')
+                THEN 1 ELSE 0 END AS ob
+    FROM wp
+    WHERE {entity} IS NOT NULL AND event_type IN {pa_in}
+  )
   WINDOW
-    w_asc AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id),
-    frame_cur AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id
+    w_asc AS (PARTITION BY division, year, entity ORDER BY contest_id, play_id),
+    frame_cur AS (PARTITION BY division, year, entity ORDER BY contest_id, play_id
                   ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW),
-    frame_prev AS (PARTITION BY division, year, batter_name ORDER BY contest_id, play_id
+    frame_prev AS (PARTITION BY division, year, entity ORDER BY contest_id, play_id
                    ROWS BETWEEN {2 * _ROLL_N - 1} PRECEDING AND {_ROLL_N} PRECEDING)
 ),
-latest AS (
-  SELECT *,
-         ROW_NUMBER() OVER (PARTITION BY division, year, batter_name
+latest_{grain} AS (
+  SELECT '{grain}' AS grain, division, year, entity,
+         CAST(pa_seq AS BIGINT) AS total_pa,
+         roll_ob, roll_ob_prev,
+         roll_ob - roll_ob_prev AS trend,
+         ROW_NUMBER() OVER (PARTITION BY division, year, entity
                             ORDER BY contest_id DESC, play_id DESC) AS rn
-  FROM rolled
-)
-SELECT division, year, batter_name,
-       CAST(pa_seq AS BIGINT) AS total_pa,
-       roll_ob, roll_ob_prev,
-       roll_ob - roll_ob_prev AS trend
-FROM latest WHERE rn = 1
-"""
+  FROM rolled_{grain}
+)"""
 
 
 def _roll_oracle() -> str:
     pa_in = "(" + ", ".join(f"'{e}'" for e in _PA_EVENTS) + ")"
-    return _ROLL_ORACLE.format(pa_in=pa_in)
+    grains = _roll_grain_sql("batter", "batter_name", pa_in) + "," + _roll_grain_sql(
+        "pitcher", "pitcher_name", pa_in
+    )
+    return f"""
+WITH wp AS (
+  SELECT *,
+         'P' || (CASE WHEN inning <= 2 THEN '0' ELSE '1' END)
+             || '_' || (CASE WHEN half = 'Top' THEN 'home' ELSE 'away' END)
+             || '_' || CAST(contest_id AS VARCHAR) AS pitcher_name
+  FROM read_parquet('{_PARSED_GLOB}')
+),{grains}
+SELECT grain, division, year, entity, total_pa, roll_ob, roll_ob_prev, trend
+FROM latest_batter WHERE rn = 1
+UNION ALL
+SELECT grain, division, year, entity, total_pa, roll_ob, roll_ob_prev, trend
+FROM latest_pitcher WHERE rn = 1
+"""
 
 
 @register("domain_rolling_form", _roll_oracle(), tags=("domain", "window"))
@@ -678,5 +694,27 @@ def domain_rolling_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.pbp.leaderboards import rolling_form_board
 
     parsed = materialized_parsed(spark, sf_dir)
-    board = rolling_form_board(parsed, n=_ROLL_N)
-    return board.withColumn("total_pa", F.col("total_pa").cast("long"))
+    cid = F.col("contest_id").cast("string")
+    wp = parsed.withColumn(
+        "pitcher_name",
+        F.concat(
+            F.lit("P"),
+            F.when(F.col("inning") <= 2, "0").otherwise("1"),
+            F.lit("_"),
+            F.when(F.col("half") == "Top", "home").otherwise("away"),
+            F.lit("_"),
+            cid,
+        ),
+    )
+    parts = []
+    for grain, entity in (("batter", "batter_name"), ("pitcher", "pitcher_name")):
+        b = rolling_form_board(wp, n=_ROLL_N, entity_col=entity)
+        parts.append(
+            b.select(
+                F.lit(grain).alias("grain"), "division", "year",
+                F.col(entity).alias("entity"),
+                F.col("total_pa").cast("long").alias("total_pa"),
+                "roll_ob", "roll_ob_prev", "trend",
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -332,30 +332,46 @@ _OB_IN = "('1B', '2B', '3B', 'HR', 'BB', 'IBB', 'HBP')"
 _NONAB_IN = "('BB', 'IBB', 'HBP', 'SF', 'SH')"
 
 
-_SIT_ORACLE = f"""
-WITH {_WP_CTES}
-SELECT b.*, {", ".join(
-    f"CASE WHEN ab_{s} != 0 THEN CAST(h_{s} AS DOUBLE) / ab_{s} ELSE 0.0 END AS ba_{s}, "
-    f"CASE WHEN pa_{s} != 0 THEN CAST(ob_{s} AS DOUBLE) / pa_{s} ELSE 0.0 END AS ob_pct_{s}"
-    for s in _SIT_NAMES)}
-FROM (
-  SELECT division, year, batter_name, {", ".join(
+# the reference publishes situational at all four grains
+# (situational.py:47-150: batter, pitcher, batting team, pitching team) —
+# one tagged union with identical metric columns per grain
+_SIT_GRAINS = (
+    ("batter", "batter_name"),
+    ("pitcher", "pitcher_name"),
+    ("batting_team", "bat_team_id"),
+    ("pitching_team", "pitch_team_id"),
+)
+
+
+def _sit_grain_sql(grain: str, entity: str) -> str:
+    return f"""
+  SELECT '{grain}' AS grain, division, year, {entity} AS entity, {", ".join(
     f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_PA_IN} THEN 1 ELSE 0 END) AS BIGINT) AS pa_{s}, "
     f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_PA_IN} THEN 1 ELSE 0 END)"
     f" - SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_NONAB_IN} THEN 1 ELSE 0 END) AS BIGINT) AS ab_{s}, "
     f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_HIT_IN} THEN 1 ELSE 0 END) AS BIGINT) AS h_{s}, "
     f"CAST(SUM(CASE WHEN {_SIT_CONDS_SQL[s]} AND event_type IN {_OB_IN} THEN 1 ELSE 0 END) AS BIGINT) AS ob_{s}"
     for s in _SIT_NAMES)}
-  FROM metrics
-  WHERE batter_name IS NOT NULL
-  GROUP BY 1, 2, 3
-  HAVING SUM(CASE WHEN event_type IN {_PA_IN} THEN 1 ELSE 0 END) >= 1
-) b
+  FROM q
+  WHERE {entity} IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+  HAVING SUM(CASE WHEN event_type IN {_PA_IN} THEN 1 ELSE 0 END) >= 1"""
+
+
+_SIT_ORACLE = f"""
+WITH {_WP_CTES}
+SELECT b.*, {", ".join(
+    f"CASE WHEN ab_{s} != 0 THEN CAST(h_{s} AS DOUBLE) / ab_{s} ELSE 0.0 END AS ba_{s}, "
+    f"CASE WHEN pa_{s} != 0 THEN CAST(ob_{s} AS DOUBLE) / pa_{s} ELSE 0.0 END AS ob_pct_{s}"
+    for s in _SIT_NAMES)}
+FROM ({" UNION ALL ".join(_sit_grain_sql(g, e) for g, e in _SIT_GRAINS)}) b
 """
 
 
 @register("domain_situational", _SIT_ORACLE, tags=("domain", "splits"))
 def domain_situational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
     from d3d_etl_spark.pbp.leaderboards import (
         condition_splits_board,
         risp_cond,
@@ -370,6 +386,16 @@ def domain_situational(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_leverage": F.col("li") >= 2,
         "low_leverage": F.col("li") <= 0.85,
     }
-    return condition_splits_board(
-        plays, ["division", "year", "batter_name"], conds, min_pa=1
-    )
+    metric_cols = [
+        f"{m}_{s}" for s in _SIT_NAMES for m in ("pa", "ab", "h", "ob")
+    ] + [f"{m}_{s}" for s in _SIT_NAMES for m in ("ba", "ob_pct")]
+    parts = []
+    for grain, entity in _SIT_GRAINS:
+        b = condition_splits_board(plays, ["division", "year", entity], conds, min_pa=1)
+        parts.append(
+            b.select(
+                F.lit(grain).alias("grain"), "division", "year",
+                F.col(entity).alias("entity"), *metric_cols,
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
