@@ -23,5 +23,6 @@ def load_all() -> None:
         stateful,
         textops,
         value,
+        war_chain,
         windows,
     )

@@ -375,8 +375,9 @@ LEFT JOIN out_lw o ON l.division = o.division AND l.year = o.year
 """
 
 
-_WAR_ORACLE = f"""
-WITH {_LW_CTES},
+# full batting-WAR chain as CTEs ending in `batwar` — shared by
+# domain_war_batting and the team/SoS chain (queries/war_chain.py)
+_WAR_CTES_CHAIN = f"""{_LW_CTES},
 normw AS (
   SELECT q.division, q.year, q.events, q.lw_above_outs * s.woba_scale AS w
   FROM quant q
@@ -412,6 +413,8 @@ consts AS (
 ),
 counting AS (
   SELECT division, year, batter_name,
+         MIN('T_' || CAST(contest_id AS VARCHAR)
+                  || (CASE WHEN half = 'Top' THEN '_away' ELSE '_home' END)) AS team_id,
          CAST(SUM(CASE WHEN event_type IN {_sql_in(_PA_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS pa,
          CAST(SUM(CASE WHEN event_type = '1B' THEN 1 ELSE 0 END) AS BIGINT) AS b1,
          CAST(SUM(CASE WHEN event_type = '2B' THEN 1 ELSE 0 END) AS BIGINT) AS b2,
@@ -436,7 +439,7 @@ running AS (
   GROUP BY 1, 2, 3
 ),
 derived AS (
-  SELECT c.division, c.year, c.batter_name, c.pa,
+  SELECT c.division, c.year, c.batter_name, c.team_id, c.pa,
          c.pa - c.bb_all - c.hbp - c.sf - c.sh AS ab,
          COALESCE(r.sb, 0) AS sb, COALESCE(r.cs, 0) AS cs,
          w.wbb * (c.bb_all - c.ibb) + w.whbp * c.hbp + w.w1b * c.b1
@@ -451,7 +454,7 @@ derived AS (
     ON c.division = r.division AND c.year = r.year AND c.batter_name = r.batter_name
 ),
 war AS (
-  SELECT division, year, batter_name, pa, ab, sb, cs,
+  SELECT division, year, batter_name, team_id, pa, ab, sb, cs,
          CASE WHEN woba_den != 0 THEN woba_num / woba_den ELSE 0.0 END AS woba,
          CASE WHEN woba_scale != 0
               THEN ((CASE WHEN woba_den != 0 THEN woba_num / woba_den ELSE 0.0 END) - {_LG_OBP}) / woba_scale
@@ -459,32 +462,46 @@ war AS (
          sb * 0.2 + cs * runs_cs AS sb_runs,
          runs_win
   FROM derived
-)
-SELECT division, year, batter_name, pa, ab, sb, cs, woba, wraa,
-       wraa + sb_runs + 0.033 * pa AS rar,
-       CASE WHEN runs_win != 0
-            THEN (wraa + sb_runs + 0.033 * pa) / runs_win ELSE 0.0 END AS war
-FROM war
+),
+batwar AS (
+  SELECT division, year, batter_name, team_id, pa, ab, sb, cs, woba, wraa,
+         sb_runs AS bsr,
+         wraa + sb_runs + 0.033 * pa AS rar,
+         CASE WHEN runs_win != 0
+              THEN (wraa + sb_runs + 0.033 * pa) / runs_win ELSE 0.0 END AS war
+  FROM war
+)"""
+
+_WAR_ORACLE = f"""
+WITH {_WAR_CTES_CHAIN}
+SELECT division, year, batter_name, pa, ab, sb, cs, woba, wraa, rar, war
+FROM batwar
 """
 
 
-@register("domain_war_batting", _WAR_ORACLE, tags=("domain",))
-def domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _war_batting_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batting-WAR arithmetic end-to-end over the materialized plays:
     counting stats -> quantized wOBA weights -> wRAA -> SB runs -> RAR ->
     WAR (reference war_calculation/batting.py:363-418, calculator.py:124-224).
     Every double is a fixed expression tree over exact integer aggregates —
-    the oracle recomputes the identical chain in SQL."""
+    the oracle recomputes the identical chain in SQL (_WAR_CTES_CHAIN).
+    Returns the full chain incl. team_id and bsr for the team/SoS layer."""
     from d3d_etl_spark.functions import saber
     from d3d_etl_spark.functions.math import safe_div
 
     parsed = materialized_parsed(spark, sf_dir)
     ev = F.col("event_type")
+    bat_team = F.concat(
+        F.lit("T_"),
+        F.col("contest_id").cast("string"),
+        F.when(F.col("half") == "Top", "_away").otherwise("_home"),
+    )
     n = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     counting = (
         parsed.where(F.col("batter_name").isNotNull())
         .groupBy("division", "year", "batter_name")
         .agg(
+            F.min(bat_team).alias("team_id"),
             n(ev.isin(*_PA_EVENTS)).alias("pa"),
             n(ev == "1B").alias("b1"),
             n(ev == "2B").alias("b2"),
@@ -573,11 +590,20 @@ def domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb_runs = F.col("sb") * 0.2 + F.col("cs") * F.col("runs_cs")
     rar = wraa + sb_runs + 0.033 * F.col("pa")
     return joined.select(
-        "division", "year", "batter_name", "pa", "ab", "sb", "cs",
+        "division", "year", "batter_name", "team_id", "pa", "ab", "sb", "cs",
         woba.alias("woba"),
         wraa.alias("wraa"),
+        sb_runs.alias("bsr"),
         rar.alias("rar"),
         safe_div(rar, F.col("runs_win"), 0.0).alias("war"),
+    )
+
+
+@register("domain_war_batting", _WAR_ORACLE, tags=("domain",))
+def domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _war_batting_full(spark, sf_dir).select(
+        "division", "year", "batter_name", "pa", "ab", "sb", "cs",
+        "woba", "wraa", "rar", "war",
     )
 
 
