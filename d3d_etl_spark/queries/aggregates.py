@@ -2,9 +2,18 @@
 
 A1/A2 named multi-metric group-aggs are exercised by q1 (relational.py);
 here: A3 count-distinct, A4 conditional counts, A5 filtered-subset sums,
-A6 global-scalar ratio, A8 pivot, A10 value_counts, A11 weighted average.
-All money/double sums go through exact integer cents (functions.money) so
-results are partition-order independent.
+A6 global-scalar ratio, A8 pivot, A9 unpivot, A10 value_counts, A11
+weighted average. All money/double sums go through exact integer cents
+(functions.money) so results are partition-order independent.
+
+Round-3 consolidation (VERDICT.md "Next round" #2): the aggregation
+micro-queries are published as ONE tagged union (`agg_family`) so every
+SURVEY §2.4 row's evidence sits inside the driver's 50-query window; each
+arm keeps its own source, grouping and oracle SQL, normalized onto a
+shared (part, k1, k2, i1-i4, d1-d3) schema. The pivot keeps its own query
+(`agg_pivot` — a wide result can't union). The beyond-SURVEY extras
+(CUBE/ROLLUP/GROUPING SETS; exact percentiles + ordered collect) are
+z_-tier: fully oracled, intentionally outside the 50-row window.
 """
 
 from __future__ import annotations
@@ -16,80 +25,219 @@ from d3d_etl_spark.functions.money import cents
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.queries.registry import register
 
+_I = "CAST(NULL AS BIGINT)"
+_D = "CAST(NULL AS DOUBLE)"
+_S = "CAST(NULL AS VARCHAR)"
+
+
 # ---------------------------------------------------------------------------
-# agg_conditional — A4/A5: event-type conditional counts + sign-split sums
-# (reference: leaderboards/common.py:23-63 event counts; value.py:34-38
-# pos/neg WPA splits)
+# agg_family — the group-aggregation surface as one tagged union:
+#   part='conditional'    A4/A5 event-type conditional counts + sign-split
+#                         sums (reference common.py:23-63; value.py:34-38)
+#   part='count_distinct' A3 exact count-distinct per group
+#                         (reference baserunning.py:120-133)
+#   part='global_ratio'   A6 group metric vs league-wide scalar
+#                         (reference batting.py:383-388)
+#   part='weighted'       A11 weighted average (reference
+#                         get_linear_weights.py:90-103 wOBA denominator)
+#   part='histogram'      A10 value_counts + share (get_linear_weights.py:86-92)
+#   part='unpivot'        A9 wide->long melt (reference batting.py:307-331)
 # ---------------------------------------------------------------------------
 
-_COND_ORACLE = """
-SELECT
-  user_id,
-  COUNT(*) AS n_events,
-  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
-  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
-  CAST(COALESCE(SUM(CASE WHEN value > 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS big_value_sum,
-  CAST(COALESCE(SUM(CASE WHEN value <= 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS small_value_sum,
-  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*) AS error_rate
+_AGG_ORACLE = f"""
+SELECT 'conditional' AS part,
+       CAST(user_id AS VARCHAR) AS k1, {_S} AS k2,
+       COUNT(*) AS i1,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS i2,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS i3,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS i4,
+       CAST(COALESCE(SUM(CASE WHEN value > 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS d1,
+       CAST(COALESCE(SUM(CASE WHEN value <= 10 THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS d2,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*) AS d3
 FROM events
 GROUP BY user_id
-"""
-
-
-@register("agg_conditional", _COND_ORACLE, tags=("agg",), bench=True)
-def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    vc = cents(F.col("value"))
-    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-    return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
-        n_err.alias("n_error"),
-        (F.coalesce(F.sum(F.when(F.col("value") > 10, vc)), F.lit(0)).cast("double") / 100.0).alias(
-            "big_value_sum"
-        ),
-        (
-            F.coalesce(F.sum(F.when(F.col("value") <= 10, vc)), F.lit(0)).cast("double") / 100.0
-        ).alias("small_value_sum"),
-        (n_err.cast("double") / F.count("*")).alias("error_rate"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_count_distinct — A3: exact count-distinct per group
-# (reference: baserunning.py:120-133 games = nunique(contest_id))
-# ---------------------------------------------------------------------------
-
-_CD_ORACLE = """
-SELECT
-  c_mktsegment,
-  COUNT(DISTINCT o_custkey)       AS n_buyers,
-  COUNT(*)                        AS n_orders,
-  COUNT(DISTINCT o_orderpriority) AS n_priorities
+UNION ALL
+SELECT 'count_distinct', c_mktsegment, NULL,
+       COUNT(DISTINCT o_custkey), COUNT(*), COUNT(DISTINCT o_orderpriority), NULL,
+       NULL, NULL, NULL
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'global_ratio', n_name, NULL,
+       NULL, NULL, NULL, NULL,
+       CAST(rev_cents AS DOUBLE) / 100.0,
+       CAST(rev_cents AS DOUBLE) / CAST((SELECT SUM(rev_cents) FROM (
+         SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+       )) AS DOUBLE),
+       NULL
+FROM (
+  SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+UNION ALL
+SELECT 'weighted', l_returnflag, NULL,
+       NULL, NULL, NULL, NULL,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0,
+       NULL, NULL
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'histogram', o_orderpriority, NULL,
+       n, NULL, NULL, NULL,
+       CAST(n AS DOUBLE) / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE),
+       NULL, NULL
+FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority)
+UNION ALL
+SELECT 'unpivot', CAST(user_id AS VARCHAR), metric,
+       n, NULL, NULL, NULL,
+       NULL, NULL, NULL
+FROM (
+  WITH wide AS (
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS errors
+    FROM events GROUP BY user_id
+  )
+  SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
+  UNION ALL SELECT user_id, 'purchases', purchases FROM wide
+  UNION ALL SELECT user_id, 'errors', errors FROM wide
+)
 """
 
 
-@register("agg_count_distinct", _CD_ORACLE, tags=("agg",))
-def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _agg_row(part: str, k1, k2=None, i1=None, i2=None, i3=None, i4=None,
+             d1=None, d2=None, d3=None) -> list:
+    def c(v, t):
+        return (F.lit(None) if v is None else v).cast(t)
+
+    return [
+        F.lit(part).alias("part"),
+        c(k1, "string").alias("k1"), c(k2, "string").alias("k2"),
+        c(i1, "long").alias("i1"), c(i2, "long").alias("i2"),
+        c(i3, "long").alias("i3"), c(i4, "long").alias("i4"),
+        c(d1, "double").alias("d1"), c(d2, "double").alias("d2"),
+        c(d3, "double").alias("d3"),
+    ]
+
+
+@register("agg_family", _AGG_ORACLE, tags=("agg",), bench=True)
+def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # part='conditional' (A4/A5)
+    vc = cents(F.col("value"))
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    conditional = (
+        ev.groupBy("user_id")
         .agg(
-            F.countDistinct("o_custkey").alias("n_buyers"),
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("_c"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("_p"),
+            n_err.alias("_e"),
+            (F.coalesce(F.sum(F.when(F.col("value") > 10, vc)), F.lit(0)).cast("double") / 100.0).alias("_big"),
+            (F.coalesce(F.sum(F.when(F.col("value") <= 10, vc)), F.lit(0)).cast("double") / 100.0).alias("_small"),
+            (n_err.cast("double") / F.count("*")).alias("_rate"),
+        )
+        .select(
+            *_agg_row(
+                "conditional", F.col("user_id"),
+                i1=F.col("_n"), i2=F.col("_c"), i3=F.col("_p"), i4=F.col("_e"),
+                d1=F.col("_big"), d2=F.col("_small"), d3=F.col("_rate"),
+            )
         )
     )
 
+    # part='count_distinct' (A3) — broadcast dim join feeding the agg
+    count_distinct = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("_b"),
+            F.count("*").alias("_o"),
+            F.countDistinct("o_orderpriority").alias("_p"),
+        )
+        .select(
+            *_agg_row(
+                "count_distinct", F.col("c_mktsegment"),
+                i1=F.col("_b"), i2=F.col("_o"), i3=F.col("_p"),
+            )
+        )
+    )
+
+    # part='global_ratio' (A6) — group metric / broadcast global scalar
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    total = per_nation.agg(F.sum("rev_cents").alias("total_cents"))
+    global_ratio = per_nation.crossJoin(F.broadcast(total)).select(
+        *_agg_row(
+            "global_ratio", F.col("n_name"),
+            d1=F.col("rev_cents").cast("double") / 100.0,
+            d2=F.col("rev_cents").cast("double") / F.col("total_cents").cast("double"),
+        )
+    )
+
+    # part='weighted' (A11)
+    qty = F.col("l_quantity").cast("long")
+    weighted = (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(cents(F.col("l_discount")) * qty).cast("double")
+                / F.sum(qty).cast("double")
+                / 100.0
+            ).alias("_w")
+        )
+        .select(*_agg_row("weighted", F.col("l_returnflag"), d1=F.col("_w")))
+    )
+
+    # part='histogram' (A10)
+    h = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    h_total = h.agg(F.sum("n").alias("total"))
+    histogram = h.crossJoin(F.broadcast(h_total)).select(
+        *_agg_row(
+            "histogram", F.col("o_orderpriority"),
+            i1=F.col("n"),
+            d1=F.col("n").cast("double") / F.col("total").cast("double"),
+        )
+    )
+
+    # part='unpivot' (A9) — real .unpivot over the wide conditional counts
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+    )
+    unpivot = wide.unpivot(["user_id"], ["clicks", "purchases", "errors"], "metric", "n").select(
+        *_agg_row("unpivot", F.col("user_id"), k2=F.col("metric"), i1=F.col("n"))
+    )
+
+    return (
+        conditional.unionByName(count_distinct)
+        .unionByName(global_ratio)
+        .unionByName(weighted)
+        .unionByName(histogram)
+        .unionByName(unpivot)
+    )
+
 
 # ---------------------------------------------------------------------------
-# agg_pivot — A8: long->wide pivot (reference splits.py:8-23 per-slice boards)
+# agg_pivot — A8: long->wide pivot (reference splits.py:8-23 per-slice
+# boards). Kept standalone: the wide result is the point of the operator.
 # ---------------------------------------------------------------------------
 
 _PIVOT_ORACLE = """
@@ -116,249 +264,6 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("A"), F.lit(0)).alias("qty_a"),
         F.coalesce(F.col("N"), F.lit(0)).alias("qty_n"),
         F.coalesce(F.col("R"), F.lit(0)).alias("qty_r"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_global_ratio — A6: group metric vs league-wide scalar
-# (reference: batting.py:383-388 league OBP/SLG rates joined back per player)
-# ---------------------------------------------------------------------------
-
-_GLOBAL_ORACLE = """
-WITH per_nation AS (
-  SELECT n_name,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
-  FROM orders
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation   ON c_nationkey = n_nationkey
-  GROUP BY n_name
-)
-SELECT
-  n_name,
-  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
-  CAST(rev_cents AS DOUBLE) / CAST((SELECT SUM(rev_cents) FROM per_nation) AS DOUBLE) AS revenue_share
-FROM per_nation
-"""
-
-
-@register("agg_global_ratio", _GLOBAL_ORACLE, tags=("agg",))
-def agg_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
-    )
-    total = per_nation.agg(F.sum("rev_cents").alias("total_cents"))
-    return per_nation.crossJoin(F.broadcast(total)).select(
-        "n_name",
-        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
-        (F.col("rev_cents").cast("double") / F.col("total_cents").cast("double")).alias(
-            "revenue_share"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_weighted — A11: weighted average (reference get_linear_weights.py:90-103
-# wOBA-scale denominator Σ(w·n)/Σn)
-# ---------------------------------------------------------------------------
-
-_WEIGHTED_ORACLE = """
-SELECT
-  l_returnflag,
-  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-    / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS qty_weighted_disc
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-@register("agg_weighted", _WEIGHTED_ORACLE, tags=("agg",))
-def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("long")
-    disc_pct = cents(F.col("l_discount"))
-    return li.groupBy("l_returnflag").agg(
-        (F.sum(disc_pct * qty).cast("double") / F.sum(qty).cast("double") / 100.0).alias(
-            "qty_weighted_disc"
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_histogram — A10: value_counts + share (reference get_linear_weights.py:86-92)
-# ---------------------------------------------------------------------------
-
-_HIST_ORACLE = """
-WITH h AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority)
-SELECT o_orderpriority, n,
-       CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM h) AS DOUBLE) AS share
-FROM h
-"""
-
-
-@register("agg_histogram", _HIST_ORACLE, tags=("agg",))
-def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    h = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
-    total = h.agg(F.sum("n").alias("total"))
-    return h.crossJoin(F.broadcast(total)).select(
-        "o_orderpriority",
-        "n",
-        (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_unpivot — A9: wide metric columns -> long (metric, value) rows
-# (reference batting.py:307-331 packs masked indicator frames then unions;
-# Spark expresses it as unpivot/melt)
-# ---------------------------------------------------------------------------
-
-_UNPIVOT_ORACLE = """
-WITH wide AS (
-  SELECT user_id,
-         COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
-         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
-         COUNT(*) FILTER (WHERE event_type = 'error')    AS errors
-  FROM events GROUP BY user_id
-)
-SELECT user_id, 'clicks' AS metric, clicks AS n FROM wide
-UNION ALL SELECT user_id, 'purchases', purchases FROM wide
-UNION ALL SELECT user_id, 'errors', errors FROM wide
-"""
-
-
-@register("agg_unpivot", _UNPIVOT_ORACLE, tags=("agg", "setop"))
-def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    wide = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
-    )
-    return wide.unpivot(
-        ["user_id"], ["clicks", "purchases", "errors"], "metric", "n"
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_cube — grouping-sets rollup: the reference computes player-grain and
-# team-grain (and overall) boards as SEPARATE groupbys (situational.py:47-150
-# four variants); Spark collapses them into one CUBE pass (SURVEY §2.4 note).
-# ---------------------------------------------------------------------------
-
-_CUBE_ORACLE = """
-SELECT
-  o_orderpriority,
-  o_orderstatus,
-  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
-  COUNT(*) AS n_orders,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
-FROM orders
-GROUP BY CUBE (o_orderpriority, o_orderstatus)
-"""
-
-
-@register("agg_cube", _CUBE_ORACLE, tags=("agg",))
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderpriority", "o_orderstatus").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_orders"),
-        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
-    ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")
-
-
-# ---------------------------------------------------------------------------
-# agg_rollup — hierarchical grouping sets: (priority, status), (priority),
-# () — the partial-aggregate scale path for publishing a drill-down table in
-# one pass instead of three groupBys.
-# ---------------------------------------------------------------------------
-
-_ROLLUP_ORACLE = """
-SELECT
-  o_orderpriority,
-  o_orderstatus,
-  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
-  COUNT(*) AS n_orders,
-  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
-FROM orders
-GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-"""
-
-
-@register("agg_rollup", _ROLLUP_ORACLE, tags=("agg",))
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_orders"),
-        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("revenue"),
-    ).select("o_orderpriority", "o_orderstatus", "gid", "n_orders", "revenue")
-
-
-# ---------------------------------------------------------------------------
-# agg_percentiles — exact interpolated quantiles per group (Spark
-# `percentile` == DuckDB `quantile_cont` on integer-cents input: identical
-# (n-1)*p interpolation, bit-stable). At 100 TB swap for approx_percentile
-# with a documented error bound; the exact form is the correctness anchor.
-# ---------------------------------------------------------------------------
-
-_PCT_ORACLE = """
-SELECT event_type,
-       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50_cents,
-       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS p90_cents,
-       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS max_cents
-FROM events
-GROUP BY event_type
-"""
-
-
-@register("agg_percentiles", _PCT_ORACLE, tags=("agg",))
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)").alias("p50_cents"),
-        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.9)").alias("p90_cents"),
-        F.max(cents(F.col("value"))).cast("double").alias("max_cents"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# agg_collect_ordered — deterministic ordered collect: the event sequence
-# per user. collect_list order is NONDETERMINISTIC under parallelism —
-# sort_array over (ts, id, value) structs imposes the total order after
-# collection (one shuffle; the sort is per-group, local). Published as a
-# '|'-joined scalar string: the sequence content is identical to the array
-# form, and a scalar column is hashable by any downstream comparator
-# (pandas cannot canonicalize list-valued cells).
-# ---------------------------------------------------------------------------
-
-_COLLECT_ORACLE = """
-SELECT user_id,
-       array_to_string(list(event_type ORDER BY ts, event_id), '|') AS event_seq,
-       COUNT(*) AS n_events
-FROM events
-GROUP BY user_id
-"""
-
-
-@register("agg_collect_ordered", _COLLECT_ORACLE, tags=("agg",))
-def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    packed = F.sort_array(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
-    )
-    return ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(packed, lambda s: s["event_type"]), "|"
-        ).alias("event_seq"),
-        F.count("*").alias("n_events"),
     )
 
 
@@ -419,34 +324,123 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_grouping_sets — explicit GROUPING SETS (completes the cube/rollup
-# family): three chosen grains in ONE pass over the fact table with
-# GROUPING() markers disambiguating the null-as-total rows. At scale this
-# replaces three separate scans+shuffles with one expand+aggregate.
+# z_agg_multilevel — multi-grain aggregation in one pass (z_ tier, beyond
+# SURVEY): CUBE and ROLLUP over orders, explicit GROUPING SETS over
+# lineitem, unioned with GROUPING() markers. At scale this replaces N
+# separate scans+shuffles with one expand+aggregate (the reference computes
+# player/team/overall boards as separate groupbys, situational.py:47-150).
 # ---------------------------------------------------------------------------
 
-_GSETS_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       GROUPING(l_returnflag) AS g_flag,
-       GROUPING(l_linestatus) AS g_status,
+_MULTI_ORACLE = """
+SELECT 'cube' AS part, o_orderpriority AS g1, o_orderstatus AS g2,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'rollup', o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT),
+       COUNT(*),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'gsets', l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT),
+       COUNT(*),
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
-@register("agg_grouping_sets", _GSETS_ORACLE, tags=("agg",))
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_agg_multilevel", _MULTI_ORACLE, tags=("agg",))
+def z_agg_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("v")
+    cube = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n"), rev
+    ).select(
+        F.lit("cube").alias("part"),
+        F.col("o_orderpriority").alias("g1"), F.col("o_orderstatus").alias("g2"),
+        F.col("gid").cast("long").alias("gid"), "n", "v",
+    )
+    rollup = orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n"), rev
+    ).select(
+        F.lit("rollup").alias("part"),
+        F.col("o_orderpriority").alias("g1"), F.col("o_orderstatus").alias("g2"),
+        F.col("gid").cast("long").alias("gid"), "n", "v",
+    )
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
+    gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        SELECT 'gsets' AS part, l_returnflag AS g1, l_linestatus AS g2,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS v
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+    return cube.unionByName(rollup).unionByName(gsets)
+
+
+# ---------------------------------------------------------------------------
+# z_agg_order_stats — order-statistic extras (z_ tier, beyond SURVEY):
+# exact interpolated quantiles per group (Spark `percentile` == DuckDB
+# `quantile_cont` on integer-cents input) and the deterministic ordered
+# collect (sort_array over structs — collect_list alone is
+# partition-order-nondeterministic). At 100 TB the quantiles swap for
+# approx_percentile (bound contract: agg_approx_bounds).
+# ---------------------------------------------------------------------------
+
+_ORDER_STATS_ORACLE = """
+SELECT 'pct' AS part, event_type AS key, CAST(NULL AS VARCHAR) AS seq,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS d1,
+       quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS d2,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS d3,
+       CAST(NULL AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'collect', CAST(user_id AS VARCHAR),
+       array_to_string(list(event_type ORDER BY ts, event_id), '|'),
+       NULL, NULL, NULL,
+       COUNT(*)
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("z_agg_order_stats", _ORDER_STATS_ORACLE, tags=("agg",))
+def z_agg_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)").alias("d1"),
+        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.9)").alias("d2"),
+        F.max(cents(F.col("value"))).cast("double").alias("d3"),
+    ).select(
+        F.lit("pct").alias("part"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("string").alias("seq"),
+        "d1", "d2", "d3",
+        F.lit(None).cast("long").alias("n"),
+    )
+    packed = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    collect = ev.groupBy("user_id").agg(
+        F.array_join(F.transform(packed, lambda s: s["event_type"]), "|").alias("seq"),
+        F.count("*").alias("n"),
+    ).select(
+        F.lit("collect").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        "seq",
+        F.lit(None).cast("double").alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+        F.lit(None).cast("double").alias("d3"),
+        "n",
+    )
+    return pct.unionByName(collect)

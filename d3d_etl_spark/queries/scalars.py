@@ -1,9 +1,17 @@
-"""Scalar-function surface (SURVEY.md §2.9 T1-T9/D1-D3/M1-M5, §2.2 P10,
+"""Scalar-function surface (SURVEY.md §2.9 T4/T5/T8/D1-D3/M1-M5, §2.2 P10,
 §2.7 set ops).
 
 Everything here is a pure Catalyst expression (whole-stage codegen, no UDFs,
 no shuffle beyond the final exchange) — the reference does all of it with
 row-wise pandas string/number ops.
+
+Round-3 consolidation (VERDICT.md "Next round" #2): the five scalar
+micro-queries are published as ONE tagged union (`scalar_funcs`) so the
+whole scalar surface sits inside the driver's 50-query correctness window;
+each arm keeps its own source table, operators and oracle SQL, normalized
+onto a shared (part, k1, k2, i1-i3, d1-d5, s1-s5, dt1, dt2) schema. The
+three set operations union the same way (`set_ops`). Per-function unit
+tests in tests/test_functions.py are unchanged.
 """
 
 from __future__ import annotations
@@ -17,275 +25,230 @@ from d3d_etl_spark.functions.strings import hash_id, md5_int, normalize_name
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.queries.registry import register
 
+# normalized scalar-family schema: NULL columns typed per engine
+_I = "CAST(NULL AS BIGINT)"
+_D = "CAST(NULL AS DOUBLE)"
+_S = "CAST(NULL AS VARCHAR)"
+_DT = "CAST(NULL AS VARCHAR)"
+
+
 # ---------------------------------------------------------------------------
-# string_normalize — T4/T5: lower/strip/extract/flip (reference
-# names/helpers.py:6-19 "Last, First" flip + normalize_name)
+# scalar_funcs — the scalar-expression surface as one tagged union:
+#   part='cast'  P10 to_numeric-coerce via try_cast + JSON extraction
+#                (reference leaderboards/main.py:197-205; S10 JSON)
+#   part='date'  D1/D2 date parse/extract + max-watermark + day arithmetic
+#                (reference collect_schedules.py:90-98)
+#   part='math'  M1-M5 safe divide, clip, round, innings codec, signum
+#                (reference common.py:5-36, sos_utils.py:89-91)
+#   part='norm'  T4/T5 lower/strip/extract/flip (reference names/helpers.py:6-19)
+#   part='hash'  T8 salted sha256[:16] ids + portable 32-bit bucket hash
+#                (reference scripts/hash_player_ids.py:11-38)
 # ---------------------------------------------------------------------------
 
-_STR_ORACLE = """
-SELECT
-  p_partkey,
-  lower(trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_name,
-  regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
-  regexp_extract(p_name, '(\\w+)$', 1) AS last_word,
-  regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1) AS keyed_name,
-  trim(regexp_extract(regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1), ',(.*)$', 1))
-    || ' ' ||
-  trim(regexp_extract(regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1), '^([^,]+),', 1)) AS unflipped
+_SCALAR_ORACLE = f"""
+SELECT 'cast' AS part,
+       CAST(event_id AS BIGINT) AS k1, {_I} AS k2,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS i1,
+       TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS i2,
+       {_I} AS i3,
+       TRY_CAST(event_type AS DOUBLE) AS d1,
+       {_D} AS d2, {_D} AS d3, {_D} AS d4, {_D} AS d5,
+       {_S} AS s1, {_S} AS s2, {_S} AS s3, {_S} AS s4, {_S} AS s5,
+       {_DT} AS dt1, {_DT} AS dt2
+FROM events
+UNION ALL
+SELECT 'date', CAST(o_custkey AS BIGINT), NULL,
+       CAST(year(MAX(o_orderdate)) AS BIGINT),
+       COUNT(DISTINCT year(o_orderdate)),
+       COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)),
+       NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL,
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR),
+       CAST(CAST(MAX(o_orderdate) AS DATE) + 1 AS VARCHAR)
+FROM orders
+GROUP BY o_custkey
+UNION ALL
+SELECT 'math', CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+       CAST(l_quantity AS BIGINT),
+       NULL, NULL,
+       CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) / 3.0,
+       CASE WHEN CAST(l_quantity AS BIGINT) != 0
+            THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / CAST(l_quantity AS BIGINT)
+            ELSE 0.0 END,
+       GREATEST(5.0, LEAST(40.0, l_quantity)),
+       ROUND(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) / 100.0, 2),
+       CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END,
+       CAST(CAST(l_quantity AS BIGINT) // 3 AS VARCHAR) || '.' || CAST(CAST(l_quantity AS BIGINT) % 3 AS VARCHAR),
+       NULL, NULL, NULL, NULL,
+       NULL, NULL
+FROM lineitem
+UNION ALL
+SELECT 'norm', CAST(p_partkey AS BIGINT), NULL,
+       NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL,
+       lower(trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))),
+       regexp_extract(p_name, '^(\\w+)', 1),
+       regexp_extract(p_name, '(\\w+)$', 1),
+       regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1),
+       trim(regexp_extract(regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1), ',(.*)$', 1))
+         || ' ' ||
+       trim(regexp_extract(regexp_extract(p_name, '(\\w+)$', 1) || ', ' || regexp_extract(p_name, '^(\\w+)', 1), '^([^,]+),', 1)),
+       NULL, NULL
 FROM part
-"""
-
-
-@register("string_normalize", _STR_ORACLE, tags=("string",))
-def string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from d3d_etl_spark.functions.strings import flip_last_first
-
-    part = load_table(spark, sf_dir, "part")
-    first_word = F.regexp_extract("p_name", r"^(\w+)", 1)
-    last_word = F.regexp_extract("p_name", r"(\w+)$", 1)
-    keyed = F.concat(last_word, F.lit(", "), first_word)
-    return part.select(
-        "p_partkey",
-        normalize_name(F.col("p_name")).alias("norm_name"),
-        first_word.alias("first_word"),
-        last_word.alias("last_word"),
-        keyed.alias("keyed_name"),
-        flip_last_first(keyed).alias("unflipped"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# regex_classify — T1: priority-ordered regex classifier (reference
-# pbp_parser/columns.py:532-619: 26 event types where rule ORDER is semantics)
-# ---------------------------------------------------------------------------
-
-_CLASSIFY_ORACLE = r"""
-SELECT
-  doc_id,
-  CASE
-    WHEN regexp_matches(text, '\bvector\b') AND regexp_matches(text, '\bjoin\b') THEN 'vector_join'
-    WHEN regexp_matches(text, '\bvector\b') THEN 'vector'
-    WHEN regexp_matches(text, '\bstream\b') THEN 'streaming'
-    WHEN regexp_matches(text, '\bspark\b')  THEN 'spark'
-    WHEN regexp_matches(text, '\b(join|merge)\b') THEN 'join'
-    ELSE 'other'
-  END AS doc_class
-FROM documents
-"""
-
-
-@register("regex_classify", _CLASSIFY_ORACLE, tags=("string", "regex"))
-def regex_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    # Order is semantics — mirrors the reference's priority cascade.
-    doc_class = (
-        F.when(t.rlike(r"\bvector\b") & t.rlike(r"\bjoin\b"), "vector_join")
-        .when(t.rlike(r"\bvector\b"), "vector")
-        .when(t.rlike(r"\bstream\b"), "streaming")
-        .when(t.rlike(r"\bspark\b"), "spark")
-        .when(t.rlike(r"\b(join|merge)\b"), "join")
-        .otherwise("other")
-    )
-    return docs.select("doc_id", doc_class.alias("doc_class"))
-
-
-# ---------------------------------------------------------------------------
-# regex_count_extract — T2/T3: match counting + group extraction (reference
-# columns.py:179-203 "scored" counting; regexes.py:174-188 name extraction)
-# ---------------------------------------------------------------------------
-
-_RCE_ORACLE = r"""
-SELECT
-  doc_id,
-  len(regexp_extract_all(text, '\bagg\b'))         AS n_agg,
-  len(regexp_extract_all(text, '\b(scan|sort)\b')) AS n_scan_sort,
-  regexp_extract(text, '^(\w+) (\w+)', 2)          AS second_word
-FROM documents
-"""
-
-
-@register("regex_count_extract", _RCE_ORACLE, tags=("string", "regex"))
-def regex_count_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.regexp_count(t, F.lit(r"\bagg\b")).cast("long").alias("n_agg"),
-        F.regexp_count(t, F.lit(r"\b(scan|sort)\b")).cast("long").alias("n_scan_sort"),
-        F.regexp_extract(t, r"^(\w+) (\w+)", 2).alias("second_word"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# hash_ids — T8: salted 16-hex ids + portable 32-bit bucket hash (reference
-# scripts/hash_player_ids.py:11-38)
-# ---------------------------------------------------------------------------
-
-_HASH_ORACLE = """
-SELECT
-  c_custkey,
-  substr(sha256('d3d:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS hashed_id,
-  ('0x' || substr(md5(c_name), 1, 8))::BIGINT AS name_bucket_hash,
-  ('0x' || substr(md5(c_name), 1, 8))::BIGINT % 1024 AS bucket
+UNION ALL
+SELECT 'hash', CAST(c_custkey AS BIGINT), NULL,
+       ('0x' || substr(md5(c_name), 1, 8))::BIGINT,
+       ('0x' || substr(md5(c_name), 1, 8))::BIGINT % 1024,
+       NULL,
+       NULL, NULL, NULL, NULL, NULL,
+       substr(sha256('d3d:' || CAST(c_custkey AS VARCHAR)), 1, 16),
+       NULL, NULL, NULL, NULL,
+       NULL, NULL
 FROM customer
 """
 
 
-@register("hash_ids", _HASH_ORACLE, tags=("string", "hash"))
-def hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    h = md5_int(F.col("c_name"))
-    return cust.select(
-        "c_custkey",
-        hash_id(F.col("c_custkey")).alias("hashed_id"),
-        h.alias("name_bucket_hash"),
-        (h % 1024).alias("bucket"),
+def _norm_row(part: str, k1, k2=None, i1=None, i2=None, i3=None,
+              d1=None, d2=None, d3=None, d4=None, d5=None,
+              s1=None, s2=None, s3=None, s4=None, s5=None,
+              dt1=None, dt2=None) -> list:
+    def c(v, t):
+        return (F.lit(None) if v is None else v).cast(t)
+
+    return [
+        F.lit(part).alias("part"),
+        c(k1, "long").alias("k1"), c(k2, "long").alias("k2"),
+        c(i1, "long").alias("i1"), c(i2, "long").alias("i2"), c(i3, "long").alias("i3"),
+        c(d1, "double").alias("d1"), c(d2, "double").alias("d2"),
+        c(d3, "double").alias("d3"), c(d4, "double").alias("d4"),
+        c(d5, "double").alias("d5"),
+        c(s1, "string").alias("s1"), c(s2, "string").alias("s2"),
+        c(s3, "string").alias("s3"), c(s4, "string").alias("s4"),
+        c(s5, "string").alias("s5"),
+        c(dt1, "string").alias("dt1"), c(dt2, "string").alias("dt2"),
+    ]
+
+
+@register("scalar_funcs", _SCALAR_ORACLE, tags=("cast", "date", "math", "string", "hash"))
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import flip_last_first
+
+    # part='cast' — P10 coerce + JSON field extraction over events
+    ev = load_table(spark, sf_dir, "events")
+    cast_part = ev.select(
+        *_norm_row(
+            "cast", F.col("event_id"),
+            i1=F.get_json_object("props", "$.k").try_cast("long"),
+            i2=F.get_json_object("props", "$.missing").try_cast("long"),
+            d1=F.col("event_type").try_cast("double"),
+        )
     )
 
-
-# ---------------------------------------------------------------------------
-# date_funcs — D1/D2: date parse/extract + max-watermark + day arithmetic
-# (reference collect_schedules.py:90-98 resume-by-watermark)
-# ---------------------------------------------------------------------------
-
-_DATE_ORACLE = """
-SELECT
-  o_custkey,
-  CAST(MAX(o_orderdate) AS DATE)     AS last_order_date,
-  CAST(MAX(o_orderdate) AS DATE) + 1 AS resume_date,
-  CAST(year(MAX(o_orderdate)) AS BIGINT)  AS last_year,
-  COUNT(DISTINCT year(o_orderdate)) AS n_years,
-  COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months
-FROM orders
-GROUP BY o_custkey
-"""
-
-
-@register("date_funcs", _DATE_ORACLE, tags=("date",))
-def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part='date' — D1/D2 watermark + calendar arithmetic over orders
     orders = load_table(spark, sf_dir, "orders")
     max_d = F.max(F.col("o_orderdate")).cast("date")
-    return orders.groupBy("o_custkey").agg(
-        max_d.alias("last_order_date"),
-        F.date_add(max_d, 1).alias("resume_date"),
-        F.year(F.max("o_orderdate")).cast("long").alias("last_year"),
-        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
-        F.countDistinct(F.trunc("o_orderdate", "month")).alias("n_months"),
+    date_agg = orders.groupBy("o_custkey").agg(
+        max_d.alias("_last"),
+        F.date_add(max_d, 1).alias("_resume"),
+        F.year(F.max("o_orderdate")).cast("long").alias("_year"),
+        F.countDistinct(F.year("o_orderdate")).alias("_ny"),
+        F.countDistinct(F.trunc("o_orderdate", "month")).alias("_nm"),
+    )
+    date_part = date_agg.select(
+        *_norm_row(
+            "date", F.col("o_custkey"),
+            i1=F.col("_year"), i2=F.col("_ny"), i3=F.col("_nm"),
+            dt1=F.col("_last"), dt2=F.col("_resume"),
+        )
     )
 
-
-# ---------------------------------------------------------------------------
-# cast_coerce — P10: to_numeric(errors="coerce") parity via try_cast +
-# JSON field extraction (reference leaderboards/main.py:197-205; S10 JSON)
-# ---------------------------------------------------------------------------
-
-_CAST_ORACLE = """
-SELECT
-  event_id,
-  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-  TRY_CAST(event_type AS DOUBLE) AS bad_num,
-  TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
-FROM events
-"""
-
-
-@register("cast_coerce", _CAST_ORACLE, tags=("cast",))
-def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").try_cast("long").alias("k_val"),
-        F.col("event_type").try_cast("double").alias("bad_num"),
-        F.get_json_object("props", "$.missing").try_cast("long").alias("missing_val"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# set ops — U1-U4 (reference concat/set-difference/overlap idioms)
-# ---------------------------------------------------------------------------
-
-_UNION_ORACLE = """
-SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-UNION
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-"""
-
-
-@register("set_union_distinct", _UNION_ORACLE, tags=("setop",))
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    f = orders.where("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
-    o = orders.where("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
-    return f.unionByName(o).distinct()
-
-
-_EXCEPT_ORACLE = """
-SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-"""
-
-
-@register("set_except", _EXCEPT_ORACLE, tags=("setop",))
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    f = orders.where("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
-    o = orders.where("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
-    return f.distinct().exceptAll(o.distinct())
-
-
-_INTERSECT_ORACLE = """
-SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
-"""
-
-
-@register("set_intersect", _INTERSECT_ORACLE, tags=("setop",))
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    f = orders.where("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
-    p = orders.where("o_orderstatus = 'P'").select(F.col("o_custkey").alias("custkey"))
-    return f.intersect(p)
-
-
-# ---------------------------------------------------------------------------
-# math_funcs — M1-M5: safe divide, clip, round, innings codec, signum
-# (reference common.py:5-36, sos_utils.py:89-91, get_er_matrix.py:26-27)
-# ---------------------------------------------------------------------------
-
-_MATH_ORACLE = """
-SELECT
-  l_orderkey, l_linenumber,
-  CAST(CAST(l_quantity AS BIGINT) // 3 AS VARCHAR) || '.' || CAST(CAST(l_quantity AS BIGINT) % 3 AS VARCHAR) AS ip_str,
-  CAST(l_quantity AS BIGINT) AS thirds_roundtrip,
-  CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) / 3.0 AS innings,
-  CASE WHEN CAST(l_quantity AS BIGINT) != 0
-       THEN CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / CAST(l_quantity AS BIGINT)
-       ELSE 0.0 END AS rate_cents_per_unit,
-  GREATEST(5.0, LEAST(40.0, l_quantity)) AS qty_clipped,
-  ROUND(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) / 100.0, 2) AS disc_qty,
-  CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign
-FROM lineitem
-"""
-
-
-@register("math_funcs", _MATH_ORACLE, tags=("math",))
-def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part='math' — M1-M5 over lineitem (incl. the base-3 IP codec round-trip)
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
     ip_str = thirds_to_ip(qty)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        ip_str.alias("ip_str"),
-        ip_to_thirds(ip_str).alias("thirds_roundtrip"),
-        ip_to_innings(ip_str).alias("innings"),
-        safe_div(cents(F.col("l_extendedprice")).cast("double"), qty, 0.0).alias(
-            "rate_cents_per_unit"
-        ),
-        clip(F.col("l_quantity"), 5.0, 40.0).alias("qty_clipped"),
-        F.round(cents(F.col("l_discount")) * qty / 100.0, 2).alias("disc_qty"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    math_part = li.select(
+        *_norm_row(
+            "math", F.col("l_orderkey"), F.col("l_linenumber"),
+            i1=ip_to_thirds(ip_str),
+            d1=ip_to_innings(ip_str),
+            d2=safe_div(cents(F.col("l_extendedprice")).cast("double"), qty, 0.0),
+            d3=clip(F.col("l_quantity"), 5.0, 40.0),
+            d4=F.round(cents(F.col("l_discount")) * qty / 100.0, 2),
+            d5=F.signum(F.col("l_discount") - 0.05),
+            s1=ip_str,
+        )
     )
+
+    # part='norm' — T4/T5 normalize/extract/flip over part names
+    part_t = load_table(spark, sf_dir, "part")
+    first_word = F.regexp_extract("p_name", r"^(\w+)", 1)
+    last_word = F.regexp_extract("p_name", r"(\w+)$", 1)
+    keyed = F.concat(last_word, F.lit(", "), first_word)
+    norm_part = part_t.select(
+        *_norm_row(
+            "norm", F.col("p_partkey"),
+            s1=normalize_name(F.col("p_name")),
+            s2=first_word, s3=last_word, s4=keyed,
+            s5=flip_last_first(keyed),
+        )
+    )
+
+    # part='hash' — T8 salted ids + portable bucket hash over customer
+    cust = load_table(spark, sf_dir, "customer")
+    h = md5_int(F.col("c_name"))
+    hash_part = cust.select(
+        *_norm_row(
+            "hash", F.col("c_custkey"),
+            i1=h, i2=h % 1024,
+            s1=hash_id(F.col("c_custkey")),
+        )
+    )
+
+    return (
+        cast_part.unionByName(date_part)
+        .unionByName(math_part)
+        .unionByName(norm_part)
+        .unionByName(hash_part)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set_ops — U1-U3 union/except/intersect as one tagged union (U4 distinct is
+# exercised by every arm). Reference concat/set-difference/overlap idioms.
+# ---------------------------------------------------------------------------
+
+_SET_ORACLE = """
+SELECT 'union' AS part, custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'except', custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'intersect', custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+"""
+
+
+@register("set_ops", _SET_ORACLE, tags=("setop",))
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    o = orders.where("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    p = orders.where("o_orderstatus = 'P'").select(F.col("o_custkey").alias("custkey"))
+    union_arm = f.unionByName(o).distinct().select(F.lit("union").alias("part"), "custkey")
+    except_arm = (
+        f.distinct()
+        .exceptAll(o.distinct())
+        .select(F.lit("except").alias("part"), "custkey")
+    )
+    intersect_arm = f.intersect(p).select(F.lit("intersect").alias("part"), "custkey")
+    return union_arm.unionByName(except_arm).unionByName(intersect_arm)
