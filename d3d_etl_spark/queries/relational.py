@@ -172,15 +172,35 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# join_left_coalesce — J1/P8: left join with null-preserving fallback
+# join_family — the non-equi-enrichment join surface as one tagged union
+# (round-3 consolidation, VERDICT "Next round" #2). Each arm keeps its own
+# join strategy and oracle; normalized onto (part, key, name, seg, i1, i2, v):
+#   part='semi'  J3 existence filter as left_semi
+#   part='anti'  J8/U2 incremental "todo = all - done" as left_anti
+#                (io.incremental_todo, reference collect_pbp.py resume scan)
+#   part='left'  J1/P8 left join + null-preserving coalesce fallback
+#   part='outer' J4 full outer join of two per-key aggregates
 # ---------------------------------------------------------------------------
 
-_LEFT_ORACLE = """
-SELECT
-  c.c_custkey,
-  c.c_name,
-  COALESCE(o.n_orders, 0)  AS n_orders,
-  COALESCE(o.total_spent, 0.0) AS total_spent
+_JOIN_FAMILY_ORACLE = """
+SELECT 'semi' AS part, CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+       c_mktsegment AS seg, CAST(NULL AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+       CAST(NULL AS DOUBLE) AS v
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'anti', CAST(c_custkey AS BIGINT), c_name, NULL, NULL, NULL, NULL
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'left', CAST(c.c_custkey AS BIGINT), c.c_name, NULL,
+       COALESCE(o.n_orders, 0), NULL, COALESCE(o.total_spent, 0.0)
 FROM customer c
 LEFT JOIN (
   SELECT o_custkey,
@@ -188,86 +208,10 @@ LEFT JOIN (
          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
   FROM orders GROUP BY o_custkey
 ) o ON c.c_custkey = o.o_custkey
-"""
-
-
-@register("join_left_coalesce", _LEFT_ORACLE, tags=("join",))
-def join_left_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    per_cust = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_spent"),
-        )
-    )
-    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
-        "c_custkey",
-        "c_name",
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# join_semi — J3: existence filter as left_semi
-# ---------------------------------------------------------------------------
-
-_SEMI_ORACLE = """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer c
-WHERE EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
-)
-"""
-
-
-@register("join_semi", _SEMI_ORACLE, tags=("join",))
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    f_orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    return cust.join(
-        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-# ---------------------------------------------------------------------------
-# join_anti — J8/U2: incremental "todo = all - done" as left_anti
-# ---------------------------------------------------------------------------
-
-_ANTI_ORACLE = """
-SELECT c_custkey, c_name
-FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
-)
-"""
-
-
-@register("join_anti", _ANTI_ORACLE, tags=("join",))
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from d3d_etl_spark.io import incremental_todo
-
-    cust = load_table(spark, sf_dir, "customer")
-    done = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "O"
-    ).select(F.col("o_custkey").alias("c_custkey"))
-    return incremental_todo(cust, done, "c_custkey").select("c_custkey", "c_name")
-
-
-# ---------------------------------------------------------------------------
-# join_outer — J4: full outer join of two per-key aggregates
-# ---------------------------------------------------------------------------
-
-_OUTER_ORACLE = """
-SELECT
-  COALESCE(a.user_id, b.user_id) AS user_id,
-  COALESCE(a.n_clicks, 0)    AS n_clicks,
-  COALESCE(b.n_purchases, 0) AS n_purchases,
-  COALESCE(b.purchase_value, 0.0) AS purchase_value
+UNION ALL
+SELECT 'outer', CAST(COALESCE(a.user_id, b.user_id) AS BIGINT), NULL, NULL,
+       COALESCE(a.n_clicks, 0), COALESCE(b.n_purchases, 0),
+       COALESCE(b.purchase_value, 0.0)
 FROM (
   SELECT user_id, COUNT(*) AS n_clicks
   FROM events WHERE event_type = 'click' GROUP BY user_id
@@ -281,8 +225,54 @@ FULL OUTER JOIN (
 """
 
 
-@register("join_outer", _OUTER_ORACLE, tags=("join",))
-def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("join_family", _JOIN_FAMILY_ORACLE, tags=("join",))
+def join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.io import incremental_todo
+
+    i_null = F.lit(None).cast("long")
+    v_null = F.lit(None).cast("double")
+    s_null = F.lit(None).cast("string")
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # part='semi' (J3)
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    semi = cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi").select(
+        F.lit("semi").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        i_null.alias("i1"), i_null.alias("i2"), v_null.alias("v"),
+    )
+
+    # part='anti' (J8/U2) — the incremental-scan operator
+    done = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    anti = incremental_todo(cust, done, "c_custkey").select(
+        F.lit("anti").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        s_null.alias("seg"), i_null.alias("i1"), i_null.alias("i2"), v_null.alias("v"),
+    )
+
+    # part='left' (J1/P8)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total_spent"),
+    )
+    left = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        F.lit("left").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").alias("name"),
+        s_null.alias("seg"),
+        F.coalesce("n_orders", F.lit(0)).alias("i1"),
+        i_null.alias("i2"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("v"),
+    )
+
+    # part='outer' (J4)
     ev = load_table(spark, sf_dir, "events")
     clicks = (
         ev.where(F.col("event_type") == "click")
@@ -298,12 +288,16 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = clicks.alias("a"), purch.alias("b")
-    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "outer").select(
-        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
-        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
-        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
-        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    outer = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "outer").select(
+        F.lit("outer").alias("part"),
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).cast("long").alias("key"),
+        s_null.alias("name"), s_null.alias("seg"),
+        F.coalesce("n_clicks", F.lit(0)).alias("i1"),
+        F.coalesce("n_purchases", F.lit(0)).alias("i2"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("v"),
     )
+
+    return semi.unionByName(anti).unionByName(left).unionByName(outer)
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +332,7 @@ def join_composite_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# join_asof — as-of join (beyond-reference; the canonical time-series lookup
+# z_join_asof — as-of join (z_ tier, beyond-reference; the canonical time-series lookup
 # Spark lacks natively): for each purchase event, the latest view event of
 # the same user at-or-before the purchase. Single shuffle via the
 # union+ordered-window formulation in operators/joins.asof_join.
@@ -364,8 +358,8 @@ SELECT event_id, user_id, ts, view_event_id, view_ts FROM j WHERE rn = 1
 """
 
 
-@register("join_asof", _ASOF_ORACLE, tags=("join",), bench=True)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_join_asof", _ASOF_ORACLE, tags=("join",), bench=True)
+def z_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -389,7 +383,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# join_range — keyed interval join (beyond-reference): per purchase event,
+# z_join_range — keyed interval join (z_ tier, beyond-reference): per purchase event,
 # how many view/click events the same user produced in the preceding hour.
 # Binned equi-join (operators/joins.binned_range_join) instead of the
 # BroadcastNestedLoopJoin a raw range predicate would force. Exact integer
@@ -414,8 +408,8 @@ GROUP BY 1, 2
 """
 
 
-@register("join_range", _RANGE_ORACLE, tags=("join",))
-def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_join_range", _RANGE_ORACLE, tags=("join",))
+def z_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.joins import binned_range_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -439,7 +433,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# join_salted — the skew-defusing join, oracled against the PLAIN join it
+# z_join_salted — the skew-defusing join (z_ tier), oracled against the PLAIN join it
 # must be row-identical to (salting changes distribution, never results):
 # orders x customer segment lookup with the small side replicated 4-ways.
 # ---------------------------------------------------------------------------
@@ -451,8 +445,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
-@register("join_salted", _SALTED_ORACLE, tags=("join",))
-def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_join_salted", _SALTED_ORACLE, tags=("join",))
+def z_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.joins import salted_join
 
     orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
