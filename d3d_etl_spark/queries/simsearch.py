@@ -55,8 +55,7 @@ LIMIT {_TOPK}
 """
 
 
-@register("sim_topk_bruteforce", _TOPK_ORACLE, tags=("similarity",), bench=True)
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
     return cosine_topk(emb.where(F.col("vec_id") != _QUERY_ID), query, _TOPK)
@@ -95,8 +94,7 @@ SELECT vec_id, label AS assigned_label, sim FROM ranked WHERE rn = 1
 """
 
 
-@register("sim_ivf_assign", _IVF_ORACLE, tags=("similarity",), bench=True)
-def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = label_centroids(emb, "label")
     return assign_nearest_centroid(emb, cents, "label")
@@ -125,8 +123,7 @@ WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_NEAR_T}
 """
 
 
-@register("sim_near_pairs", _NEAR_ORACLE, tags=("similarity",), bench=True)
-def sim_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import blocked_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -183,8 +180,7 @@ FROM s ORDER BY sim DESC, vec_id LIMIT {_ANN_K}
 """
 
 
-@register("sim_ann_lsh", _ANN_ORACLE, tags=("similarity",), bench=True)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import hyperplane_buckets, hyperplane_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -250,8 +246,7 @@ SELECT vec_id, cluster AS assigned_label, sim FROM ranked WHERE rn = 1
 """
 
 
-@register("sim_kmeans_step", _KMEANS_ORACLE, tags=("similarity",), bench=True)
-def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.strings import md5_int
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -283,8 +278,7 @@ FROM embeddings
 """
 
 
-@register("sim_quantize", _QUANT_ORACLE, tags=("similarity",))
-def sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     q = F.transform(F.col("embedding"), lambda x: F.round(xd(x) * _Q_SCALE).cast("int"))
@@ -329,8 +323,7 @@ LIMIT {_TOPK}
 """
 
 
-@register("sim_topk_quantized", _QTOPK_ORACLE, tags=("similarity",))
-def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q8 = emb.select(
         "vec_id",
@@ -405,8 +398,7 @@ LIMIT {_ANN_K}
 """
 
 
-@register("sim_ivf_search", _IVF_SEARCH_ORACLE, tags=("similarity",), bench=True)
-def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import ivf_search_quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -463,8 +455,7 @@ GROUP BY label
 """
 
 
-@register("sim_dedup_canonical", _SIM_CANON_ORACLE, tags=("similarity", "dedup"))
-def sim_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.dedup import connected_components
     from d3d_etl_spark.operators.similarity import blocked_near_pairs
 
@@ -480,3 +471,133 @@ def sim_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consolidation (VERDICT.md "Next round" #2): the similarity surface
+# is published as three family queries so every LLM-pipeline row sits inside
+# the driver's 50-query correctness window. Each arm above keeps its own
+# operator implementation and oracle SQL; the families union them onto
+# normalized schemas. Per-operator tests in tests/test_operators.py and the
+# full-probe==bruteforce recall pin are unchanged.
+# ---------------------------------------------------------------------------
+
+_TOPK_FAMILY_ORACLE = f"""
+SELECT 'bruteforce' AS part, vec_id, sim, CAST(NULL AS BIGINT) AS qdot,
+       CAST(NULL AS VARCHAR) AS qsig, CAST(NULL AS DOUBLE) AS max_err
+FROM ({_TOPK_ORACLE})
+UNION ALL
+SELECT 'ann', vec_id, sim, NULL, NULL, NULL FROM ({_ANN_ORACLE})
+UNION ALL
+SELECT 'quantized', vec_id, NULL, qdot, NULL, NULL FROM ({_QTOPK_ORACLE})
+UNION ALL
+SELECT 'ivf', vec_id, NULL, qdot, NULL, NULL FROM ({_IVF_SEARCH_ORACLE})
+UNION ALL
+SELECT 'codes', vec_id, NULL, NULL,
+       md5(array_to_string(q, ',')), max_err
+FROM ({_QUANT_ORACLE})
+"""
+
+
+@register("sim_topk_family", _TOPK_FAMILY_ORACLE, tags=("similarity",), bench=True)
+def sim_topk_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized-storage + search surface in one tagged union:
+    part='bruteforce' exact cosine top-k (recall-1.0 baseline),
+    part='ann' hyperplane-LSH bucket probe, part='quantized' int8
+    brute-force scan (exact integer dot ranking), part='ivf' the full
+    nprobe-pruned IVF search, part='codes' the int8 quantization itself
+    (codes digest + reconstruction error bound)."""
+    b_null = F.lit(None).cast("long")
+    d_null = F.lit(None).cast("double")
+    s_null = F.lit(None).cast("string")
+
+    def norm(df, part, sim=None, qdot=None, qsig=None, max_err=None):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            (sim if sim is not None else d_null).alias("sim"),
+            (qdot if qdot is not None else b_null).alias("qdot"),
+            (qsig if qsig is not None else s_null).alias("qsig"),
+            (max_err if max_err is not None else d_null).alias("max_err"),
+        )
+
+    quant = _quantize(spark, sf_dir)
+    return (
+        norm(_topk_bruteforce(spark, sf_dir), "bruteforce", sim=F.col("sim"))
+        .unionByName(norm(_ann_lsh(spark, sf_dir), "ann", sim=F.col("sim")))
+        .unionByName(norm(_topk_quantized(spark, sf_dir), "quantized", qdot=F.col("qdot")))
+        .unionByName(norm(_ivf_search(spark, sf_dir), "ivf", qdot=F.col("qdot")))
+        .unionByName(
+            norm(
+                quant, "codes",
+                qsig=F.md5(F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))),
+                max_err=F.col("max_err"),
+            )
+        )
+    )
+
+
+_ASSIGN_FAMILY_ORACLE = f"""
+SELECT 'ivf' AS part, vec_id, CAST(assigned_label AS BIGINT) AS assigned_label, sim
+FROM ({_IVF_ORACLE})
+UNION ALL
+SELECT 'kmeans', vec_id, CAST(assigned_label AS BIGINT), sim
+FROM ({_KMEANS_ORACLE})
+"""
+
+
+@register("sim_assign_family", _ASSIGN_FAMILY_ORACLE, tags=("similarity",), bench=True)
+def sim_assign_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build + maintenance in one union: part='ivf' the
+    steady-state nearest-centroid assignment over exact-integer label
+    centroids; part='kmeans' one Lloyd iteration of spherical k-means from
+    a deterministic hash seed (iterate it and only the seed changes)."""
+
+    def norm(df, part):
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("assigned_label").cast("long").alias("assigned_label"),
+            F.col("sim"),
+        )
+
+    return norm(_ivf_assign(spark, sf_dir), "ivf").unionByName(
+        norm(_kmeans_step(spark, sf_dir), "kmeans")
+    )
+
+
+_NEAR_DEDUP_ORACLE = f"""
+SELECT 'pair' AS part, CAST(vec_a AS BIGINT) AS a, CAST(vec_b AS BIGINT) AS b,
+       sim, CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+FROM ({_NEAR_ORACLE})
+UNION ALL
+SELECT 'canon', CAST(label AS BIGINT), CAST(min_vec AS BIGINT),
+       CAST(NULL AS DOUBLE), n_vectors, CAST(max_vec AS BIGINT)
+FROM ({_SIM_CANON_ORACLE})
+"""
+
+
+@register("sim_near_dedup", _NEAR_DEDUP_ORACLE, tags=("similarity", "dedup"))
+def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup surface: part='pair' the thresholded
+    all-pairs cosine (blocked-GEMM operator), part='canon' the downstream
+    canonical dedup (clusters -> min-id rep -> anti-join) profiled per
+    label. The pair stage is computed once per arm semantics; at scale the
+    canon path is LSH/IVF-gated ahead of the GEMM (see operators/similarity)."""
+    pair = _near_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("vec_a").cast("long").alias("a"),
+        F.col("vec_b").cast("long").alias("b"),
+        F.col("sim"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    canon = _dedup_canonical(spark, sf_dir).select(
+        F.lit("canon").alias("part"),
+        F.col("label").cast("long").alias("a"),
+        F.col("min_vec").cast("long").alias("b"),
+        F.lit(None).cast("double").alias("sim"),
+        F.col("n_vectors").cast("long").alias("n"),
+        F.col("max_vec").cast("long").alias("m"),
+    )
+    return pair.unionByName(canon)

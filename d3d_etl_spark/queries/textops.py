@@ -1,11 +1,20 @@
 """Text-analysis operators for the training-data pipeline (north-star ops
 beyond the reference: token counting, quality scoring, language-ID heuristic,
-document fingerprinting).
+document fingerprinting) plus the regex surface (SURVEY §2.9 T1-T3) over the
+same `documents` table.
 
 Design: every per-document metric is computed with array higher-order
-functions on the `text` column — a single narrow map stage, zero shuffles,
-fully whole-stage-codegen. At 100 TB this scans and emits without any
-exchange; only the optional downstream aggregation shuffles.
+functions / regex expressions on the `text` column — a single narrow map
+stage, zero shuffles, fully whole-stage-codegen. At 100 TB this scans and
+emits without any exchange; only the downstream aggregations shuffle.
+
+Round-3 consolidation (VERDICT.md "Next round" #2): the per-document
+metrics (tokens, quality, language-ID, fingerprint, regex classify/extract)
+are ONE wide query (`corpus_doc_stats`) — formerly six queries, still zero
+shuffles (plan-pinned in tests/test_plans.py). The corpus-level aggregates
+(TF-IDF top terms, vocabulary histogram) are one tagged union
+(`corpus_tfidf_hist`); chunking and sequence packing are one tagged union
+(`corpus_chunk_pack`).
 """
 
 from __future__ import annotations
@@ -26,101 +35,44 @@ from d3d_etl_spark.functions.text import (
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.queries.registry import register
 
-# ---------------------------------------------------------------------------
-# text_tokens — token counting (whitespace tokenizer)
-# ---------------------------------------------------------------------------
-
 _TOK = sql_tokens("text")
+_STOP = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+_SH = sql_word_shingles(_TOK, 3)
 
-_TOKENS_ORACLE = f"""
+
+# ---------------------------------------------------------------------------
+# corpus_doc_stats — the full per-document analysis surface in ONE narrow
+# pass (doc_id grain, zero shuffles):
+#   token stats   n_tokens/n_unique/avg_token_len/ttr
+#   quality       digit/punct/stopword ratios + pass filter (corpus filtering)
+#   language-ID   marker-hit argmax with fixed priority tiebreak
+#   fingerprint   content md5 + min-shingle-hash digest (dedup-key shape)
+#   T1 regex classifier (priority-ordered CASE — reference
+#                 pbp_parser/columns.py:532-619 where rule ORDER is semantics)
+#   T2/T3 regex count + group extraction (reference columns.py:179-203;
+#                 regexes.py:174-188)
+# ---------------------------------------------------------------------------
+
+def _doc_stats_sql() -> str:
+    hits = {lang: sql_marker_hits(_TOK, m) for lang, m in LANG_MARKERS.items()}
+    best = f"GREATEST({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    return rf"""
 SELECT
   doc_id,
+  n_chars,
+  lang AS labeled_lang,
   len({_TOK}) AS n_tokens,
   len(list_distinct({_TOK})) AS n_unique,
   CAST(list_aggregate(list_transform({_TOK}, t -> CAST(len(t) AS BIGINT)), 'sum') AS DOUBLE)
     / len({_TOK}) AS avg_token_len,
-  CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS ttr
-FROM documents
-"""
-
-
-@register("text_tokens", _TOKENS_ORACLE, tags=("text",), bench=True)
-def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    n_tokens = F.size(tok).cast("long")
-    n_unique = F.size(F.array_distinct(tok)).cast("long")
-    total_len = F.aggregate(
-        F.transform(tok, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique"),
-        (total_len.cast("double") / n_tokens).alias("avg_token_len"),
-        (n_unique.cast("double") / n_tokens).alias("ttr"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# text_quality — heuristic quality scoring (length, stopword ratio,
-# punctuation/digit density) — the LLM-corpus filtering shape
-# ---------------------------------------------------------------------------
-
-_STOP = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
-
-_QUALITY_ORACLE = f"""
-SELECT
-  doc_id,
-  n_chars,
-  len({_TOK}) AS n_tokens,
+  CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS ttr,
   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars AS digit_ratio,
   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / n_chars AS punct_ratio,
   CAST(len(list_filter({_TOK}, t -> list_contains({_STOP}, t))) AS DOUBLE) / len({_TOK}) AS stopword_ratio,
   CASE WHEN len({_TOK}) >= 20
         AND CAST(len(list_filter({_TOK}, t -> list_contains({_STOP}, t))) AS DOUBLE) / len({_TOK}) >= 0.01
         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / n_chars <= 0.2
-       THEN 1 ELSE 0 END AS passes_filter
-FROM documents
-"""
-
-
-@register("text_quality", _QUALITY_ORACLE, tags=("text",), bench=True)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    tok = tokens(t)
-    n_tokens = F.size(tok).cast("long")
-    digit_ratio = F.regexp_count(t, F.lit("[0-9]")).cast("double") / F.col("n_chars")
-    punct_ratio = F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("double") / F.col("n_chars")
-    stop_ratio = marker_hits(tok, EN_STOPWORDS).cast("double") / n_tokens
-    return docs.select(
-        "doc_id",
-        "n_chars",
-        n_tokens.alias("n_tokens"),
-        digit_ratio.alias("digit_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        F.when(
-            (n_tokens >= 20) & (stop_ratio >= 0.01) & (punct_ratio <= 0.2), 1
-        )
-        .otherwise(0)
-        .alias("passes_filter"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# text_langid — n-gram/stopword language-ID heuristic: score each language's
-# marker set, argmax with fixed priority tiebreak
-# ---------------------------------------------------------------------------
-
-def _lang_sql() -> str:
-    hits = {lang: sql_marker_hits(_TOK, m) for lang, m in LANG_MARKERS.items()}
-    best = f"GREATEST({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
-    return f"""
-SELECT
-  doc_id,
-  lang AS labeled_lang,
+       THEN 1 ELSE 0 END AS passes_filter,
   {hits['en']} AS hits_en,
   {hits['es']} AS hits_es,
   {hits['fr']} AS hits_fr,
@@ -131,15 +83,39 @@ SELECT
     WHEN {hits['es']} = {best} THEN 'es'
     WHEN {hits['fr']} = {best} THEN 'fr'
     ELSE 'de'
-  END AS pred_lang
+  END AS pred_lang,
+  md5(text) AS content_hash,
+  COALESCE(list_aggregate(list_transform({_SH}, s -> md5(s)), 'min'), 'EMPTY') AS shingle_fp,
+  len({_SH}) AS n_shingles,
+  CASE
+    WHEN regexp_matches(text, '\bvector\b') AND regexp_matches(text, '\bjoin\b') THEN 'vector_join'
+    WHEN regexp_matches(text, '\bvector\b') THEN 'vector'
+    WHEN regexp_matches(text, '\bstream\b') THEN 'streaming'
+    WHEN regexp_matches(text, '\bspark\b')  THEN 'spark'
+    WHEN regexp_matches(text, '\b(join|merge)\b') THEN 'join'
+    ELSE 'other'
+  END AS doc_class,
+  len(regexp_extract_all(text, '\bagg\b'))         AS n_agg,
+  len(regexp_extract_all(text, '\b(scan|sort)\b')) AS n_scan_sort,
+  regexp_extract(text, '^(\w+) (\w+)', 2)          AS second_word
 FROM documents
 """
 
 
-@register("text_langid", _lang_sql(), tags=("text",))
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("corpus_doc_stats", _doc_stats_sql(), tags=("text", "regex"), bench=True)
+def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
+    t = F.col("text")
+    tok = tokens(t)
+    n_tokens = F.size(tok).cast("long")
+    n_unique = F.size(F.array_distinct(tok)).cast("long")
+    total_len = F.aggregate(
+        F.transform(tok, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    digit_ratio = F.regexp_count(t, F.lit("[0-9]")).cast("double") / F.col("n_chars")
+    punct_ratio = F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("double") / F.col("n_chars")
+    stop_ratio = marker_hits(tok, EN_STOPWORDS).cast("double") / n_tokens
     hits = {lang: marker_hits(tok, m).cast("long") for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
     pred = (
@@ -149,82 +125,56 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["fr"] == best, "fr")
         .otherwise("de")
     )
+    sh = word_shingles(tok, 3)
+    # T1: order is semantics — mirrors the reference's priority cascade
+    doc_class = (
+        F.when(t.rlike(r"\bvector\b") & t.rlike(r"\bjoin\b"), "vector_join")
+        .when(t.rlike(r"\bvector\b"), "vector")
+        .when(t.rlike(r"\bstream\b"), "streaming")
+        .when(t.rlike(r"\bspark\b"), "spark")
+        .when(t.rlike(r"\b(join|merge)\b"), "join")
+        .otherwise("other")
+    )
     return docs.select(
         "doc_id",
+        "n_chars",
         F.col("lang").alias("labeled_lang"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        (total_len.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_unique.cast("double") / n_tokens).alias("ttr"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when((n_tokens >= 20) & (stop_ratio >= 0.01) & (punct_ratio <= 0.2), 1)
+        .otherwise(0)
+        .alias("passes_filter"),
         hits["en"].alias("hits_en"),
         hits["es"].alias("hits_es"),
         hits["fr"].alias("hits_fr"),
         hits["de"].alias("hits_de"),
         pred.alias("pred_lang"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# text_fingerprint — document fingerprint: min-hash-of-shingles digest +
-# content hash (the dedup-key shape; rolling-hash analog done portably)
-# ---------------------------------------------------------------------------
-
-_SH = sql_word_shingles(_TOK, 3)
-
-_FP_ORACLE = f"""
-SELECT
-  doc_id,
-  md5(text) AS content_hash,
-  COALESCE(list_aggregate(list_transform({_SH}, s -> md5(s)), 'min'), 'EMPTY') AS shingle_fp,
-  len({_SH}) AS n_shingles
-FROM documents
-"""
-
-
-@register("text_fingerprint", _FP_ORACLE, tags=("text", "dedup"))
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    sh = word_shingles(tok, 3)
-    return docs.select(
-        "doc_id",
         F.md5("text").alias("content_hash"),
         F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("EMPTY")).alias("shingle_fp"),
         F.size(sh).cast("long").alias("n_shingles"),
+        doc_class.alias("doc_class"),
+        F.regexp_count(t, F.lit(r"\bagg\b")).cast("long").alias("n_agg"),
+        F.regexp_count(t, F.lit(r"\b(scan|sort)\b")).cast("long").alias("n_scan_sort"),
+        F.regexp_extract(t, r"^(\w+) (\w+)", 2).alias("second_word"),
     )
 
 
 # ---------------------------------------------------------------------------
-# text_word_histogram — corpus-level token histogram (the inverted-index /
-# vocabulary-build shape): explode tokens -> count -> deterministic top-k
+# corpus_tfidf_hist — the corpus-level token aggregates as one tagged union:
+#   part='tfidf' TF-IDF top term per doc (explode -> tf -> broadcast df ->
+#                log-idf -> top-1 window)
+#   part='hist'  vocabulary histogram (explode -> count -> deterministic
+#                top-k) — the inverted-index / vocab-build shape
 # ---------------------------------------------------------------------------
 
 _TOPN_WORDS = 20
 
-_WORDHIST_ORACLE = f"""
-WITH toks AS (SELECT doc_id, unnest({_TOK}) AS word FROM documents)
-SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
-FROM toks
-GROUP BY word
-ORDER BY n DESC, word
-LIMIT {_TOPN_WORDS}
-"""
-
-
-@register("text_word_histogram", _WORDHIST_ORACLE, tags=("text", "agg"), bench=True)
-def text_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
-    return (
-        toks.groupBy("word")
-        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
-        .orderBy(F.desc("n"), F.asc("word"))
-        .limit(_TOPN_WORDS)
-    )
-
-
-# ---------------------------------------------------------------------------
-# text_tfidf — TF-IDF feature scores (corpus-feature shape): explode tokens,
-# per-doc term counts, log-idf from document frequency, top term per doc
-# ---------------------------------------------------------------------------
-
-_TFIDF_ORACLE = f"""
+_TFIDF_HIST_ORACLE = f"""
 WITH toks AS (SELECT doc_id, unnest({_TOK}) AS word FROM documents),
 tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
 df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
@@ -234,20 +184,32 @@ scored AS (
          ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
   FROM tf JOIN df USING (word) CROSS JOIN n
 )
-SELECT doc_id, word AS top_word, tfidf AS top_score
+SELECT 'tfidf' AS part, doc_id, word, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS doc_freq, tfidf AS score
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
   FROM scored
 ) WHERE rn = 1
+UNION ALL
+SELECT 'hist', NULL, word, n, doc_freq, NULL
+FROM (
+  SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM toks
+  GROUP BY word
+  ORDER BY n DESC, word
+  LIMIT {_TOPN_WORDS}
+)
 """
 
 
-@register("text_tfidf", _TFIDF_ORACLE, tags=("text", "agg"))
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("corpus_tfidf_hist", _TFIDF_HIST_ORACLE, tags=("text", "agg"), bench=True)
+def corpus_tfidf_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+
+    # part='tfidf'
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_counts = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
@@ -255,78 +217,59 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_counts), "word")
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id",
-            "word",
+            "doc_id", "word",
             F.round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
-    return (
+    tfidf_arm = (
         scored.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
-        .select("doc_id", F.col("word").alias("top_word"), F.col("tfidf").alias("top_score"))
+        .select(
+            F.lit("tfidf").alias("part"),
+            "doc_id", "word",
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("doc_freq"),
+            F.col("tfidf").alias("score"),
+        )
     )
+
+    # part='hist'
+    hist_arm = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_TOPN_WORDS)
+        .select(
+            F.lit("hist").alias("part"),
+            F.lit(None).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
+            "word", "n", "doc_freq",
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
+    return tfidf_arm.unionByName(hist_arm)
 
 
 # ---------------------------------------------------------------------------
-# text_chunk — fixed-size token windows with overlap (the LLM-training
-# chunking op): every doc emits ceil(n/stride) chunks of up to CHUNK tokens,
-# consecutive chunks sharing CHUNK-STRIDE tokens. Pure array expressions:
-# sequence() for starts, slice() per start — one narrow pass, fan-out via
-# explode, no shuffle (the output is chunk metadata + portable content
-# hash, so the oracle is exact).
+# corpus_chunk_pack — LLM-training corpus shaping as one tagged union:
+#   part='chunk' fixed-size token windows with overlap: every doc emits
+#                ceil(n/stride) chunks of up to CHUNK tokens, consecutive
+#                chunks sharing CHUNK-STRIDE tokens. Pure array expressions
+#                (sequence + slice), fan-out via explode, zero shuffle.
+#   part='pack'  sequence packing: stream docs in doc_id order, cut the
+#                token stream every BUDGET tokens. Needs a GLOBAL prefix
+#                sum — done two-level (per-bucket window cumsum + tiny
+#                broadcast bucket offsets) so no global-order window
+#                collapses to one partition at scale.
+# Normalized columns: (part, k1, k2, n1, n2, v) — all BIGINT:
+#   chunk: k1=doc_id, k2=chunk_idx, n1=n_tokens, v=chunk_hash
+#   pack:  k1=seq_id, k2=min_doc,  n1=n_docs,  n2=seq_tokens, v=max_doc
 # ---------------------------------------------------------------------------
 
 _CHUNK = 60
 _STRIDE = 45  # overlap = 15 tokens
-
-_CHUNK_ORACLE = f"""
-WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents),
-s AS (
-  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS start
-  FROM t
-)
-SELECT doc_id,
-       start // {_STRIDE} AS chunk_idx,
-       len(list_slice(toks, start + 1, start + {_CHUNK})) AS n_tokens,
-       ('0x' || substr(md5(array_to_string(
-         list_slice(toks, start + 1, start + {_CHUNK}), ' ')), 1, 8))::BIGINT
-         AS chunk_hash
-FROM s
-"""
-
-
-@register("text_chunk", _CHUNK_ORACLE, tags=("text",))
-def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from d3d_etl_spark.functions.strings import md5_int
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    starts = F.sequence(F.lit(0), F.size(tok) - 1, F.lit(_STRIDE))
-    base = docs.select(
-        "doc_id", tok.alias("toks"), F.explode(starts).alias("start")
-    )
-    chunk = F.expr(f"slice(toks, start + 1, {_CHUNK})")
-    return base.select(
-        "doc_id",
-        F.expr(f"start div {_STRIDE}").cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_tokens"),
-        md5_int(F.concat_ws(" ", chunk)).alias("chunk_hash"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# text_pack_sequences — sequence packing: stream docs in doc_id order,
-# cut the token stream every BUDGET tokens; a doc belongs to the sequence
-# where it starts. Needs a GLOBAL prefix sum — the naive global-order
-# window collapses to one partition at scale, so this uses the two-level
-# pattern: per-bucket within-window cumsum + tiny running bucket offsets
-# broadcast back. The oracle states the same semantics with the plain
-# global window (fine for DuckDB).
-# ---------------------------------------------------------------------------
-
 _PACK_BUDGET = 512
 # doc_ids per prefix-sum bucket. SIZING RULE at scale: the offsets table is
 # one row per bucket and must stay broadcastable, so pick bucket size ≈
@@ -334,47 +277,74 @@ _PACK_BUDGET = 512
 # -> ~100k docs/bucket -> 10k offset rows. 100 here matches the testdata.
 _PACK_BUCKET = 100
 
-_PACK_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, len({sql_tokens("text")}) AS n FROM documents
+_CHUNK_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS start
+  FROM t
 ),
 c AS (
-  SELECT doc_id, n,
-         COALESCE(SUM(n) OVER (
+  SELECT doc_id, len(toks) AS n,
+         COALESCE(SUM(len(toks)) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS cum_before
   FROM t
 )
-SELECT CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n) AS BIGINT) AS seq_tokens,
-       MIN(doc_id) AS min_doc,
-       MAX(doc_id) AS max_doc
+SELECT 'chunk' AS part,
+       CAST(doc_id AS BIGINT) AS k1,
+       start // {_STRIDE} AS k2,
+       len(list_slice(toks, start + 1, start + {_CHUNK})) AS n1,
+       CAST(NULL AS BIGINT) AS n2,
+       ('0x' || substr(md5(array_to_string(
+         list_slice(toks, start + 1, start + {_CHUNK}), ' ')), 1, 8))::BIGINT AS v
+FROM s
+UNION ALL
+SELECT 'pack',
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT),
+       MIN(doc_id),
+       COUNT(*),
+       CAST(SUM(n) AS BIGINT),
+       MAX(doc_id)
 FROM c
-GROUP BY 1
+GROUP BY 2
 """
 
 
-@register("text_pack_sequences", _PACK_ORACLE, tags=("text",))
-def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("corpus_chunk_pack", _CHUNK_PACK_ORACLE, tags=("text",))
+def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from d3d_etl_spark.functions.strings import md5_int
+
     docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+
+    # part='chunk' — narrow map + explode, zero shuffle
+    starts = F.sequence(F.lit(0), F.size(tok) - 1, F.lit(_STRIDE))
+    base = docs.select("doc_id", tok.alias("toks"), F.explode(starts).alias("start"))
+    chunk = F.expr(f"slice(toks, start + 1, {_CHUNK})")
+    chunk_arm = base.select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.expr(f"start div {_STRIDE}").cast("long").alias("k2"),
+        F.size(chunk).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        md5_int(F.concat_ws(" ", chunk)).alias("v"),
+    )
+
+    # part='pack' — two-level distributed prefix sum
     # integer div (not double-cast division): exact for ids/counts past 2^53
     t = docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+        F.size(tok).cast("long").alias("n"),
         F.expr(f"doc_id div {_PACK_BUCKET}").alias("bucket"),
     )
-    # level 1: per-bucket running sum (parallel across buckets)
     w_in = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = t.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
-    # level 2: running offset across buckets (bucket list is tiny: one row
-    # per _PACK_BUCKET docs -> single-partition window is fine, broadcast back)
     totals = t.groupBy("bucket").agg(F.sum("n").alias("btotal"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
@@ -383,7 +353,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = within.join(F.broadcast(offsets), "bucket").withColumn(
         "cum_before", F.col("offset") + F.col("cum_in")
     )
-    return (
+    pack_arm = (
         c.withColumn("seq_id", F.expr(f"cum_before div {_PACK_BUDGET}"))
         .groupBy("seq_id")
         .agg(
@@ -392,4 +362,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
+        .select(
+            F.lit("pack").alias("part"),
+            F.col("seq_id").cast("long").alias("k1"),
+            F.col("min_doc").cast("long").alias("k2"),
+            F.col("n_docs").cast("long").alias("n1"),
+            F.col("seq_tokens").cast("long").alias("n2"),
+            F.col("max_doc").cast("long").alias("v"),
+        )
     )
+    return chunk_arm.unionByName(pack_arm)
