@@ -221,8 +221,7 @@ SELECT doc_id, simhash FROM sims
 """
 
 
-@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs, "doc_id", tokens(F.col("text")), _BITS).select(
         F.col("doc").alias("doc_id"), "simhash"
@@ -253,12 +252,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
 """
 
 
-@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE, tags=("dedup",))
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    with_sim = simhash_signatures(docs, "doc_id", tokens(F.col("text")), _BITS).select(
-        F.col("doc").alias("doc_id"), "simhash"
-    )
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_sim = _simhash_sigs(spark, sf_dir)
     # The banded candidate search self-joins the signatures; without a
     # materialization barrier Catalyst re-derives the whole explode+groupBy
     # signature pass on BOTH join sides (measured 2x the query cost at sf0.1).
@@ -357,3 +352,37 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consolidation: signatures + banded near pairs publish as one
+# tagged union (part='sig' one row per doc with its 60-bit simhash;
+# part='pair' the pigeonhole-banded hamming<=5 candidates). Normalized:
+# (part, a, b, h) — sig: a=doc_id, h=simhash; pair: a/b=doc pair, h=hamming.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_FAMILY_ORACLE = f"""
+SELECT 'sig' AS part, CAST(doc_id AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+       simhash AS h
+FROM ({_SIMHASH_ORACLE})
+UNION ALL
+SELECT 'pair', CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT), hamming
+FROM ({_SIMHASH_PAIRS_ORACLE})
+"""
+
+
+@register("dedup_simhash", _SIMHASH_FAMILY_ORACLE, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_sigs(spark, sf_dir).select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").cast("long").alias("h"),
+    )
+    pair = _simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("h"),
+    )
+    return sig.unionByName(pair)

@@ -599,8 +599,7 @@ def _war_batting_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("domain_war_batting", _WAR_ORACLE, tags=("domain",))
-def domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _war_batting_full(spark, sf_dir).select(
         "division", "year", "batter_name", "pa", "ab", "sb", "cs",
         "woba", "wraa", "rar", "war",

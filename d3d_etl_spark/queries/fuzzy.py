@@ -55,8 +55,7 @@ SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
 """
 
 
-@register("fuzzy_match_names", _FUZZY_ORACLE, tags=("fuzzy", "join"), bench=True)
-def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     probes = part.select(
         F.col("p_partkey").alias("probe_id"),
@@ -133,8 +132,7 @@ SELECT probe_id, matched_id, 'variation' AS tier FROM m WHERE rn = 1
 """
 
 
-@register("fuzzy_variation_match", _VAR_ORACLE, tags=("fuzzy", "join"))
-def fuzzy_variation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fuzzy_variation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.strings import normalize_name
     from d3d_etl_spark.operators.fuzzy_join import variation_tier
 
@@ -156,3 +154,28 @@ def fuzzy_variation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_id="probe_id", probe_name="probe_name",
         cand_id="p_partkey", cand_name="p_name",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consolidation: both fuzzy-resolution queries publish as one union
+# (the tier column already distinguishes exact/fuzzy cascade output from the
+# variation-equi-join tier; the variation arm has no numeric score).
+# ---------------------------------------------------------------------------
+
+_FUZZY_FAMILY_ORACLE = f"""
+SELECT probe_id, matched_id, score, tier FROM ({_FUZZY_ORACLE})
+UNION ALL
+SELECT probe_id, matched_id, CAST(NULL AS DOUBLE), tier FROM ({_VAR_ORACLE})
+"""
+
+
+@register("fuzzy_match_family", _FUZZY_FAMILY_ORACLE, tags=("fuzzy", "join"), bench=True)
+def fuzzy_match_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tier='exact'/'fuzzy': the blocked cascade (J10-J13 shape, blocked
+    equi-join + JVM Levenshtein top-1); tier='variation': the T6
+    variation-explode equi-join tier."""
+    cascade = _fuzzy_match_names(spark, sf_dir)
+    variation = _fuzzy_variation_match(spark, sf_dir).select(
+        "probe_id", "matched_id", F.lit(None).cast("double").alias("score"), "tier"
+    )
+    return cascade.select("probe_id", "matched_id", "score", "tier").unionByName(variation)

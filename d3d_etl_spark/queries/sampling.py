@@ -46,8 +46,7 @@ GROUP BY 1, 2
 """
 
 
-@register("split_train_test", _SPLIT_ORACLE, tags=("sampling",))
-def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.withColumn("split", hash_split(F.col("doc_id"), _SPLITS))
@@ -80,8 +79,7 @@ GROUP BY 1
 """
 
 
-@register("sample_hash", _SAMPLE_ORACLE, tags=("sampling",))
-def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.where(hash_sample_pred(F.col("o_orderkey"), _FRACTION))
@@ -139,8 +137,7 @@ GROUP BY k.lang, t.n_total
 """
 
 
-@register("sample_stratified", _STRAT_ORACLE, tags=("sampling",))
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     totals = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
     kept = (
@@ -151,3 +148,62 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(F.broadcast(totals), "lang").select(
         "lang", "n_kept", "n_total", "kept_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consolidation (VERDICT.md "Next round" #2): the three sampling /
+# splitting queries are one tagged union so the whole deterministic-sampling
+# surface sits inside the driver's 50-query window. Arms keep their own
+# scan-local hash predicates and oracles; normalized onto
+# (part, k1, k2, n1-n4, v).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FAMILY_ORACLE = f"""
+SELECT 'split' AS part, split AS k1, lang AS k2,
+       n_docs AS n1, total_chars AS n2, min_doc AS n3, max_doc AS n4,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({_SPLIT_ORACLE})
+UNION ALL
+SELECT 'hash', o_orderstatus, NULL, n_orders, NULL, NULL, NULL, total_price
+FROM ({_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'strat', lang, NULL, n_kept, n_total, kept_chars, NULL, NULL
+FROM ({_STRAT_ORACLE})
+"""
+
+
+@register("sample_splits", _SAMPLE_FAMILY_ORACLE, tags=("sampling",))
+def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part='split' 80/10/10 train/val/test assignment by key (frozen eval
+    sets); part='hash' deterministic 10% sample evaluated at the scan;
+    part='strat' per-stratum rates (downsample the dominant language)."""
+    b_null = F.lit(None).cast("long")
+
+    split = _split_train_test(spark, sf_dir).select(
+        F.lit("split").alias("part"),
+        F.col("split").alias("k1"), F.col("lang").alias("k2"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("total_chars").cast("long").alias("n2"),
+        F.col("min_doc").cast("long").alias("n3"),
+        F.col("max_doc").cast("long").alias("n4"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    hash_arm = _sample_hash(spark, sf_dir).select(
+        F.lit("hash").alias("part"),
+        F.col("o_orderstatus").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_orders").cast("long").alias("n1"),
+        b_null.alias("n2"), b_null.alias("n3"), b_null.alias("n4"),
+        F.col("total_price").alias("v"),
+    )
+    strat = _sample_stratified(spark, sf_dir).select(
+        F.lit("strat").alias("part"),
+        F.col("lang").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_kept").cast("long").alias("n1"),
+        F.col("n_total").cast("long").alias("n2"),
+        F.col("kept_chars").cast("long").alias("n3"),
+        b_null.alias("n4"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return split.unionByName(hash_arm).unionByName(strat)

@@ -577,7 +577,7 @@ FROM ({_SIM_CANON_ORACLE})
 """
 
 
-@register("sim_near_dedup", _NEAR_DEDUP_ORACLE, tags=("similarity", "dedup"))
+@register("sim_near_dedup", _NEAR_DEDUP_ORACLE, tags=("similarity", "dedup"), bench=True)
 def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup surface: part='pair' the thresholded
     all-pairs cosine (blocked-GEMM operator), part='canon' the downstream

@@ -166,49 +166,76 @@ def _splits_oracle(group_cols: list[str], opp_col: str, suffixes) -> str:
     return f"WITH {_HANDED_CTES}\n{_splits_select(group_cols, opp_col, suffixes)}"
 
 
-@register(
-    "domain_splits_batter",
-    _splits_oracle(["division", "year", "batter_name"], "throws", _BAT_SUFFIXES),
-    tags=("domain", "splits"),
+# ---------------------------------------------------------------------------
+# domain_splits — all four reference grains as ONE tagged union (round-3
+# consolidation; the reference publishes them as four tables,
+# leaderboards/main.py:120-128). Per-grain the opposing-hand column differs
+# (batter-side splits vs pitcher THROWS, pitcher-side vs batter BATS), so
+# the split labels are unified to vs_l / vs_r ("vs left/right-handed
+# opponent"); metric columns are identical across grains.
+# ---------------------------------------------------------------------------
+
+_SUFFIXES = (("overall", None), ("vs_l", "L"), ("vs_r", "R"))
+_GRAINS = (
+    ("batter", "batter_name", "throws"),
+    ("pitcher", "pitcher_name", "bats"),
+    ("batting_team", "batting_team", "throws"),
+    ("pitching_team", "pitching_team", "bats"),
 )
-def domain_splits_batter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wp = _plays_with_hands(spark, sf_dir)
-    return handedness_splits_board(
-        wp, ["division", "year", "batter_name"], "throws", _BAT_SUFFIXES
-    )
 
 
-@register(
-    "domain_splits_pitcher",
-    _splits_oracle(["division", "year", "pitcher_name"], "bats", _PIT_SUFFIXES),
-    tags=("domain", "splits"),
+def _grain_select(grain: str, entity: str, opp_col: str) -> str:
+    cols = []
+    rates = []
+    for suf, hand in _SUFFIXES:
+        cond = "TRUE" if hand is None else f"{opp_col} = '{hand}'"
+        pa = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(PA_EVENTS)} THEN 1 ELSE 0 END)"
+        nonab = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_NONAB)} THEN 1 ELSE 0 END)"
+        h = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_HIT_EVENTS)} THEN 1 ELSE 0 END)"
+        ob = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_OB_EVENTS)} THEN 1 ELSE 0 END)"
+        cols += [
+            f"CAST({pa} AS BIGINT) AS pa_{suf}",
+            f"CAST({pa} - {nonab} AS BIGINT) AS ab_{suf}",
+            f"CAST({h} AS BIGINT) AS h_{suf}",
+            f"CAST({ob} AS BIGINT) AS ob_{suf}",
+        ]
+        rates += [
+            f"CASE WHEN ab_{suf} != 0 THEN CAST(h_{suf} AS DOUBLE) / ab_{suf} ELSE 0.0 END AS ba_{suf}",
+            f"CASE WHEN pa_{suf} != 0 THEN CAST(ob_{suf} AS DOUBLE) / pa_{suf} ELSE 0.0 END AS ob_pct_{suf}",
+        ]
+    return f"""
+SELECT b.*, {", ".join(rates)}
+FROM (
+  SELECT '{grain}' AS grain, division, year, {entity} AS entity, {", ".join(cols)}
+  FROM handed
+  WHERE {entity} IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+  HAVING SUM(CASE WHEN event_type IN {_sql_in(PA_EVENTS)} THEN 1 ELSE 0 END) >= 1
+) b
+"""
+
+
+_SPLITS_ORACLE = f"WITH {_HANDED_CTES}\n" + "\nUNION ALL\n".join(
+    _grain_select(g, e, o) for g, e, o in _GRAINS
 )
-def domain_splits_pitcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register("domain_splits", _SPLITS_ORACLE, tags=("domain", "splits"))
+def domain_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = _plays_with_hands(spark, sf_dir)
-    return handedness_splits_board(
-        wp, ["division", "year", "pitcher_name"], "bats", _PIT_SUFFIXES
-    )
-
-
-@register(
-    "domain_splits_batting_team",
-    _splits_oracle(["division", "year", "batting_team"], "throws", _BAT_SUFFIXES),
-    tags=("domain", "splits"),
-)
-def domain_splits_batting_team(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wp = _plays_with_hands(spark, sf_dir)
-    return handedness_splits_board(
-        wp, ["division", "year", "batting_team"], "throws", _BAT_SUFFIXES
-    )
-
-
-@register(
-    "domain_splits_pitching_team",
-    _splits_oracle(["division", "year", "pitching_team"], "bats", _PIT_SUFFIXES),
-    tags=("domain", "splits"),
-)
-def domain_splits_pitching_team(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wp = _plays_with_hands(spark, sf_dir)
-    return handedness_splits_board(
-        wp, ["division", "year", "pitching_team"], "bats", _PIT_SUFFIXES
-    )
+    metric_cols = [f"{m}_{s}" for s, _ in _SUFFIXES for m in ("pa", "ab", "h", "ob")] + [
+        f"{m}_{s}" for s, _ in _SUFFIXES for m in ("ba", "ob_pct")
+    ]
+    parts = []
+    for grain, entity, opp in _GRAINS:
+        b = handedness_splits_board(wp, ["division", "year", entity], opp, _SUFFIXES)
+        parts.append(
+            b.select(
+                F.lit(grain).alias("grain"), "division", "year",
+                F.col(entity).alias("entity"), *metric_cols,
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out

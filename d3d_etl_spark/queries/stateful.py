@@ -56,8 +56,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(with_sessions, "user_id", "ts")
 
 
-@register("fsm_funnel", None, tags=("stateful", "fsm"))
-def fsm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_fsm_funnel", None, tags=("stateful", "fsm"))
+def z_fsm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user conversion-funnel FSM (view->click->purchase with resets).
 
     applyInPandas grouped map — the same execution shape that carries the
@@ -80,8 +80,7 @@ FROM documents
 """
 
 
-@register("multimodal_extract", _MM_ORACLE, tags=("multimodal",))
-def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media-column plumbing: text bytes stand in for image payloads;
     mapInPandas runs the (stubbed) decoder over Arrow batches."""
     docs = load_table(spark, sf_dir, "documents")
@@ -89,8 +88,8 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(with_payload)
 
 
-@register("pbp_dag", None, tags=("stateful", "domain"), bench=True)
-def pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_pbp_dag", None, tags=("stateful", "domain"), bench=True)
+def z_pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain pipeline end-to-end: generated narration (the testdata has
     no baseball tables) -> parse (classifier + windows + base-state FSM) ->
     RE24 -> batting board. Game count scales with the SF in `sf_dir`; no
@@ -133,8 +132,7 @@ WHERE idx % {_FRAMES_STRIDE} = 0
 """
 
 
-@register("multimodal_frames", _FRAMES_ORACLE, tags=("multimodal",))
-def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (UDTF shape): every stride-th frame of each
     payload becomes a row — the video-pipeline stage ahead of per-frame
     featurization. Stubbed decode, real mapInPandas plumbing."""
@@ -176,8 +174,7 @@ FROM r
 """
 
 
-@register("multimodal_resize", _RESIZE_ORACLE, tags=("multimodal",))
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing: exact integer fit math inside the
     Arrow-batched worker (stubbed resample, real dimension contract)."""
     from d3d_etl_spark.operators.multimodal import resize_media
@@ -187,8 +184,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(with_payload, _RESIZE_W, _RESIZE_H)
 
 
-@register("pbp_war", None, tags=("stateful", "domain"))
-def pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_pbp_war", None, tags=("stateful", "domain"))
+def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAR end-to-end on generated narration: parse -> RE24 -> linear
     weights -> guts constants -> per-batter season counting stats (the
     cube_batting shape, derived from the same plays) -> batting WAR ->
@@ -284,8 +281,7 @@ FROM ranked WHERE rn = 1
 """
 
 
-@register("multimodal_batch_infer", _INFER_ORACLE, tags=("multimodal",))
-def multimodal_batch_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multimodal_batch_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-micro-batch model inference over a binary column (the
     GPU-pipeline plumbing, operators/multimodal.batch_infer). The stub
     model's logits are md5-derived from the payload hash, so the whole
@@ -334,8 +330,8 @@ HAVING COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
 """
 
 
-@register("funnel_window", _FUNNEL_W_ORACLE, tags=("stateful", "window"))
-def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("z_funnel_window", _FUNNEL_W_ORACLE, tags=("stateful", "window"))
+def z_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
@@ -368,3 +364,71 @@ def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_purchases") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 consolidation: the four multimodal plumbing queries are one tagged
+# union (part='extract'/'frames'/'resize'/'infer') so the whole
+# binary-column surface sits inside the driver's 50-query window. Each arm
+# keeps its own mapInPandas operator (operators/multimodal.py: stubbed
+# decode, real Arrow batch plumbing) and oracle; the batch-size-invariance
+# test in tests/test_operators.py is unchanged.
+# Normalized: (part, doc_id, idx, h, n1-n4, v).
+# ---------------------------------------------------------------------------
+
+_MM_FAMILY_ORACLE = f"""
+SELECT 'extract' AS part, doc_id, CAST(NULL AS BIGINT) AS idx, content_hash AS h,
+       n_bytes AS n1, width AS n2, height AS n3, n_frames AS n4,
+       CAST(NULL AS DOUBLE) AS v
+FROM ({_MM_ORACLE})
+UNION ALL
+SELECT 'frames', doc_id, frame_idx, frame_hash, frame_bytes, NULL, NULL, NULL, NULL
+FROM ({_FRAMES_ORACLE})
+UNION ALL
+SELECT 'resize', doc_id, NULL, NULL, width, height, new_width, new_height,
+       CAST(out_bytes AS DOUBLE)
+FROM ({_RESIZE_ORACLE})
+UNION ALL
+SELECT 'infer', doc_id, NULL, NULL, pred_class, NULL, NULL, NULL, confidence
+FROM ({_INFER_ORACLE})
+"""
+
+
+@register("multimodal_family", _MM_FAMILY_ORACLE, tags=("multimodal",))
+def multimodal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b_null = F.lit(None).cast("long")
+    d_null = F.lit(None).cast("double")
+    s_null = F.lit(None).cast("string")
+
+    extract = _multimodal_extract(spark, sf_dir).select(
+        F.lit("extract").alias("part"), "doc_id", b_null.alias("idx"),
+        F.col("content_hash").alias("h"),
+        F.col("n_bytes").cast("long").alias("n1"),
+        F.col("width").cast("long").alias("n2"),
+        F.col("height").cast("long").alias("n3"),
+        F.col("n_frames").cast("long").alias("n4"),
+        d_null.alias("v"),
+    )
+    frames = _multimodal_frames(spark, sf_dir).select(
+        F.lit("frames").alias("part"), "doc_id",
+        F.col("frame_idx").cast("long").alias("idx"),
+        F.col("frame_hash").alias("h"),
+        F.col("frame_bytes").cast("long").alias("n1"),
+        b_null.alias("n2"), b_null.alias("n3"), b_null.alias("n4"),
+        d_null.alias("v"),
+    )
+    resize = _multimodal_resize(spark, sf_dir).select(
+        F.lit("resize").alias("part"), "doc_id", b_null.alias("idx"), s_null.alias("h"),
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("new_width").cast("long").alias("n3"),
+        F.col("new_height").cast("long").alias("n4"),
+        F.col("out_bytes").cast("double").alias("v"),
+    )
+    infer = _multimodal_batch_infer(spark, sf_dir).select(
+        F.lit("infer").alias("part"), "doc_id", b_null.alias("idx"), s_null.alias("h"),
+        F.col("pred_class").cast("long").alias("n1"),
+        b_null.alias("n2"), b_null.alias("n3"), b_null.alias("n4"),
+        F.col("confidence").alias("v"),
+    )
+    return extract.unionByName(frames).unionByName(resize).unionByName(infer)

@@ -259,52 +259,67 @@ GROUP BY {", ".join(dict.fromkeys(group_cols))}
     return f"WITH {_WP_CTES}\n{body}"
 
 
-@register(
-    "domain_value_batter",
-    _mk_oracle("batter_name", "player_name", "bat_team_id", flip=False),
-    tags=("domain", "value"),
+# ---------------------------------------------------------------------------
+# domain_value — all four reference value-board grains as ONE tagged union
+# (round-3 consolidation; reference value.py:34-135 publishes batter /
+# pitcher / batting-team / pitching-team tables with identical columns).
+# Pitching grains keep the reference's sign flips. entity = player or team
+# id; team_id = the entity's team (== entity at team grain).
+# ---------------------------------------------------------------------------
+
+_VALUE_GRAINS = (
+    ("batter", "batter_name", "bat_team_id", False),
+    ("pitcher", "pitcher_name", "pitch_team_id", True),
+    ("batting_team", "bat_team_id", "bat_team_id", False),
+    ("pitching_team", "pitch_team_id", "pitch_team_id", True),
 )
-def domain_value_batter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    plays = _wp_plays(spark, sf_dir)
-    return _value_board(
-        plays, _runs_win(plays), "batter_name", "player_name", "bat_team_id", flip=False
-    )
 
 
-@register(
-    "domain_value_pitcher",
-    _mk_oracle("pitcher_name", "player_name", "pitch_team_id", flip=True),
-    tags=("domain", "value"),
+def _grain_oracle(grain: str, id_expr: str, team_expr: str, flip: bool) -> str:
+    neg = "-" if flip else ""
+    src = f"-wpa_u" if flip else "wpa_u"
+    return f"""
+SELECT '{grain}' AS grain, {id_expr} AS entity, {team_expr} AS team_id,
+       CAST({neg}SUM(wpa_u) AS DOUBLE) / 1e9 AS wpa,
+       CAST(SUM(CASE WHEN {src} < 0 THEN {src} ELSE 0 END) AS DOUBLE) / 1e9 AS neg_wpa,
+       CAST(SUM(CASE WHEN {src} > 0 THEN {src} ELSE 0 END) AS DOUBLE) / 1e9 AS pos_wpa,
+       CAST({neg}SUM(rea_u) AS DOUBLE) / 1e9 AS rea,
+       (CAST({neg}SUM(rea_u) AS DOUBLE) / 1e9) / MIN(rw.runs_win) AS rew,
+       CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 AS pli,
+       CAST({neg}SUM(wpali_u) AS DOUBLE) / 1e9 AS wpa_li,
+       CASE WHEN CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 > 0
+            THEN (CAST({neg}SUM(wpa_u) AS DOUBLE) / 1e9)
+                 / (CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9)
+                 - CAST({neg}SUM(wpali_u) AS DOUBLE) / 1e9
+       END AS clutch
+FROM q JOIN rw ON q.division = rw.division AND q.year = rw.year
+WHERE {id_expr} IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+_VALUE_ORACLE = f"WITH {_WP_CTES}\n" + "\nUNION ALL\n".join(
+    _grain_oracle(g, i, t, fl) for g, i, t, fl in _VALUE_GRAINS
 )
-def domain_value_pitcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register("domain_value", _VALUE_ORACLE, tags=("domain", "value"))
+def domain_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays = _wp_plays(spark, sf_dir)
-    return _value_board(
-        plays, _runs_win(plays), "pitcher_name", "player_name", "pitch_team_id", flip=True
-    )
-
-
-@register(
-    "domain_value_batting_team",
-    _mk_oracle("bat_team_id", "team_id", None, flip=False),
-    tags=("domain", "value"),
-)
-def domain_value_batting_team(spark: SparkSession, sf_dir: str) -> DataFrame:
-    plays = _wp_plays(spark, sf_dir)
-    return _value_board(
-        plays, _runs_win(plays), "bat_team_id", "team_id", None, flip=False
-    )
-
-
-@register(
-    "domain_value_pitching_team",
-    _mk_oracle("pitch_team_id", "team_id", None, flip=True),
-    tags=("domain", "value"),
-)
-def domain_value_pitching_team(spark: SparkSession, sf_dir: str) -> DataFrame:
-    plays = _wp_plays(spark, sf_dir)
-    return _value_board(
-        plays, _runs_win(plays), "pitch_team_id", "team_id", None, flip=True
-    )
+    rw = _runs_win(plays)
+    parts = []
+    for grain, id_col, team_col, flip in _VALUE_GRAINS:
+        board = _value_board(plays, rw, id_col, "entity", team_col, flip=flip)
+        parts.append(
+            board.select(
+                F.lit(grain).alias("grain"), "entity", "team_id",
+                "wpa", "neg_wpa", "pos_wpa", "rea", "rew", "pli", "wpa_li", "clutch",
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -186,8 +186,7 @@ def _pitching_guts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("domain_war_pitching", _PIT_ORACLE, tags=("domain", "war"))
-def domain_war_pitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _domain_war_pitching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pitching_war_df(spark, sf_dir).select(
         "player_id", "player_name", "team_id", "conference", "division", "year",
         "ip_thirds", "fip", "era", "whip", "k9", "rar", "war_raw",
@@ -420,3 +419,61 @@ def domain_run_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("home_score_before").cast("int").alias("home_score_before"),
         F.col("home_score_after").cast("int").alias("home_score_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_war_players — batting WAR + pitching WAR as one tagged union
+# (round-3 consolidation): batting arm = the full wOBA->wRAA->RAR->WAR
+# chain (reference war_calculation/batting.py:363-418, calculator.py:
+# 124-224); pitching arm = the FIP-based chain (pitching.py:10-87,
+# calculator.py:226-319). Side-specific metric columns are NULL on the
+# other arm; shared columns (pa, rar, war) align.
+# ---------------------------------------------------------------------------
+
+_WAR_PLAYERS_ORACLE = f"""
+WITH {_WAR_CTES_CHAIN},
+{_PIT_CTES}
+SELECT 'batting' AS grain, division, year, batter_name AS player, team_id,
+       pa, ab, sb, cs, woba, wraa,
+       CAST(NULL AS BIGINT) AS ip_thirds, CAST(NULL AS DOUBLE) AS fip,
+       CAST(NULL AS DOUBLE) AS era, CAST(NULL AS DOUBLE) AS whip,
+       CAST(NULL AS DOUBLE) AS k9,
+       rar, war
+FROM batwar
+UNION ALL
+SELECT 'pitching', division, year, player_id, team_id,
+       pa, NULL, NULL, NULL, NULL, NULL,
+       ip_thirds, fip, era, whip, k9,
+       rar, war_raw
+FROM pitwar2
+"""
+
+
+@register("domain_war_players", _WAR_PLAYERS_ORACLE, tags=("domain", "war"))
+def domain_war_players(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b_null = F.lit(None).cast("long")
+    d_null = F.lit(None).cast("double")
+    bat = _war_batting_full(spark, sf_dir).select(
+        F.lit("batting").alias("grain"), "division", "year",
+        F.col("batter_name").alias("player"), "team_id",
+        F.col("pa").cast("long").alias("pa"),
+        F.col("ab").cast("long").alias("ab"),
+        F.col("sb").cast("long").alias("sb"),
+        F.col("cs").cast("long").alias("cs"),
+        "woba", "wraa",
+        b_null.alias("ip_thirds"), d_null.alias("fip"), d_null.alias("era"),
+        d_null.alias("whip"), d_null.alias("k9"),
+        "rar", "war",
+    )
+    pit = _pitching_war_df(spark, sf_dir).select(
+        F.lit("pitching").alias("grain"), "division", "year",
+        F.col("player_id").alias("player"), "team_id",
+        F.col("pa").cast("long").alias("pa"),
+        b_null.alias("ab"), b_null.alias("sb"), b_null.alias("cs"),
+        d_null.alias("woba"), d_null.alias("wraa"),
+        F.col("ip_thirds").cast("long").alias("ip_thirds"),
+        "fip", "era", "whip", "k9",
+        "rar",
+        F.col("war_raw").alias("war"),
+    )
+    return bat.unionByName(pit)

@@ -44,10 +44,17 @@ def test_q3_region_filter_pushed(spark, sf_dir):
 
 
 def test_text_ops_no_shuffle(spark, sf_dir):
-    """Per-document text analytics must stay a single narrow map stage."""
-    for name in ("text_tokens", "text_quality", "text_langid", "text_fingerprint"):
-        df = REGISTRY[name].fn(spark, sf_dir)
-        assert count_shuffles(df) == 0, f"{name} gained a shuffle"
+    """Per-document text analytics (tokens/quality/langid/fingerprint/regex,
+    now one wide query) must stay a single narrow map stage."""
+    df = REGISTRY["corpus_doc_stats"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 0, "corpus_doc_stats gained a shuffle"
+
+
+def test_events_window_family_single_shuffle(spark, sf_dir):
+    """16 window-derived columns over one (user_id | ts,event_id) partition:
+    the whole family must cost exactly ONE exchange."""
+    df = REGISTRY["events_window_family"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, "events_window_family grew extra exchanges"
 
 
 def test_sessionize_single_shuffle(spark, sf_dir):
@@ -61,7 +68,7 @@ def test_complex_pipelines_no_sortmerge(spark, sf_dir):
     """Dimension/candidate joins in the sketch pipelines must broadcast —
     a SortMergeJoin here means a small side lost its broadcast and the
     fact table started shuffling for it."""
-    for name, max_shuffles in (("dedup_minhash_lsh", 4), ("fuzzy_match_names", 2)):
+    for name, max_shuffles in (("dedup_minhash_lsh", 4), ("fuzzy_match_family", 3)):
         df = REGISTRY[name].fn(spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_sortmerge_joins == 0, f"{name} grew a sort-merge join"
@@ -126,25 +133,39 @@ def test_aqe_splits_skewed_join(spark):
 
 
 def test_new_ops_plan_shapes(spark, sf_dir):
-    """Plan pins for the training-pipeline ops added late in round 1."""
-    # chunking: pure narrow map + explode, zero shuffles
-    df = REGISTRY["text_chunk"].fn(spark, sf_dir)
-    assert count_shuffles(df) == 0, "text_chunk gained a shuffle"
+    """Plan pins for the training-pipeline ops (now family queries — the
+    per-arm structural pins target the module-level arm helpers, which are
+    exactly what the families union)."""
+    from d3d_etl_spark.queries.sampling import _sample_hash, _split_train_test
 
     # hash split: scan-local predicate work + one final aggregation exchange
-    df = REGISTRY["split_train_test"].fn(spark, sf_dir)
-    assert count_shuffles(df) == 1, "split_train_test should only shuffle for the agg"
+    df = _split_train_test(spark, sf_dir)
+    assert count_shuffles(df) == 1, "split_train_test arm should only shuffle for the agg"
     s = summarize_plan(df)
     assert s.scan_reads_only("doc_id", "lang", "n_chars")
 
     # deterministic sample: predicate evaluated at the scan, one agg exchange
-    df = REGISTRY["sample_hash"].fn(spark, sf_dir)
+    df = _sample_hash(spark, sf_dir)
     assert count_shuffles(df) == 1
 
-    # IVF search: everything dimensional broadcasts; no sort-merge join
-    df = REGISTRY["sim_ivf_search"].fn(spark, sf_dir)
+    # the full sampling family: three arms, still no SMJ, bounded exchanges
+    df = REGISTRY["sample_splits"].fn(spark, sf_dir)
     s = summarize_plan(df)
-    assert s.n_sortmerge_joins == 0, "IVF search must not SMJ"
+    assert s.n_sortmerge_joins == 0
+    assert count_shuffles(df) <= 4
+
+    # chunk+pack family: chunking contributes no exchange (narrow explode);
+    # the pack arm pays the two-level prefix-sum windows. Bound the total.
+    df = REGISTRY["corpus_chunk_pack"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0
+    assert count_shuffles(df) <= 4, "corpus_chunk_pack gained exchanges"
+
+    # search family (bruteforce/LSH/int8/IVF): everything dimensional
+    # broadcasts; no sort-merge join anywhere
+    df = REGISTRY["sim_topk_family"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0, "similarity search must not SMJ"
 
 
 def test_flagship_dedup_pair_stage_lsh_gated(spark, sf_dir):
