@@ -48,8 +48,14 @@ def blocked_fuzzy_join(
     result back if unmatched rows are needed).
     """
     w_exact = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
+    # candidates are dim-sized by contract (rosters/master lists): broadcast
+    # EXPLICITLY — at sf0.1 the planner's size estimate tips past the
+    # auto-broadcast threshold and silently degrades the block join to a
+    # SortMergeJoin on the (few-valued, skew-prone) block key, which also
+    # defeats the probe-side repartition below. Measured: removes one full
+    # exchange + the SMJ sort at sf0.1.
     exact = (
-        probes.join(candidates, block_keys)
+        probes.join(F.broadcast(candidates), block_keys)
         .where(F.col(probe_name) == F.col(cand_name))
         .withColumn("rn", F.row_number().over(w_exact))
         .where("rn = 1")
@@ -71,7 +77,13 @@ def blocked_fuzzy_join(
     # repartition to the session's parallelism: probe placement is free under
     # a broadcast join (also immune to block-key skew). Measured 6x at sf0.1.
     n_parts = probes.sparkSession.sparkContext.defaultParallelism
-    unmatched = probes.join(exact.select(probe_id), probe_id, "left_anti").repartition(n_parts)
+    # the matched-id list is one slim long column bounded by |probes|;
+    # broadcasting the anti-join avoids two probe_id exchanges + sorts.
+    # (If probes ever outgrow broadcast range, drop the hint — the SMJ
+    # anti-join is the correct fallback and AQE will pick it.)
+    unmatched = probes.join(
+        F.broadcast(exact.select(probe_id)), probe_id, "left_anti"
+    ).repartition(n_parts)
     sim = levenshtein_sim(F.col(probe_name), F.col(cand_name))
     # lossless length prune: lev >= |len_a - len_b|, so sim >= cutoff implies
     # |len_a - len_b| <= (1-cutoff) * max(len) — drop the rest before scoring
@@ -81,7 +93,7 @@ def blocked_fuzzy_join(
     )
     w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
     fuzzy = (
-        unmatched.join(candidates, block_keys)
+        unmatched.join(F.broadcast(candidates), block_keys)
         .where(len_ok)
         .select(F.col(probe_id), F.col(cand_id), sim.alias("score"))
         .where(F.col("score") >= cutoff)
