@@ -204,19 +204,20 @@ def test_handedness_splits_invariants(spark, sf_dir):
     from pyspark.sql import functions as F
 
     qmod.load_all()
-    bat = REGISTRY["domain_splits_batter"].fn(spark, sf_dir).cache()
+    board = REGISTRY["domain_splits"].fn(spark, sf_dir).cache()
+    bat = board.where("grain = 'batter'")
     r = bat.select(
-        F.sum((F.col("pa_vs_lhp") + F.col("pa_vs_rhp") != F.col("pa_overall")).cast("int")).alias("bad"),
+        F.sum((F.col("pa_vs_l") + F.col("pa_vs_r") != F.col("pa_overall")).cast("int")).alias("bad"),
         F.sum("pa_overall").alias("pa_total"),
     ).first()
     assert r["bad"] == 0, "throws is L/R-only: LHP+RHP PA must equal overall"
     assert r["pa_total"] > 0
 
-    pit = REGISTRY["domain_splits_pitcher"].fn(spark, sf_dir)
+    pit = board.where("grain = 'pitcher'")
     bad_pit = pit.where(
-        F.col("pa_vs_lhb") + F.col("pa_vs_rhb") > F.col("pa_overall")
+        F.col("pa_vs_l") + F.col("pa_vs_r") > F.col("pa_overall")
     ).count()
     assert bad_pit == 0, "L+R batters can never exceed overall PA"
 
-    team = REGISTRY["domain_splits_batting_team"].fn(spark, sf_dir)
+    team = board.where("grain = 'batting_team'")
     assert team.agg(F.sum("pa_overall")).first()[0] == r["pa_total"]
