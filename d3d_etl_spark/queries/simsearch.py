@@ -584,7 +584,15 @@ def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical dedup (clusters -> min-id rep -> anti-join) profiled per
     label. The pair stage is computed once per arm semantics; at scale the
     canon path is LSH/IVF-gated ahead of the GEMM (see operators/similarity)."""
-    pair = _near_pairs(spark, sf_dir).select(
+    from d3d_etl_spark.operators.dedup import connected_components
+    from d3d_etl_spark.operators.similarity import blocked_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE GEMM pass feeds both arms (the canon arm's threshold is the same
+    # _NEAR_T >= _DEDUP_T here); localCheckpoint so the union + the
+    # cluster iteration don't re-derive the pair stage.
+    pairs = blocked_near_pairs(emb, _NEAR_T).localCheckpoint()
+    pair = pairs.select(
         F.lit("pair").alias("part"),
         F.col("vec_a").cast("long").alias("a"),
         F.col("vec_b").cast("long").alias("b"),
@@ -592,7 +600,18 @@ def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("long").alias("m"),
     )
-    canon = _dedup_canonical(spark, sf_dir).select(
+    comp = connected_components(
+        pairs.where(F.col("sim") >= _DEDUP_T).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    drops = comp.where(F.col("node") != F.col("component")).select("node")
+    kept = emb.join(F.broadcast(drops), emb["vec_id"] == F.col("node"), "left_anti")
+    canon = kept.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    ).select(
         F.lit("canon").alias("part"),
         F.col("label").cast("long").alias("a"),
         F.col("min_vec").cast("long").alias("b"),

@@ -104,26 +104,22 @@ FROM documents
 
 @register("corpus_doc_stats", _doc_stats_sql(), tags=("text", "regex"), bench=True)
 def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Staged projections, still one narrow stage (no exchange): array HOFs
+    # defeat Catalyst common-subexpression elimination, so referencing
+    # `tokens(text)` from every metric column re-tokenizes per column
+    # (measured ~4x the whole-query cost). Materializing the token array /
+    # marker-hit counts as projection-boundary columns evaluates each ONCE
+    # per row; later selects read the bound reference.
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    tok = tokens(t)
+    stage1 = docs.select(
+        "doc_id", "n_chars", "lang", "text", tokens(t).alias("toks")
+    )
+    tok = F.col("toks")
     n_tokens = F.size(tok).cast("long")
-    n_unique = F.size(F.array_distinct(tok)).cast("long")
     total_len = F.aggregate(
         F.transform(tok, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"),
         lambda a, x: a + x,
-    )
-    digit_ratio = F.regexp_count(t, F.lit("[0-9]")).cast("double") / F.col("n_chars")
-    punct_ratio = F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("double") / F.col("n_chars")
-    stop_ratio = marker_hits(tok, EN_STOPWORDS).cast("double") / n_tokens
-    hits = {lang: marker_hits(tok, m).cast("long") for lang, m in LANG_MARKERS.items()}
-    best = F.greatest(*hits.values())
-    pred = (
-        F.when(best == 0, "und")
-        .when(hits["en"] == best, "en")
-        .when(hits["es"] == best, "es")
-        .when(hits["fr"] == best, "fr")
-        .otherwise("de")
     )
     sh = word_shingles(tok, 3)
     # T1: order is semantics — mirrors the reference's priority cascade
@@ -135,25 +131,19 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(t.rlike(r"\b(join|merge)\b"), "join")
         .otherwise("other")
     )
-    return docs.select(
-        "doc_id",
-        "n_chars",
+    stage2 = stage1.select(
+        "doc_id", "n_chars",
         F.col("lang").alias("labeled_lang"),
         n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique"),
-        (total_len.cast("double") / n_tokens).alias("avg_token_len"),
-        (n_unique.cast("double") / n_tokens).alias("ttr"),
-        digit_ratio.alias("digit_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        F.when((n_tokens >= 20) & (stop_ratio >= 0.01) & (punct_ratio <= 0.2), 1)
-        .otherwise(0)
-        .alias("passes_filter"),
-        hits["en"].alias("hits_en"),
-        hits["es"].alias("hits_es"),
-        hits["fr"].alias("hits_fr"),
-        hits["de"].alias("hits_de"),
-        pred.alias("pred_lang"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_unique"),
+        total_len.alias("_total_len"),
+        F.regexp_count(t, F.lit("[0-9]")).cast("long").alias("_digits"),
+        F.regexp_count(t, F.lit("[^a-zA-Z0-9 ]")).cast("long").alias("_punct"),
+        marker_hits(tok, EN_STOPWORDS).cast("long").alias("_stop_hits"),
+        *[
+            marker_hits(tok, m).cast("long").alias(f"hits_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
         F.md5("text").alias("content_hash"),
         F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("EMPTY")).alias("shingle_fp"),
         F.size(sh).cast("long").alias("n_shingles"),
@@ -161,6 +151,33 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(r"\bagg\b")).cast("long").alias("n_agg"),
         F.regexp_count(t, F.lit(r"\b(scan|sort)\b")).cast("long").alias("n_scan_sort"),
         F.regexp_extract(t, r"^(\w+) (\w+)", 2).alias("second_word"),
+    )
+    n_tok = F.col("n_tokens")
+    punct_ratio = F.col("_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("_stop_hits").cast("double") / n_tok
+    hits = {lang: F.col(f"hits_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return stage2.select(
+        "doc_id", "n_chars", "labeled_lang", "n_tokens", "n_unique",
+        (F.col("_total_len").cast("double") / n_tok).alias("avg_token_len"),
+        (F.col("n_unique").cast("double") / n_tok).alias("ttr"),
+        (F.col("_digits").cast("double") / F.col("n_chars")).alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when((n_tok >= 20) & (stop_ratio >= 0.01) & (punct_ratio <= 0.2), 1)
+        .otherwise(0)
+        .alias("passes_filter"),
+        "hits_en", "hits_es", "hits_fr", "hits_de",
+        pred.alias("pred_lang"),
+        "content_hash", "shingle_fp", "n_shingles",
+        "doc_class", "n_agg", "n_scan_sort", "second_word",
     )
 
 
