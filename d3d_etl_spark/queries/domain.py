@@ -33,9 +33,15 @@ from d3d_etl_spark.queries.registry import register
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CACHE_DIR = os.path.join(_REPO_ROOT, ".domain_cache")
-_PARSED_PATH = os.path.join(_CACHE_DIR, "parsed_pbp")
-_MARKER = os.path.join(_CACHE_DIR, "parsed_pbp.n_games")
-_PARSED_GLOB = os.path.join(_PARSED_PATH, "*.parquet")
+# The parquet path is SCALE-SPECIFIC ({n} = game count) and the oracle SQL
+# (rendered once at import) globs parsed_pbp_*: materialized_parsed prunes
+# other scales' directories once its own scale is materialized, so the glob
+# always resolves to exactly the active scale and a scale switch can never
+# serve a half-overwritten directory (the old single-path overwrite could —
+# a concurrent run at another SF clobbered the parquet mid-read).
+_PARSED_PATH_TPL = os.path.join(_CACHE_DIR, "parsed_pbp_{n}")
+_MARKER_TPL = os.path.join(_CACHE_DIR, "parsed_pbp_{n}.done")
+_PARSED_GLOB = os.path.join(_CACHE_DIR, "parsed_pbp_*", "*.parquet")
 
 _LG_OBP = 0.360
 
@@ -55,23 +61,28 @@ def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries and their DuckDB oracles read THIS parquet, so the comparison
     is over identical FSM output by construction.
     """
+    import glob as _glob
+    import shutil
+
     n_games = _games_for(sf_dir)
-    marker_ok = (
-        os.path.exists(_MARKER)
-        and open(_MARKER).read().strip() == str(n_games)
-        and os.path.isdir(_PARSED_PATH)
-    )
-    if not marker_ok:
+    path = _PARSED_PATH_TPL.format(n=n_games)
+    marker = _MARKER_TPL.format(n=n_games)
+    if not (os.path.exists(marker) and os.path.isdir(path)):
         from d3d_etl_spark.pbp.parser import parse_pbp
         from d3d_etl_spark.pbp.synth import generate_games_df
 
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        parse_pbp(generate_games_df(spark, n_games)).write.mode("overwrite").parquet(
-            _PARSED_PATH
-        )
-        with open(_MARKER, "w") as f:
+        parse_pbp(generate_games_df(spark, n_games)).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
             f.write(str(n_games))
-    return spark.read.parquet(_PARSED_PATH)
+    # keep the import-time oracle glob unambiguous: only this scale survives
+    for other in _glob.glob(_PARSED_PATH_TPL.format(n="*")):
+        if other != path and os.path.isdir(other):
+            shutil.rmtree(other, ignore_errors=True)
+            m = other + ".done"
+            if os.path.exists(m):
+                os.remove(m)
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
