@@ -271,8 +271,12 @@ def _sos_chain_sql(src: str, frac: float, zero_wraa: bool) -> str:
 ),
 {src}norm AS (
   SELECT b.team_id, b.division, b.year, b.n_players, b.pa, b.wraa, b.bsr, b.rar,
+         -- CAST to DOUBLE before the decimal literals touch the BIGINTs:
+         -- DuckDB evaluates DECIMAL * BIGINT exactly (0.294*2400 = 705.6),
+         -- Spark in binary doubles (705.6000...01) — ULP drift that fails
+         -- the value hash. Forcing DOUBLE mirrors Spark's IEEE tree.
          CASE WHEN s.w IS NOT NULL AND s.g IS NOT NULL AND ABS(b.wartot) > 1e-12
-              THEN b.war * (((s.w - 0.294 * s.g) * {frac}) / b.wartot)
+              THEN b.war * (((CAST(s.w AS DOUBLE) - 0.294 * CAST(s.g AS DOUBLE)) * {frac}) / b.wartot)
               ELSE b.war END AS war
   FROM {src}team2 b
   LEFT JOIN standtot s ON b.division = s.division AND b.year = s.year
