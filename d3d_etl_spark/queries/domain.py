@@ -469,17 +469,17 @@ war AS (
          CASE WHEN woba_den != 0 THEN woba_num / woba_den ELSE 0.0 END AS woba,
          CASE WHEN woba_scale != 0
               THEN ((CASE WHEN woba_den != 0 THEN woba_num / woba_den ELSE 0.0 END) - {_LG_OBP}) / woba_scale
-              ELSE 0.0 END * pa AS wraa,
-         sb * 0.2 + cs * runs_cs AS sb_runs,
+              ELSE 0.0 END * CAST(pa AS DOUBLE) AS wraa,
+         CAST(sb AS DOUBLE) * 0.2 + CAST(cs AS DOUBLE) * runs_cs AS sb_runs,
          runs_win
   FROM derived
 ),
 batwar AS (
   SELECT division, year, batter_name, team_id, pa, ab, sb, cs, woba, wraa,
          sb_runs AS bsr,
-         wraa + sb_runs + 0.033 * pa AS rar,
+         wraa + sb_runs + 0.033 * CAST(pa AS DOUBLE) AS rar,
          CASE WHEN runs_win != 0
-              THEN (wraa + sb_runs + 0.033 * pa) / runs_win ELSE 0.0 END AS war
+              THEN (wraa + sb_runs + 0.033 * CAST(pa AS DOUBLE)) / runs_win ELSE 0.0 END AS war
   FROM war
 )"""
 

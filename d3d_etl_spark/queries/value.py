@@ -40,15 +40,21 @@ def _li_py(runners: str, outs: int, diff: int) -> float:
 
 
 def _we_sql(inning: str, half: str, runners: str, outs: str, diff: str) -> str:
-    n = f"len(replace({runners}, 'N', ''))"
+    # integer operands are cast to DOUBLE so DuckDB can't take its exact
+    # DECIMAL x INTEGER path — the Spark side's lookup values come from
+    # Python float arithmetic, and only the IEEE tree matches it by
+    # construction (see the domain_war_team_sos ULP incident)
+    n = f"CAST(len(replace({runners}, 'N', '')) AS DOUBLE)"
     s = f"(CASE WHEN {half} = 'Bottom' THEN 1.0 ELSE -1.0 END)"
-    raw = f"0.5 + 0.042 * {diff} + {s} * (0.013 * {n} - 0.009 * {outs}) + 0.0035 * {inning}"
+    raw = (f"0.5 + 0.042 * CAST({diff} AS DOUBLE) + {s} * (0.013 * {n} - 0.009 * CAST({outs} AS DOUBLE))"
+           f" + 0.0035 * CAST({inning} AS DOUBLE)")
     return f"LEAST(0.97, GREATEST(0.03, {raw}))"
 
 
 def _li_sql(runners: str, outs: str, diff: str) -> str:
-    n = f"len(replace({runners}, 'N', ''))"
-    return f"0.47 + 0.11 * {n} + 0.06 * {outs} + 0.008 * abs({diff})"
+    n = f"CAST(len(replace({runners}, 'N', '')) AS DOUBLE)"
+    return (f"0.47 + 0.11 * {n} + 0.06 * CAST({outs} AS DOUBLE)"
+            f" + 0.008 * abs(CAST({diff} AS DOUBLE))")
 
 
 def _lookups(spark: SparkSession):
