@@ -84,3 +84,56 @@ def nfkc_titlecase(col: Column) -> Column:
     # hint-free form: postponed annotations (module-level __future__ import)
     # turn signature hints into strings pyspark's inspector can't resolve
     return pandas_udf(_batch, "string")(col)
+
+
+VALID_POSITIONS = (
+    "P", "C", "1B", "2B", "3B", "SS", "OF", "IF", "UT", "DH", "LF", "CF", "RF",
+)
+
+
+def clean_positions(col: Column) -> Column:
+    """Position-string cleaner (reference scripts/clean_cube_positions.py:
+    21-33): strip "(29)"-style count suffixes, split on dashes/dots/space,
+    uppercase, keep only the valid-position allowlist, dedup preserving
+    FIRST occurrence order, re-join ", " — NULL when nothing survives.
+
+    Order-preserving dedup is filter-by-first-index (array_distinct would
+    do here, but the SQL twin can't: DuckDB's list_distinct reorders)."""
+    stripped = F.regexp_replace(col, r"\(\d+\)", "")
+    toks = F.transform(
+        F.split(stripped, r"[-.\s]+"), lambda t: F.upper(F.trim(t))
+    )
+    valid = F.filter(toks, lambda t: t.isin(*VALID_POSITIONS))
+    deduped = F.filter(valid, lambda t, i: F.array_position(valid, t) == i + 1)
+    joined = F.array_join(deduped, ", ")
+    return F.when(F.size(deduped) > 0, joined)
+
+
+def sql_clean_positions(expr: str) -> str:
+    """DuckDB twin of clean_positions (same tree, same NULL contract)."""
+    allow = "[" + ", ".join(f"'{p}'" for p in VALID_POSITIONS) + "]"
+    toks = f"list_transform(string_split_regex(regexp_replace({expr}, '\\(\\d+\\)', '', 'g'), '[-.\\s]+'), t -> upper(trim(t)))"
+    valid = f"list_filter({toks}, t -> list_contains({allow}, t))"
+    dedup = f"list_filter({valid}, (t, i) -> list_position({valid}, t) = i)"
+    return f"CASE WHEN len({dedup}) > 0 THEN array_to_string({dedup}, ', ') END"
+
+
+def normalize_division(col: Column) -> Column:
+    """Division-format migration (reference scripts/update_division_format.py):
+    numeric 1/2/3 (as any of int, float-string '2.0', plain '2') becomes
+    'ncaa_{n}'; already-migrated 'ncaa_*' values and unknowns pass through
+    unchanged — idempotent by construction."""
+    as_num = col.cast("string")
+    n = F.regexp_extract(as_num, r"^([123])(?:\.0+)?$", 1)
+    return F.when(as_num.startswith("ncaa_"), as_num).when(
+        n != "", F.concat(F.lit("ncaa_"), n)
+    ).otherwise(as_num)
+
+
+def sql_normalize_division(expr: str) -> str:
+    e = f"CAST({expr} AS VARCHAR)"
+    n = f"regexp_extract({e}, '^([123])(\\.0+)?$', 1)"
+    return (
+        f"CASE WHEN {e} LIKE 'ncaa_%' THEN {e} "
+        f"WHEN {n} != '' THEN 'ncaa_' || {n} ELSE {e} END"
+    )

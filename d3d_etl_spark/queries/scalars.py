@@ -252,3 +252,71 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     intersect_arm = f.intersect(p).select(F.lit("intersect").alias("part"), "custkey")
     return union_arm.unionByName(except_arm).unionByName(intersect_arm)
+
+
+# ---------------------------------------------------------------------------
+# z_scalar_maint — the reference's data-maintenance transforms (z_ tier):
+#   part='positions' scripts/clean_cube_positions.py:21-33 — strip count
+#       suffixes, tokenize, allowlist, order-preserving dedup, re-join
+#   part='division'  scripts/update_division_format.py — numeric 1/2/3 ->
+#       'ncaa_{n}', idempotent for already-migrated values
+# Inputs are deterministic dirty strings synthesized from table keys so
+# every cleaning path (count suffix, mixed delimiters, invalid tokens,
+# duplicates, empties, float-strings, pass-throughs) has coverage.
+# ---------------------------------------------------------------------------
+
+_POS_TEMPLATES = [
+    "P-C", "1b. ss (12)", "of OF cf", "util", "", "P (3) - dh", "x - junk", "2B-3B.SS (29)",
+]
+_DIV_TEMPLATES = ["1", "2.0", "3", "ncaa_1", "weird", "2"]
+
+
+def _maint_oracle() -> str:
+    from d3d_etl_spark.functions.strings import sql_clean_positions, sql_normalize_division
+
+    pos_case = "CASE p_partkey % 8 " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_POS_TEMPLATES)
+    ) + " END"
+    div_case = "CASE c_custkey % 6 " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_DIV_TEMPLATES)
+    ) + " END"
+    return f"""
+SELECT 'positions' AS part, CAST(p_partkey AS BIGINT) AS key,
+       {pos_case} AS raw,
+       {sql_clean_positions(pos_case)} AS cleaned
+FROM part
+UNION ALL
+SELECT 'division', CAST(c_custkey AS BIGINT),
+       {div_case},
+       {sql_normalize_division(div_case)}
+FROM customer
+"""
+
+
+@register("z_scalar_maint", _maint_oracle(), tags=("string", "maintenance"))
+def z_scalar_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import clean_positions, normalize_division
+
+    part_t = load_table(spark, sf_dir, "part")
+    pos_raw = None
+    for i, t in enumerate(_POS_TEMPLATES):
+        c = F.when(F.col("p_partkey") % 8 == i, t)
+        pos_raw = c if pos_raw is None else pos_raw.when(F.col("p_partkey") % 8 == i, t)
+    positions = part_t.select(
+        F.lit("positions").alias("part"),
+        F.col("p_partkey").cast("long").alias("key"),
+        pos_raw.alias("raw"),
+        clean_positions(pos_raw).alias("cleaned"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    div_raw = None
+    for i, t in enumerate(_DIV_TEMPLATES):
+        c = F.when(F.col("c_custkey") % 6 == i, t)
+        div_raw = c if div_raw is None else div_raw.when(F.col("c_custkey") % 6 == i, t)
+    division = cust.select(
+        F.lit("division").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        div_raw.alias("raw"),
+        normalize_division(div_raw).alias("cleaned"),
+    )
+    return positions.unionByName(division)

@@ -146,3 +146,42 @@ def test_grouped_agg_pandas_udaf(spark):
     assert got.keys() == want.keys()
     for g in got:
         assert abs(got[g] - want[g]) < 1e-9
+
+
+def test_clean_positions_reference_examples(spark):
+    """Reference examples (scripts/clean_cube_positions.py): count-suffix
+    strip, mixed delimiters, allowlist filter, first-occurrence dedup."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.functions.strings import clean_positions
+
+    cases = [
+        ("2B-3B.SS (29)", "2B, 3B, SS"),
+        ("p - of. of", "P, OF"),
+        ("util", None),         # not in the allowlist
+        ("", None),
+        ("OF (12)", "OF"),
+        ("x - junk - C", "C"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r["cleaned"] for r in df.select(clean_positions(F.col("raw")).alias("cleaned")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_normalize_division_idempotent(spark):
+    """Reference scripts/update_division_format.py: 1/2/3 (int or float
+    string) -> ncaa_N; migrated + unknown values pass through; applying
+    twice is a no-op."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.functions.strings import normalize_division
+
+    cases = [
+        ("1", "ncaa_1"), ("2.0", "ncaa_2"), ("3", "ncaa_3"),
+        ("ncaa_2", "ncaa_2"), ("weird", "weird"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    once = df.select(normalize_division(F.col("raw")).alias("d"))
+    assert [r["d"] for r in once.collect()] == [w for _, w in cases]
+    twice = once.select(normalize_division(F.col("d")).alias("d"))
+    assert [r["d"] for r in twice.collect()] == [w for _, w in cases]
