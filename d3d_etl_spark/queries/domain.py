@@ -322,7 +322,7 @@ def _lw_quant(parsed: DataFrame) -> DataFrame:
 @register("domain_linear_weights", _LW_ORACLE, tags=("domain",))
 def domain_linear_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = materialized_parsed(spark, sf_dir)
-    lw = _lw_quant(parsed)
+    lw = _lw_quant(parsed).localCheckpoint()  # reused by scale + output
     scale = (
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
@@ -531,7 +531,10 @@ def _war_batting_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("division", "year", F.col("r1_name").alias("batter_name"))
         .agg(n(ev == "SB").alias("sb"), n(ev == "CS").alias("cs"))
     )
-    lw = _lw_quant(parsed)
+    # lw is consumed by scale/wts/out_lw below; each re-derivation re-runs
+    # the ER-matrix + re24 join over the full play scan. The table is tiny
+    # (events x division x year): materialize once.
+    lw = _lw_quant(parsed).localCheckpoint()
     scale = (
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
