@@ -311,7 +311,11 @@ _VALUE_ORACLE = f"WITH {_WP_CTES}\n" + "\nUNION ALL\n".join(
 
 @register("domain_value", _VALUE_ORACLE, tags=("domain", "value"))
 def domain_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    plays = _wp_plays(spark, sf_dir)
+    # the WE/LI-joined play table feeds runs_win + four grain boards:
+    # materialize the spine once instead of re-deriving the RE24 +
+    # win-probability chain per grain (same localCheckpoint doctrine as
+    # the pipeline spine — the barrier side is the already-reduced table)
+    plays = _wp_plays(spark, sf_dir).localCheckpoint()
     rw = _runs_win(plays)
     parts = []
     for grain, id_col, team_col, flip in _VALUE_GRAINS:
@@ -399,7 +403,7 @@ def domain_situational(spark: SparkSession, sf_dir: str) -> DataFrame:
         runners_on_cond,
     )
 
-    plays = _wp_plays(spark, sf_dir)
+    plays = _wp_plays(spark, sf_dir).localCheckpoint()  # 4 grain boards
     conds = {
         "overall": None,
         "risp": risp_cond(),
