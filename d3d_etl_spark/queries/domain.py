@@ -69,14 +69,41 @@ def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = _MARKER_TPL.format(n=n_games)
     if not (os.path.exists(marker) and os.path.isdir(path)):
         from d3d_etl_spark.pbp.parser import parse_pbp
-        from d3d_etl_spark.pbp.synth import generate_games_df
 
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        parse_pbp(generate_games_df(spark, n_games)).write.mode("overwrite").parquet(path)
+        parse_pbp(materialized_raw(spark, sf_dir)).write.mode("overwrite").parquet(path)
         with open(marker, "w") as f:
             f.write(str(n_games))
     # keep the import-time oracle glob unambiguous: only this scale survives
     for other in _glob.glob(_PARSED_PATH_TPL.format(n="*")):
+        if other != path and os.path.isdir(other):
+            shutil.rmtree(other, ignore_errors=True)
+            m = other + ".done"
+            if os.path.exists(m):
+                os.remove(m)
+    return spark.read.parquet(path)
+
+
+def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW narration for `sf_dir`'s scale, materialized once (seeded
+    generator => identical every run). The end-to-end pipeline queries
+    (z_pbp_dag / z_pbp_war) READ this parquet instead of re-generating in
+    the measured path — mirroring the reference, whose pipeline stages read
+    raw CSV from storage rather than synthesizing their input."""
+    import glob as _glob
+    import shutil
+
+    n_games = _games_for(sf_dir)
+    path = os.path.join(_CACHE_DIR, f"raw_games_{n_games}")
+    marker = path + ".done"
+    if not (os.path.exists(marker) and os.path.isdir(path)):
+        from d3d_etl_spark.pbp.synth import generate_games_df
+
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        generate_games_df(spark, n_games).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(str(n_games))
+    for other in _glob.glob(os.path.join(_CACHE_DIR, "raw_games_*")):
         if other != path and os.path.isdir(other):
             shutil.rmtree(other, ignore_errors=True)
             m = other + ".done"

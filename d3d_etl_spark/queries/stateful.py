@@ -98,16 +98,10 @@ def z_pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-traced fixtures, and queries/domain.py materializes the FSM output
     and hash-checks every downstream stage (ER matrix, linear weights,
     boards, guts, WAR) against DuckDB oracles over that parquet."""
-    import re as _re
-
     from d3d_etl_spark.pbp.pipeline import run_analytics
-    from d3d_etl_spark.pbp.synth import generate_games_df
+    from d3d_etl_spark.queries.domain import materialized_raw
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    n_games = max(10, int(sf * 3000))
-    raw = generate_games_df(spark, n_games)
-    out = run_analytics(raw)
+    out = run_analytics(materialized_raw(spark, sf_dir))
     return out.batting
 
 
@@ -193,8 +187,6 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible); the WAR arithmetic itself is pytest-verified against
     hand-computed fixtures (tests/test_war.py) AND oracled end-to-end over
     the materialized FSM output (queries/domain.py: domain_war_batting)."""
-    import re as _re
-
     from pyspark.sql import functions as F
 
     from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
@@ -202,14 +194,10 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.pbp.leaderboards import baserunning_board
     from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long, linear_weights
     from d3d_etl_spark.pbp.parser import parse_pbp
-    from d3d_etl_spark.pbp.synth import generate_games_df
     from d3d_etl_spark.pbp.war import batting_war, team_war
+    from d3d_etl_spark.queries.domain import materialized_raw
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    n_games = max(10, int(sf * 3000))
-    raw = generate_games_df(spark, n_games)
-    parsed = parse_pbp(raw).cache()
+    parsed = parse_pbp(materialized_raw(spark, sf_dir)).cache()
     plays = add_re24(parsed, expected_runs_long(parsed)).cache()
     lw = linear_weights(plays, lg_obp=0.360)
     guts = guts_constants(plays, lw)
