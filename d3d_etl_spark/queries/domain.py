@@ -109,7 +109,12 @@ def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = other + ".done"
             if os.path.exists(m):
                 os.remove(m)
-    return spark.read.parquet(path)
+    # the raw table is tiny on disk, so the scan plans one partition — but
+    # downstream is the CPU-heavy parse (classifier + per-game FSM): fan the
+    # rows back out so the parse runs at session parallelism (the thin-scan
+    # pitfall from the scale doctrine, README)
+    n_parts = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(path).repartition(n_parts, "contest_id")
 
 
 # ---------------------------------------------------------------------------
