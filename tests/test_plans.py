@@ -200,3 +200,47 @@ def test_flagship_dedup_pair_stage_lsh_gated(spark, sf_dir):
         src = inspect.getsource(fn)
         assert "lsh_gated_pairs" in src, f"{fn.__name__} lost the LSH gate"
         assert "jaccard_pairs(sh" not in src, f"{fn.__name__} calls the un-gated pair path"
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """Runtime row-filter evidence: for a shuffle join whose build side is
+    selective, the optimizer injects a bloom_filter_agg on the dim side and
+    a might_contain predicate on the FACT side's scan — at 100 TB this is
+    the semi-join pushdown that keeps a selective fact-fact join from
+    shuffling the full fact table. (Dims that fit memory broadcast instead;
+    this is the path for the ones that don't.)"""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # local-mode sizes are far below the production thresholds: lower
+        # them so the injection decision fires at test scale
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+
+        fact = spark.range(2_000_000).selectExpr(
+            "id % 100000 AS k", "md5(cast(id as string)) AS payload"
+        )
+        dim = spark.range(100_000).selectExpr("id AS k", "id * 2 AS v").where("k % 1000 = 7")
+        j = fact.join(dim, "k").agg(F.count("*"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter built on the selective side"
+        assert "might_contain" in plan, "fact side not pruned by the runtime filter"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
