@@ -244,3 +244,29 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located fact-fact join: two tables bucketed+sorted on the join key
+    merge-join with ZERO exchanges (and zero sorts — the buckets are
+    sort-ordered on disk). At 100 TB this is the pre-partitioning lever for
+    recurring fact-fact joins (play table x pitcher table, embeddings x
+    clusters): pay the bucketing shuffle once at write time, never again at
+    read time."""
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        a = spark.range(100_000).selectExpr("id AS k", "id*2 AS va")
+        b = spark.range(100_000).selectExpr("id AS k", "id*3 AS vb")
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(f"{db}.fact_a")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(f"{db}.fact_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(f"{db}.fact_a").join(spark.table(f"{db}.fact_b"), "k")
+        assert count_shuffles(j) == 0, "bucketed join must read co-located buckets"
+        assert j.count() == 100_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
