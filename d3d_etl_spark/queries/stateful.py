@@ -197,8 +197,11 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.pbp.war import batting_war, team_war
     from d3d_etl_spark.queries.domain import materialized_raw
 
-    parsed = parse_pbp(materialized_raw(spark, sf_dir)).cache()
-    plays = add_re24(parsed, expected_runs_long(parsed)).cache()
+    # localCheckpoint, not cache: cache is lazy, so eagerly-planned
+    # broadcast subtrees (lw, guts) would re-derive the parse (the
+    # round-2 pbp_dag fix, commit ef41fb6)
+    parsed = parse_pbp(materialized_raw(spark, sf_dir)).localCheckpoint()
+    plays = add_re24(parsed, expected_runs_long(parsed)).localCheckpoint()
     lw = linear_weights(plays, lg_obp=0.360)
     guts = guts_constants(plays, lw)
 
