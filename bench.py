@@ -56,15 +56,15 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    # Two timed executions per query, report the min: run 1 carries
+    # Three timed executions per query, report the min: run 1 carries
     # plan-analysis + Janino codegen (one-time per plan shape, dominated by
     # the wide domain cascades — measured ~8s JVM-wide), run 2 is the
-    # steady-state throughput a long-running cluster sees. Min-of-2 also
+    # steady-state throughput a long-running cluster sees. Min-of-3 also
     # damps host noisy-neighbor variance (observed 30-40% machine-wide
     # swings between runs with identical code).
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
@@ -77,7 +77,7 @@ def main() -> None:
                 "metric": (
                     f"e2e wall-clock, {len(timings)} headline queries "
                     "(joins/aggs/windows/dedup/simsearch/text), noop sink, "
-                    "steady-state (min of 2 runs per query)"
+                    "steady-state (min of 3 runs per query)"
                 ),
                 "value": total,
                 "unit": "sec",
