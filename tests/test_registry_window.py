@@ -1,0 +1,48 @@
+"""Registry-layout invariants (round-3 consolidation contract).
+
+The external correctness gate verifies the alphabetically-first 50
+registered queries. These tests pin the layout so future additions can't
+silently push primary evidence out of the verified window: new operators
+join an existing family, take a z_ name, or consciously rebalance the
+window (and update this pin).
+"""
+
+from __future__ import annotations
+
+import d3d_etl_spark.queries as qmod
+from d3d_etl_spark.queries.registry import REGISTRY
+
+qmod.load_all()
+
+WINDOW = 50
+
+
+def test_primary_window_is_fully_oracled():
+    """Every query inside the 50-row verify window must carry an oracle —
+    a rows-only query in the window wastes a hash-checked slot."""
+    names = sorted(REGISTRY)
+    primaries = names[:WINDOW]
+    missing = [n for n in primaries if REGISTRY[n].oracle is None]
+    assert not missing, f"rows-only queries occupy verify-window slots: {missing}"
+
+
+def test_supplementary_tier_is_z_prefixed():
+    """Everything outside the window must be there BY CHOICE (z_ prefix) —
+    an unprefixed query past position 50 means primary evidence silently
+    fell out of the gate."""
+    names = sorted(REGISTRY)
+    overflow = [n for n in names[WINDOW:] if not n.startswith("z_")]
+    assert not overflow, (
+        f"non-z_ queries outside the {WINDOW}-row verify window: {overflow} — "
+        "merge them into a family, z_-prefix them, or rebalance the window"
+    )
+    # and the z_ tier really does sort after every primary
+    assert all(n.startswith("z_") for n in names[WINDOW:])
+
+
+def test_rows_only_queries_are_supplementary():
+    """The FSM-containing rows-only pipelines live in the z_ tier; their
+    value evidence is the oracled domain_* family over the materialized
+    parse."""
+    rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+    assert rows_only == ["z_fsm_funnel", "z_pbp_dag", "z_pbp_war"]
