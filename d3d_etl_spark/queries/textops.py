@@ -38,6 +38,7 @@ from d3d_etl_spark.queries.registry import register
 _TOK = sql_tokens("text")
 _STOP = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 _SH = sql_word_shingles(_TOK, 3)
+_SH2 = sql_word_shingles(_TOK, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -47,6 +48,8 @@ _SH = sql_word_shingles(_TOK, 3)
 #   quality       digit/punct/stopword ratios + pass filter (corpus filtering)
 #   language-ID   marker-hit argmax with fixed priority tiebreak
 #   fingerprint   content md5 + min-shingle-hash digest (dedup-key shape)
+#   repetition    duplicate-bigram fraction (the Gopher-rules repetition
+#                 signal for corpus filtering)
 #   T1 regex classifier (priority-ordered CASE — reference
 #                 pbp_parser/columns.py:532-619 where rule ORDER is semantics)
 #   T2/T3 regex count + group extraction (reference columns.py:179-203;
@@ -87,6 +90,9 @@ SELECT
   md5(text) AS content_hash,
   COALESCE(list_aggregate(list_transform({_SH}, s -> md5(s)), 'min'), 'EMPTY') AS shingle_fp,
   len({_SH}) AS n_shingles,
+  CASE WHEN len({_SH2}) > 0
+       THEN 1.0 - CAST(len(list_distinct({_SH2})) AS DOUBLE) / len({_SH2})
+       ELSE 0.0 END AS dup_bigram_frac,
   CASE
     WHEN regexp_matches(text, '\bvector\b') AND regexp_matches(text, '\bjoin\b') THEN 'vector_join'
     WHEN regexp_matches(text, '\bvector\b') THEN 'vector'
@@ -122,6 +128,7 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     sh = word_shingles(tok, 3)
+    sh2 = word_shingles(tok, 2)
     # T1: order is semantics — mirrors the reference's priority cascade
     doc_class = (
         F.when(t.rlike(r"\bvector\b") & t.rlike(r"\bjoin\b"), "vector_join")
@@ -147,6 +154,10 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         F.coalesce(F.array_min(F.transform(sh, F.md5)), F.lit("EMPTY")).alias("shingle_fp"),
         F.size(sh).cast("long").alias("n_shingles"),
+        F.when(
+            F.size(sh2) > 0,
+            1.0 - F.size(F.array_distinct(sh2)).cast("double") / F.size(sh2),
+        ).otherwise(0.0).alias("dup_bigram_frac"),
         doc_class.alias("doc_class"),
         F.regexp_count(t, F.lit(r"\bagg\b")).cast("long").alias("n_agg"),
         F.regexp_count(t, F.lit(r"\b(scan|sort)\b")).cast("long").alias("n_scan_sort"),
@@ -176,7 +187,7 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("passes_filter"),
         "hits_en", "hits_es", "hits_fr", "hits_de",
         pred.alias("pred_lang"),
-        "content_hash", "shingle_fp", "n_shingles",
+        "content_hash", "shingle_fp", "n_shingles", "dup_bigram_frac",
         "doc_class", "n_agg", "n_scan_sort", "second_word",
     )
 
@@ -389,3 +400,164 @@ def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chunk_arm.unionByName(pack_arm)
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_decontam — benchmark decontamination (z_ tier): remove training
+# documents that share any N-gram with the held-out evaluation set — the
+# standard leakage guard for LLM training corpora (the n-gram-overlap
+# procedure described in the GPT-3 / Pile papers). Here the "benchmark" is
+# a deterministic slice of the corpus (doc_id % 97 == 0); real use swaps in
+# the benchmark table.
+#
+# Scale shape: eval shingles are a broadcast-able set (benchmarks are
+# small); contamination is ONE broadcast semi-join probe at the exploded
+# train-shingle stream — the full corpus never shuffles. Published as the
+# per-split corpus profile before/after decontamination so recall and
+# collateral loss are both visible.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # overlap n-gram width
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS w,
+         doc_id % 97 = 0 AS is_eval
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_eval, unnest({sql_word_shingles('w', _DECON_N)}) AS shingle
+  FROM t
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE NOT s.is_eval
+)
+SELECT
+  CASE WHEN is_eval THEN 'eval' ELSE 'train' END AS corpus,
+  COUNT(*) AS n_docs,
+  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contaminated)) AS n_contaminated,
+  COUNT(*) FILTER (WHERE NOT is_eval
+                   AND doc_id NOT IN (SELECT doc_id FROM contaminated)) AS n_clean_train,
+  CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+  CAST(COALESCE(SUM(len(w)) FILTER (WHERE doc_id IN (SELECT doc_id FROM contaminated)), 0) AS BIGINT) AS contaminated_tokens
+FROM t
+GROUP BY 1
+"""
+
+
+@register("z_corpus_decontam", _DECON_ORACLE, tags=("text", "dedup"))
+def z_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("w"),
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+    ).localCheckpoint()  # feeds shingling AND the final profile
+    sh = t.select(
+        "doc_id", "is_eval",
+        F.explode(word_shingles(F.col("w"), _DECON_N)).alias("shingle"),
+    )
+    eval_sh = sh.where("is_eval").select("shingle").distinct()
+    contaminated = (
+        sh.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = t.join(
+        F.broadcast(contaminated.withColumn("_hit", F.lit(True))), "doc_id", "left"
+    ).withColumn("_hit", F.coalesce("_hit", F.lit(False)))
+    return (
+        flagged.groupBy(
+            F.when(F.col("is_eval"), "eval").otherwise("train").alias("corpus")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_hit").cast("long")).alias("n_contaminated"),
+            F.sum((~F.col("is_eval") & ~F.col("_hit")).cast("long")).alias("n_clean_train"),
+            F.sum(F.size("w").cast("long")).alias("total_tokens"),
+            F.sum(F.when(F.col("_hit"), F.size("w").cast("long")).otherwise(0)).alias(
+                "contaminated_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_pii — PII redaction plumbing (z_ tier): regex-scrub emails,
+# phone numbers and SSN-shaped tokens to typed placeholders, publishing
+# per-doc redaction counts + the scrubbed content hash. The testdata text
+# carries no PII, so deterministic synthetic PII is appended from the doc
+# key — the redaction path (priority, overlap behavior, placeholder
+# format) is what is verified. Pure regexp_replace: zero shuffle.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' or ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END) AS raw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, raw,
+         len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(raw, '{_SSN_RE}')) AS n_ssns,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_SSN_RE}', '<SSN>', 'g') AS pass1
+  FROM d
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(pass1, '{_PHONE_RE}')) AS n_phones,
+       n_ssns,
+       md5(regexp_replace(pass1, '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM r
+"""
+
+
+@register("z_corpus_pii", _PII_ORACLE, tags=("text",))
+def z_corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pad = lambda e, n: F.lpad((did % (10 ** n)).cast("string"), n, "0")  # noqa: E731
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" or "), pad(did, 3), F.lit("-555-"), pad(did, 4),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" ssn "), pad(did, 3), F.lit("-"),
+                     F.lpad((did % 100).cast("string"), 2, "0"),
+                     F.lit("-"), pad(did, 4)),
+        ).otherwise(""),
+    )
+    # SSN before PHONE: the patterns overlap (both ddd-dd..), priority is
+    # semantics — phones are counted AFTER emails+SSNs are placeholdered
+    pass1 = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _SSN_RE, "<SSN>"
+    )
+    base = docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_SSN_RE)).cast("long").alias("n_ssns"),
+        pass1.alias("_p1"),
+    )
+    return base.select(
+        "doc_id", "n_emails",
+        F.regexp_count(F.col("_p1"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        "n_ssns",
+        F.md5(F.regexp_replace(F.col("_p1"), _PHONE_RE, "<PHONE>")).alias("scrubbed_hash"),
+    )
