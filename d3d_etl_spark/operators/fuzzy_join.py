@@ -40,22 +40,29 @@ def blocked_fuzzy_join(
     cand_id: str,
     cand_name: str,
     cutoff: float = 0.7,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Two-tier cascade: exact name match, then fuzzy top-1 >= cutoff.
 
     Returns (probe_id, matched_id, score, tier) with tier in
     {'exact', 'fuzzy'}; probes matching nothing are absent (left-join the
     result back if unmatched rows are needed).
+
+    `broadcast_candidates` (default True) matches the operator's contract —
+    candidates are a roster/master list, dim-sized — and must be True for
+    the probe-side repartition below to help. Pass False when the candidate
+    side is a scaled fact table: the planner then falls back to a
+    shuffle/AQE plan instead of force-broadcasting something huge.
     """
     w_exact = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
-    # candidates are dim-sized by contract (rosters/master lists): broadcast
-    # EXPLICITLY — at sf0.1 the planner's size estimate tips past the
-    # auto-broadcast threshold and silently degrades the block join to a
-    # SortMergeJoin on the (few-valued, skew-prone) block key, which also
-    # defeats the probe-side repartition below. Measured: removes one full
-    # exchange + the SMJ sort at sf0.1.
+    # With broadcast_candidates the hint is EXPLICIT — at sf0.1 the
+    # planner's size estimate tips past the auto-broadcast threshold and
+    # silently degrades the block join to a SortMergeJoin on the
+    # (few-valued, skew-prone) block key, which also defeats the probe-side
+    # repartition below. Measured: removes one full exchange + the SMJ sort.
+    cands = F.broadcast(candidates) if broadcast_candidates else candidates
     exact = (
-        probes.join(F.broadcast(candidates), block_keys)
+        probes.join(cands, block_keys)
         .where(F.col(probe_name) == F.col(cand_name))
         .withColumn("rn", F.row_number().over(w_exact))
         .where("rn = 1")
@@ -93,7 +100,7 @@ def blocked_fuzzy_join(
     )
     w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
     fuzzy = (
-        unmatched.join(F.broadcast(candidates), block_keys)
+        unmatched.join(cands, block_keys)
         .where(len_ok)
         .select(F.col(probe_id), F.col(cand_id), sim.alias("score"))
         .where(F.col("score") >= cutoff)

@@ -252,14 +252,15 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
 """
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    with_sim = _simhash_sigs(spark, sf_dir)
+def _simhash_pairs(spark: SparkSession, sf_dir: str, with_sim: DataFrame | None = None) -> DataFrame:
     # The banded candidate search self-joins the signatures; without a
     # materialization barrier Catalyst re-derives the whole explode+groupBy
     # signature pass on BOTH join sides (measured 2x the query cost at sf0.1).
     # localCheckpoint computes the (tiny: one row per doc) signature table
-    # once and the self-join reads it twice.
-    with_sim = with_sim.localCheckpoint()
+    # once and the self-join reads it twice. Callers may pass an
+    # already-checkpointed table to share it across more consumers.
+    if with_sim is None:
+        with_sim = _simhash_sigs(spark, sf_dir).localCheckpoint()
     return simhash_near_pairs(
         with_sim, "doc_id", "simhash", _MAX_HAMMING, _SIM_BANDS, _BITS
     )
@@ -373,13 +374,15 @@ FROM ({_SIMHASH_PAIRS_ORACLE})
 
 @register("dedup_simhash", _SIMHASH_FAMILY_ORACLE, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_sigs(spark, sf_dir).select(
+    # ONE signature pass (the dominant stage) feeds both arms
+    sigs = _simhash_sigs(spark, sf_dir).localCheckpoint()
+    sig = sigs.select(
         F.lit("sig").alias("part"),
         F.col("doc_id").cast("long").alias("a"),
         F.lit(None).cast("long").alias("b"),
         F.col("simhash").cast("long").alias("h"),
     )
-    pair = _simhash_pairs(spark, sf_dir).select(
+    pair = _simhash_pairs(spark, sf_dir, with_sim=sigs).select(
         F.lit("pair").alias("part"),
         F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),

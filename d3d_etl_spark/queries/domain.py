@@ -74,13 +74,19 @@ def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_pbp(materialized_raw(spark, sf_dir)).write.mode("overwrite").parquet(path)
         with open(marker, "w") as f:
             f.write(str(n_games))
-    # keep the import-time oracle glob unambiguous: only this scale survives
-    for other in _glob.glob(_PARSED_PATH_TPL.format(n="*")):
-        if other != path and os.path.isdir(other):
-            shutil.rmtree(other, ignore_errors=True)
-            m = other + ".done"
-            if os.path.exists(m):
-                os.remove(m)
+        # keep the import-time oracle glob unambiguous: only this scale
+        # survives. Prune ONLY on the (re)generation path — steady-state
+        # same-scale calls never delete anything, so two processes at the
+        # same scale can't disturb each other mid-read. Two processes at
+        # DIFFERENT scales still alternate regenerations (the oracle SQL is
+        # static, so only one scale can be live) — don't run those
+        # concurrently.
+        for other in _glob.glob(_PARSED_PATH_TPL.format(n="*")):
+            if other != path and os.path.isdir(other):
+                shutil.rmtree(other, ignore_errors=True)
+                m = other + ".done"
+                if os.path.exists(m):
+                    os.remove(m)
     return spark.read.parquet(path)
 
 
@@ -103,12 +109,13 @@ def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_games_df(spark, n_games).write.mode("overwrite").parquet(path)
         with open(marker, "w") as f:
             f.write(str(n_games))
-    for other in _glob.glob(os.path.join(_CACHE_DIR, "raw_games_*")):
-        if other != path and os.path.isdir(other):
-            shutil.rmtree(other, ignore_errors=True)
-            m = other + ".done"
-            if os.path.exists(m):
-                os.remove(m)
+        # prune only on the regeneration path (see materialized_parsed)
+        for other in _glob.glob(os.path.join(_CACHE_DIR, "raw_games_*")):
+            if other != path and os.path.isdir(other):
+                shutil.rmtree(other, ignore_errors=True)
+                m = other + ".done"
+                if os.path.exists(m):
+                    os.remove(m)
     # the raw table is tiny on disk, so the scan plans one partition — but
     # downstream is the CPU-heavy parse (classifier + per-game FSM): fan the
     # rows back out so the parse runs at session parallelism (the thin-scan

@@ -588,9 +588,11 @@ def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import blocked_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # ONE GEMM pass feeds both arms (the canon arm's threshold is the same
-    # _NEAR_T >= _DEDUP_T here); localCheckpoint so the union + the
-    # cluster iteration don't re-derive the pair stage.
+    # ONE GEMM pass feeds both arms. Correctness of the shared pass needs
+    # the pair threshold to be AT OR BELOW the dedup threshold (filtering
+    # a >= _NEAR_T pair set down to >= _DEDUP_T loses edges otherwise);
+    # localCheckpoint so the union + cluster iteration don't re-derive it.
+    assert _NEAR_T <= _DEDUP_T, "pair stage must be computed at the looser threshold"
     pairs = blocked_near_pairs(emb, _NEAR_T).localCheckpoint()
     pair = pairs.select(
         F.lit("pair").alias("part"),

@@ -29,8 +29,6 @@ from d3d_etl_spark.pbp.events import PA_EVENTS
 from d3d_etl_spark.queries.domain import _PARSED_GLOB, materialized_parsed
 from d3d_etl_spark.queries.registry import register
 
-_BAT_SUFFIXES = (("overall", None), ("vs_lhp", "L"), ("vs_rhp", "R"))
-_PIT_SUFFIXES = (("overall", None), ("vs_lhb", "L"), ("vs_rhb", "R"))
 _NONAB = ("BB", "IBB", "HBP", "SF", "SH")
 
 
@@ -128,42 +126,6 @@ handed AS (
   LEFT JOIN flip f ON wp.contest_id = f.contest_id AND wp.half = f.half
 )
 """
-
-
-def _splits_select(group_cols: list[str], opp_col: str, suffixes) -> str:
-    cols = list(group_cols)
-    rates = []
-    for s, hand in suffixes:
-        cond = "TRUE" if hand is None else f"{opp_col} = '{hand}'"
-        pa = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(PA_EVENTS)} THEN 1 ELSE 0 END)"
-        nonab = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_NONAB)} THEN 1 ELSE 0 END)"
-        h = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_HIT_EVENTS)} THEN 1 ELSE 0 END)"
-        ob = f"SUM(CASE WHEN {cond} AND event_type IN {_sql_in(_OB_EVENTS)} THEN 1 ELSE 0 END)"
-        cols += [
-            f"CAST({pa} AS BIGINT) AS pa_{s}",
-            f"CAST({pa} - {nonab} AS BIGINT) AS ab_{s}",
-            f"CAST({h} AS BIGINT) AS h_{s}",
-            f"CAST({ob} AS BIGINT) AS ob_{s}",
-        ]
-        rates += [
-            f"CASE WHEN ab_{s} != 0 THEN CAST(h_{s} AS DOUBLE) / ab_{s} ELSE 0.0 END AS ba_{s}",
-            f"CASE WHEN pa_{s} != 0 THEN CAST(ob_{s} AS DOUBLE) / pa_{s} ELSE 0.0 END AS ob_pct_{s}",
-        ]
-    overall = suffixes[0][0]
-    return f"""
-SELECT b.*, {", ".join(rates)}
-FROM (
-  SELECT {", ".join(cols)}
-  FROM handed
-  WHERE {group_cols[-1]} IS NOT NULL
-  GROUP BY {", ".join(str(i + 1) for i in range(len(group_cols)))}
-  HAVING SUM(CASE WHEN event_type IN {_sql_in(PA_EVENTS)} THEN 1 ELSE 0 END) >= 1
-) b
-"""
-
-
-def _splits_oracle(group_cols: list[str], opp_col: str, suffixes) -> str:
-    return f"WITH {_HANDED_CTES}\n{_splits_select(group_cols, opp_col, suffixes)}"
 
 
 # ---------------------------------------------------------------------------

@@ -347,8 +347,13 @@ def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
 
-    # part='chunk' — narrow map + explode, zero shuffle
-    starts = F.sequence(F.lit(0), F.size(tok) - 1, F.lit(_STRIDE))
+    # part='chunk' — narrow map + explode, zero shuffle. Zero-token docs
+    # must emit zero chunks: sequence(0, -1) throws in Spark, so gate the
+    # start list on a non-empty token array (explode drops the NULL) — the
+    # oracle's range(0, 0, stride) is naturally empty.
+    starts = F.when(
+        F.size(tok) > 0, F.sequence(F.lit(0), F.size(tok) - 1, F.lit(_STRIDE))
+    )
     base = docs.select("doc_id", tok.alias("toks"), F.explode(starts).alias("start"))
     chunk = F.expr(f"slice(toks, start + 1, {_CHUNK})")
     chunk_arm = base.select(

@@ -239,32 +239,6 @@ def _runs_win(plays: DataFrame) -> DataFrame:
     )
 
 
-def _mk_oracle(id_expr: str, id_alias: str, team_expr: str | None, flip: bool) -> str:
-    extra = (
-        f"\n       {team_expr} AS team_id, {team_expr} AS team_name," if team_expr else ""
-    )
-    group_cols = [id_expr] + ([team_expr, team_expr] if team_expr else [])
-    body = f"""
-SELECT {id_expr} AS {id_alias},{extra}
-       CAST({"-" if flip else ""}SUM(wpa_u) AS DOUBLE) / 1e9 AS wpa,
-       CAST(SUM(CASE WHEN {"-wpa_u" if flip else "wpa_u"} < 0 THEN {"-wpa_u" if flip else "wpa_u"} ELSE 0 END) AS DOUBLE) / 1e9 AS neg_wpa,
-       CAST(SUM(CASE WHEN {"-wpa_u" if flip else "wpa_u"} > 0 THEN {"-wpa_u" if flip else "wpa_u"} ELSE 0 END) AS DOUBLE) / 1e9 AS pos_wpa,
-       CAST({"-" if flip else ""}SUM(rea_u) AS DOUBLE) / 1e9 AS rea,
-       (CAST({"-" if flip else ""}SUM(rea_u) AS DOUBLE) / 1e9) / MIN(rw.runs_win) AS rew,
-       CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 AS pli,
-       CAST({"-" if flip else ""}SUM(wpali_u) AS DOUBLE) / 1e9 AS wpa_li,
-       CASE WHEN CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9 > 0
-            THEN (CAST({"-" if flip else ""}SUM(wpa_u) AS DOUBLE) / 1e9)
-                 / (CAST(SUM(li_u) AS DOUBLE) / COUNT(*) / 1e9)
-                 - CAST({"-" if flip else ""}SUM(wpali_u) AS DOUBLE) / 1e9
-       END AS clutch
-FROM q JOIN rw ON q.division = rw.division AND q.year = rw.year
-WHERE {id_expr} IS NOT NULL
-GROUP BY {", ".join(dict.fromkeys(group_cols))}
-"""
-    return f"WITH {_WP_CTES}\n{body}"
-
-
 # ---------------------------------------------------------------------------
 # domain_value — all four reference value-board grains as ONE tagged union
 # (round-3 consolidation; reference value.py:34-135 publishes batter /

@@ -158,4 +158,7 @@ def test_twenty_table_publish_parity(spark, tmp_path, sink):
         have = _canon(got, keys)
         # year column survives sqlite round-trip as int64; align dtypes
         have = have.astype({c: want[c].dtype for c in want.columns})
-        pd.testing.assert_frame_equal(have, want, check_like=True), table
+        try:
+            pd.testing.assert_frame_equal(have, want, check_like=True)
+        except AssertionError as e:
+            raise AssertionError(f"table {table!r}: {e}") from e
