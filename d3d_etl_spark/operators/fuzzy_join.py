@@ -31,6 +31,32 @@ def levenshtein_sim(a: Column, b: Column) -> Column:
     return 1.0 - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b))
 
 
+def fits_broadcast(df: DataFrame, cap_bytes: int = 64 << 20) -> bool:
+    """Whether a file-backed DataFrame is safely broadcast-sized.
+
+    Sums the on-disk size of the scan's input files (driver-side metadata
+    only — no job). Parquet on-disk is compressed, so the in-memory relation
+    is larger; the default 64 MiB cap leaves that headroom under a typical
+    executor budget. Falls back to False (the safe, shuffle/AQE path) when
+    the plan has no file scan to measure.
+    """
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return False
+    total = 0
+    for f in files:
+        path = f[len("file:") :] if f.startswith("file:") else f
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return False
+    return total <= cap_bytes
+
+
 def blocked_fuzzy_join(
     probes: DataFrame,
     candidates: DataFrame,
@@ -86,11 +112,14 @@ def blocked_fuzzy_join(
     n_parts = probes.sparkSession.sparkContext.defaultParallelism
     # the matched-id list is one slim long column bounded by |probes|;
     # broadcasting the anti-join avoids two probe_id exchanges + sorts.
-    # (If probes ever outgrow broadcast range, drop the hint — the SMJ
-    # anti-join is the correct fallback and AQE will pick it.)
-    unmatched = probes.join(
-        F.broadcast(exact.select(probe_id)), probe_id, "left_anti"
-    ).repartition(n_parts)
+    # Gated on the same flag as the block join: broadcast_candidates=False
+    # signals "sides are scaled", and a table bounded by |probes| is then no
+    # safer to force-broadcast than the candidates were — fall back to the
+    # SMJ anti-join and let AQE pick the strategy.
+    exact_ids = exact.select(probe_id)
+    if broadcast_candidates:
+        exact_ids = F.broadcast(exact_ids)
+    unmatched = probes.join(exact_ids, probe_id, "left_anti").repartition(n_parts)
     sim = levenshtein_sim(F.col(probe_name), F.col(cand_name))
     # lossless length prune: lev >= |len_a - len_b|, so sim >= cutoff implies
     # |len_a - len_b| <= (1-cutoff) * max(len) — drop the rest before scoring

@@ -220,6 +220,116 @@ def hyperplane_buckets(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id"
     return dots.groupBy(id_col).agg(F.sum(bit).alias("bucket"))
 
 
+def hyperplane_band_buckets(
+    emb: DataFrame,
+    planes: DataFrame,
+    band_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket): hyperplane sign bits packed PER BAND.
+
+    The pair-search variant of :func:`hyperplane_buckets`: n_planes bits
+    split into bands of `band_size` bits each, so two vectors are candidate
+    neighbours when they agree on ALL bits of ANY band — the same
+    banding-amplification trick as MinHash LSH (text side,
+    operators/dedup.py lsh_band_keys). Recall for a pair at angle θ is
+    1-(1-p^r)^b with p = 1-θ/π, r = band_size, b = n_planes/band_size.
+    """
+    comps = emb.select(id_col, F.posexplode(vec_col).alias("pos", "x")).select(
+        id_col, "pos", F.col("x").cast("double").alias("x")
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "pos")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    band = F.floor(F.col("plane") / band_size).cast("int")
+    bit = F.when(
+        F.col("dot") > 0,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(plane % {band_size} AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return dots.groupBy(id_col, band.alias("band")).agg(F.sum(bit).alias("bucket"))
+
+
+def ann_gated_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-pairs cosine >= threshold, ANN-GATED: hyperplane band buckets
+    pick the candidates, a within-bucket GEMM verifies them exactly.
+
+    This is the composition :func:`blocked_near_pairs` documents for 100 TB
+    — the same shape the text side's lsh_gated_pairs gives MinHash dedup
+    (queries/dedup.py): instead of B^2/2 all-pairs block tasks whose work is
+    O(n^2/B) regardless of data, each (band, bucket) group becomes ONE
+    GEMM task over vectors that already agree on `band_size` hyperplane
+    bits. Work is sum(bucket_size^2) per band — proportional to how
+    clustered the corpus actually is, not to n^2. Replication is n_bands
+    rows per vector (vs (B+1)/2 per side for the blocked exact pass).
+    A pair found in several bands is deduped by a final (vec_a, vec_b)
+    group-max; sims are identical across copies (same rounded GEMM value).
+
+    Recall < 1.0 by construction (pairs colliding in NO band are never
+    scored) and is governed by (n_planes, n_bands) exactly as in the text
+    LSH gate; the oracle SQL mirrors the gate itself, and
+    tests/test_scale_smoke.py proves candidate volume << exact with full
+    recall on planted near-dup clusters. At scale: raise n_planes to shrink
+    buckets (skew → task size), raise n_bands to buy recall.
+    """
+    import pyarrow as pa
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands bands")
+    spark = emb.sparkSession
+    planes = hyperplane_table(spark, n_planes, dim)
+    bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    # bucket membership lists are corpus-sized: this join shuffles both
+    # sides on the id — one exchange, then the grouped GEMM reuses the
+    # (band, bucket) clustering from the groupBy
+    tagged = base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def gemm_bucket_pairs(tbl: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        if tbl.num_rows < 2:
+            return out_schema.empty_table()
+        c = tbl.column("vec").combine_chunks()
+        A = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+        norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+        sims = np.round((A @ A.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(norms), k=1)
+        keep = sims[iu, ju] >= threshold
+        if not keep.any():
+            return out_schema.empty_table()
+        ids = tbl.column("vid").combine_chunks().to_numpy()
+        ia, jb = iu[keep], ju[keep]
+        lo = np.minimum(ids[ia], ids[jb])
+        hi = np.maximum(ids[ia], ids[jb])
+        return pa.table(
+            {"vec_a": lo, "vec_b": hi, "sim": sims[ia, jb]}, schema=out_schema
+        )
+
+    pairs = (
+        tagged.groupBy("band", "bucket")
+        .applyInArrow(gemm_bucket_pairs, "vec_a long, vec_b long, sim double")
+    )
+    return pairs.groupBy("vec_a", "vec_b").agg(F.max("sim").alias("sim"))
+
+
 def ivf_probe_labels(
     centroids: DataFrame, query: DataFrame, label_col: str, nprobe: int
 ) -> DataFrame:

@@ -53,6 +53,50 @@ def _games_for(sf_dir: str) -> int:
     return max(10, int(sf * 3000))
 
 
+def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None:
+    """Skip-if-exists materialization with crash/concurrency safety.
+
+    The fast path (marker + dir present) never takes the lock. On the
+    regeneration path: serialize regenerators with an flock'd PER-FAMILY
+    lock file (two processes switching scales used to race the prune
+    against each other's build; per-family, not global, because the parsed
+    build nests a raw build — one shared lock would self-deadlock the
+    process on its second fd), re-check under the lock, build into a temp dir and
+    `os.replace` it into place (a crashed build can't leave a
+    half-written dir that the marker check would trust), THEN prune other
+    scales. The import-time oracle glob stays unambiguous: only one scale
+    survives a regeneration.
+    """
+    import fcntl
+    import glob as _glob
+    import shutil
+
+    if os.path.exists(marker) and os.path.isdir(path):
+        return
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    family = os.path.basename(prune_glob).replace("*", "")
+    with open(os.path.join(_CACHE_DIR, f".{family}regen.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(marker) and os.path.isdir(path):
+                return  # lost the race: another process already built it
+            tmp = path + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            build(tmp)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+            with open(marker, "w") as f:
+                f.write(os.path.basename(path))
+            for other in _glob.glob(prune_glob):
+                if other != path and os.path.isdir(other):
+                    shutil.rmtree(other, ignore_errors=True)
+                    m = other + ".done"
+                    if os.path.exists(m):
+                        os.remove(m)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parsed plays for `sf_dir`'s scale, materialized to a stable path.
 
@@ -61,32 +105,16 @@ def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries and their DuckDB oracles read THIS parquet, so the comparison
     is over identical FSM output by construction.
     """
-    import glob as _glob
-    import shutil
-
     n_games = _games_for(sf_dir)
     path = _PARSED_PATH_TPL.format(n=n_games)
     marker = _MARKER_TPL.format(n=n_games)
-    if not (os.path.exists(marker) and os.path.isdir(path)):
+
+    def build(tmp: str) -> None:
         from d3d_etl_spark.pbp.parser import parse_pbp
 
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        parse_pbp(materialized_raw(spark, sf_dir)).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as f:
-            f.write(str(n_games))
-        # keep the import-time oracle glob unambiguous: only this scale
-        # survives. Prune ONLY on the (re)generation path — steady-state
-        # same-scale calls never delete anything, so two processes at the
-        # same scale can't disturb each other mid-read. Two processes at
-        # DIFFERENT scales still alternate regenerations (the oracle SQL is
-        # static, so only one scale can be live) — don't run those
-        # concurrently.
-        for other in _glob.glob(_PARSED_PATH_TPL.format(n="*")):
-            if other != path and os.path.isdir(other):
-                shutil.rmtree(other, ignore_errors=True)
-                m = other + ".done"
-                if os.path.exists(m):
-                    os.remove(m)
+        parse_pbp(materialized_raw(spark, sf_dir)).write.mode("overwrite").parquet(tmp)
+
+    _ensure_materialized(path, marker, _PARSED_PATH_TPL.format(n="*"), build)
     return spark.read.parquet(path)
 
 
@@ -96,26 +124,16 @@ def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (z_pbp_dag / z_pbp_war) READ this parquet instead of re-generating in
     the measured path — mirroring the reference, whose pipeline stages read
     raw CSV from storage rather than synthesizing their input."""
-    import glob as _glob
-    import shutil
-
     n_games = _games_for(sf_dir)
     path = os.path.join(_CACHE_DIR, f"raw_games_{n_games}")
     marker = path + ".done"
-    if not (os.path.exists(marker) and os.path.isdir(path)):
+
+    def build(tmp: str) -> None:
         from d3d_etl_spark.pbp.synth import generate_games_df
 
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        generate_games_df(spark, n_games).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as f:
-            f.write(str(n_games))
-        # prune only on the regeneration path (see materialized_parsed)
-        for other in _glob.glob(os.path.join(_CACHE_DIR, "raw_games_*")):
-            if other != path and os.path.isdir(other):
-                shutil.rmtree(other, ignore_errors=True)
-                m = other + ".done"
-                if os.path.exists(m):
-                    os.remove(m)
+        generate_games_df(spark, n_games).write.mode("overwrite").parquet(tmp)
+
+    _ensure_materialized(path, marker, os.path.join(_CACHE_DIR, "raw_games_*"), build)
     # the raw table is tiny on disk, so the scan plans one partition — but
     # downstream is the CPU-heavy parse (classifier + per-game FSM): fan the
     # rows back out so the parse runs at session parallelism (the thin-scan
@@ -649,13 +667,6 @@ def _war_batting_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb_runs.alias("bsr"),
         rar.alias("rar"),
         safe_div(rar, F.col("runs_win"), 0.0).alias("war"),
-    )
-
-
-def _domain_war_batting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _war_batting_full(spark, sf_dir).select(
-        "division", "year", "batter_name", "pa", "ab", "sb", "cs",
-        "woba", "wraa", "rar", "war",
     )
 
 

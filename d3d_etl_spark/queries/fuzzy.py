@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.io import load_table
-from d3d_etl_spark.operators.fuzzy_join import blocked_fuzzy_join
+from d3d_etl_spark.operators.fuzzy_join import blocked_fuzzy_join, fits_broadcast
 from d3d_etl_spark.queries.registry import register
 
 _CUTOFF = 0.7
@@ -76,6 +76,9 @@ def _fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_id="p_partkey",
         cand_name="p_name",
         cutoff=_CUTOFF,
+        # part grows linearly with SF — probe its on-disk size instead of
+        # hard-coding the broadcast that wins at sf0.1 but OOMs at high SF.
+        broadcast_candidates=fits_broadcast(part),
     )
 
 

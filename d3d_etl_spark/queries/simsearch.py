@@ -409,24 +409,54 @@ def _ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_dedup_canonical — embedding-space dedup as a corpus FILTER: cosine
 # near-dup pairs -> transitive clusters -> keep each cluster's min-id
 # vector. Same connected-components + broadcast-anti-join machinery as the
-# text-side dedup_canonical; the pair step is the blocked-GEMM operator, so
-# the scale path (LSH/IVF gating in front, drop set ∝ duplicate rate) is
-# identical. Output: surviving-corpus profile per label.
+# text-side dedup_canonical — INCLUDING the gate: since round 4 the pair
+# stage is ann_gated_near_pairs (hyperplane band buckets -> within-bucket
+# GEMM), the embedding twin of the text side's lsh_gated_pairs. The oracle
+# mirrors the gate itself (md5-derived planes -> band buckets -> candidate
+# pairs -> exact cosine verify), so Spark and DuckDB see the identical
+# candidate set by construction; recall-vs-exact is proven separately in
+# tests/test_scale_smoke.py on planted near-dup clusters. Output:
+# surviving-corpus profile per label.
 # ---------------------------------------------------------------------------
 
 _DEDUP_T = 0.35
+_GATE_PLANES = 16
+_GATE_BANDS = 4
+_GATE_R = _GATE_PLANES // _GATE_BANDS
 
 _SIM_CANON_ORACLE = f"""
-WITH RECURSIVE e0 AS (
+WITH RECURSIVE planes AS (
+  SELECT p.range AS plane, d.range AS pos,
+         (('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+  FROM range({_GATE_PLANES}) p, range({_DIM}) d
+),
+e0 AS (
   SELECT vec_id,
          CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS pos
   FROM embeddings
 ),
+pdots AS (
+  SELECT c.vec_id, pl.plane, SUM(c.x * pl.w) AS dot
+  FROM e0 c JOIN planes pl ON c.pos = pl.pos
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, plane // {_GATE_R} AS band,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (plane % {_GATE_R}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
 s AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         SUM(a.x * b.x) AS dot, SUM(a.x * a.x) AS na2, SUM(b.x * b.x) AS nb2
-  FROM e0 a JOIN e0 b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         SUM(ea.x * eb.x) AS dot, SUM(ea.x * ea.x) AS na2, SUM(eb.x * eb.x) AS nb2
+  FROM cand c
+  JOIN e0 ea ON ea.vec_id = c.vec_a
+  JOIN e0 eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -456,13 +486,17 @@ GROUP BY label
 
 
 def _dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-gated canon path (sim_near_dedup's 'canon' arm): band-bucket
+    candidates -> within-bucket GEMM verify -> transitive clusters -> min-id
+    representative filter. This is the 100 TB composition blocked_near_pairs'
+    docstring promises — the pair stage never goes all-pairs."""
     from d3d_etl_spark.operators.dedup import connected_components
-    from d3d_etl_spark.operators.similarity import blocked_near_pairs
+    from d3d_etl_spark.operators.similarity import ann_gated_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = blocked_near_pairs(emb, _DEDUP_T).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
+    pairs = ann_gated_near_pairs(
+        emb, _DEDUP_T, _DIM, _GATE_PLANES, _GATE_BANDS
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = connected_components(pairs)
     drops = comp.where(F.col("node") != F.col("component")).select("node")
     kept = emb.join(F.broadcast(drops), emb["vec_id"] == F.col("node"), "left_anti")
@@ -580,21 +614,18 @@ FROM ({_SIM_CANON_ORACLE})
 @register("sim_near_dedup", _NEAR_DEDUP_ORACLE, tags=("similarity", "dedup"), bench=True)
 def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup surface: part='pair' the thresholded
-    all-pairs cosine (blocked-GEMM operator), part='canon' the downstream
-    canonical dedup (clusters -> min-id rep -> anti-join) profiled per
-    label. The pair stage is computed once per arm semantics; at scale the
-    canon path is LSH/IVF-gated ahead of the GEMM (see operators/similarity)."""
-    from d3d_etl_spark.operators.dedup import connected_components
+    all-pairs cosine (blocked-GEMM operator — the exactness baseline),
+    part='canon' the downstream canonical dedup (clusters -> min-id rep ->
+    anti-join) profiled per label, running the SCALE path: the pair stage
+    is ANN-gated (hyperplane band buckets -> within-bucket GEMM,
+    operators/similarity.py ann_gated_near_pairs) instead of all-pairs, the
+    embedding twin of the text side's lsh_gated_pairs. Both arms are
+    oracled; the oracle mirrors the gate, and diffing the arms measures the
+    gate's recall directly."""
     from d3d_etl_spark.operators.similarity import blocked_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # ONE GEMM pass feeds both arms. Correctness of the shared pass needs
-    # the pair threshold to be AT OR BELOW the dedup threshold (filtering
-    # a >= _NEAR_T pair set down to >= _DEDUP_T loses edges otherwise);
-    # localCheckpoint so the union + cluster iteration don't re-derive it.
-    assert _NEAR_T <= _DEDUP_T, "pair stage must be computed at the looser threshold"
-    pairs = blocked_near_pairs(emb, _NEAR_T).localCheckpoint()
-    pair = pairs.select(
+    pair = blocked_near_pairs(emb, _NEAR_T).select(
         F.lit("pair").alias("part"),
         F.col("vec_a").cast("long").alias("a"),
         F.col("vec_b").cast("long").alias("b"),
@@ -602,18 +633,7 @@ def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("long").alias("m"),
     )
-    comp = connected_components(
-        pairs.where(F.col("sim") >= _DEDUP_T).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
-    )
-    drops = comp.where(F.col("node") != F.col("component")).select("node")
-    kept = emb.join(F.broadcast(drops), emb["vec_id"] == F.col("node"), "left_anti")
-    canon = kept.groupBy("label").agg(
-        F.count("*").alias("n_vectors"),
-        F.min("vec_id").alias("min_vec"),
-        F.max("vec_id").alias("max_vec"),
-    ).select(
+    canon = _dedup_canonical(spark, sf_dir).select(
         F.lit("canon").alias("part"),
         F.col("label").cast("long").alias("a"),
         F.col("min_vec").cast("long").alias("b"),

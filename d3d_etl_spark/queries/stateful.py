@@ -186,7 +186,8 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     team rollup join-back. Rows-only (the FSM upstream is not
     SQL-expressible); the WAR arithmetic itself is pytest-verified against
     hand-computed fixtures (tests/test_war.py) AND oracled end-to-end over
-    the materialized FSM output (queries/domain.py: domain_war_batting)."""
+    the materialized FSM output (queries/war_chain.py: domain_war_players
+    batting arm)."""
     from pyspark.sql import functions as F
 
     from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS

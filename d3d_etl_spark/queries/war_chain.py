@@ -187,13 +187,6 @@ def _pitching_guts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _domain_war_pitching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pitching_war_df(spark, sf_dir).select(
-        "player_id", "player_name", "team_id", "conference", "division", "year",
-        "ip_thirds", "fip", "era", "whip", "k9", "rar", "war_raw",
-    )
-
-
 # ---------------------------------------------------------------------------
 # domain_war_team_sos — the full post-WAR chain at team grain: player WAR
 # (both sides) -> SoS reward/punish (z-score of team SoS, clipped ±3,

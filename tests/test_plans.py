@@ -270,3 +270,36 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_sim_canon_pair_stage_ann_gated(spark):
+    """Embedding twin of test_flagship_dedup_pair_stage_lsh_gated: the
+    canonical-dedup composition (sim_near_dedup's canon arm) must take the
+    ANN-gated pair path — hyperplane band buckets -> within-bucket GEMM —
+    never the all-pairs blocked GEMM, whose work is O(n^2/B) regardless of
+    data. The exact operator stays available as the standalone exactness
+    baseline (the 'pair' arm)."""
+    import inspect
+
+    from d3d_etl_spark.operators.similarity import ann_gated_near_pairs
+    import d3d_etl_spark.queries.simsearch as ss
+
+    # source-level pin: the canon helper routes through the gate
+    src = inspect.getsource(ss._dedup_canonical)
+    assert "ann_gated_near_pairs" in src, "canon arm lost the ANN gate"
+    assert "blocked_near_pairs(" not in src, "canon arm calls the un-gated pair path"
+
+    # plan-shape pin: the gated operator runs ONE grouped Arrow GEMM keyed
+    # by (band, bucket) — not the exact operator's block-pair COgroup
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        ann_gated_near_pairs(emb, 0.9, 8, 8, 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInArrow" in plan, "gated pair stage must be the grouped GEMM"
+    assert "FlatMapCoGroupsInArrow" not in plan, (
+        "gated path must not fall back to the all-pairs block cogroup"
+    )

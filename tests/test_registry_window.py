@@ -31,6 +31,11 @@ def test_supplementary_tier_is_z_prefixed():
     an unprefixed query past position 50 means primary evidence silently
     fell out of the gate."""
     names = sorted(REGISTRY)
+    # exactly-50 primaries: with 49 the alphabetically-first z_ query would
+    # slide INTO the window and both slice-based checks would still pass,
+    # silently under-filling the gate
+    n_primary = sum(not n.startswith("z_") for n in names)
+    assert n_primary == WINDOW, f"expected exactly {WINDOW} primary queries, got {n_primary}"
     overflow = [n for n in names[WINDOW:] if not n.startswith("z_")]
     assert not overflow, (
         f"non-z_ queries outside the {WINDOW}-row verify window: {overflow} — "

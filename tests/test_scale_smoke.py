@@ -129,3 +129,75 @@ def test_lsh_gate_scales_past_exact(spark):
     assert gated_pairs <= exact_pairs
     assert len(gated_pairs) >= 0.9 * len(exact_pairs)
     assert len(gated_pairs) >= n_docs / 10 * 0.5  # the planted near-dups
+
+
+@pytest.mark.slow
+def test_ann_gate_scales_past_exact(spark):
+    """Embedding twin of the LSH-gate proof above: ann_gated_near_pairs
+    (hyperplane band buckets -> within-bucket GEMM) must prune candidate
+    volume far below the all-pairs n^2/2 while recovering the planted
+    near-dup clusters — the composition sim_near_dedup's canon arm runs.
+
+    Precision is exact (every candidate is verified by true cosine inside
+    the bucket GEMM, same 6dp rounding as the exact operator); recall is
+    the banding contract — at sim >= 0.95 with 8 bands x 8 bits the collide
+    probability per pair is ~1-(1-0.9^8)^8 ≈ 0.99 (isotropic noise needs the
+    finer 8-bit buckets to spread — candidate volume is b*n^2/2^r — and
+    enough DIMENSIONS that the 64 plane bits decorrelate; in 16-d the
+    buckets skew and Σg² roughly doubles). The flagship ORACLE
+    mirrors the gate, so recall is a quality knob, never a correctness gap.
+    """
+    import numpy as np
+
+    from d3d_etl_spark.operators.similarity import (
+        ann_gated_near_pairs,
+        blocked_near_pairs,
+        hyperplane_band_buckets,
+        hyperplane_table,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_groups, per_group, n_noise = 32, 150, 3, 1500
+    rows = []
+    vid = 0
+    for _ in range(n_groups):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_group):  # planted near-dups: sim >= ~0.97
+            v = base + rng.normal(scale=0.04, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_noise):  # isotropic noise: pairwise sim ~ N(0, 1/4)
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+
+    t = 0.9
+    exact = {(r.vec_a, r.vec_b): r.sim for r in blocked_near_pairs(emb, t).collect()}
+    gated = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in ann_gated_near_pairs(emb, t, dim, 64, 8).collect()
+    }
+
+    # precision: gated ⊆ exact with identical rounded sims
+    assert set(gated) <= set(exact)
+    assert all(gated[k] == exact[k] for k in gated)
+    # recall: the planted clusters survive the gate
+    assert len(exact) >= n_groups * per_group * (per_group - 1) / 2  # sanity
+    assert len(gated) >= 0.9 * len(exact), f"recall {len(gated)}/{len(exact)}"
+
+    # candidate volume: sum of within-bucket pairs across bands must sit far
+    # below the all-pairs surface the exact operator scans
+    bb = hyperplane_band_buckets(emb, hyperplane_table(spark, 64, dim), 8)
+    cand = (
+        bb.groupBy("band", "bucket")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("c"))
+        .collect()[0]["c"]
+    )
+    all_pairs = n * (n - 1) / 2
+    assert cand * 20 < all_pairs, (
+        f"ANN gate must prune candidates: gated={cand} all-pairs={all_pairs}"
+    )
