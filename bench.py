@@ -4,7 +4,15 @@ bench=True) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "samples": {"q1_pricing_summary": {"min": s, "median": s,
+                                        "runs": [s, s, s]}, ...},
+     "sf": 0.1}
+
+`queries` stays {name: min_sec} (the cross-round trend contract);
+`samples` carries every raw run so a reader can tell host noise (median
+far above min, runs scattered) from a real plan regression (all runs
+shifted) without re-benchmarking.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 collect/serialization overhead measured). One warm-up of a trivial job runs
@@ -59,19 +67,23 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    samples: dict[str, dict] = {}
     # Three timed executions per query, report the min: run 1 carries
     # plan-analysis + Janino codegen (one-time per plan shape, dominated by
     # the wide domain cascades — measured ~8s JVM-wide), run 2 is the
     # steady-state throughput a long-running cluster sees. Min-of-3 also
     # damps host noisy-neighbor variance (observed 30-40% machine-wide
-    # swings between runs with identical code).
+    # swings between runs with identical code); the raw runs are published
+    # in `samples` so regressions can be told from noise after the fact.
     for name, q in bench_queries.items():
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[aliases.get(name, name)] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        key = aliases.get(name, name)
+        timings[key] = min(runs)
+        samples[key] = {"min": min(runs), "median": sorted(runs)[1], "runs": runs}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             }
         )

@@ -25,6 +25,7 @@ from d3d_etl_spark.queries.domain import (
     _war_batting_full,
     materialized_parsed,
 )
+from d3d_etl_spark.functions.strings import sql_md5_int, sql_md5_int_seeded
 from d3d_etl_spark.queries.registry import register
 
 _SO_IN = _sql_in(_SO_EVENTS)
@@ -477,3 +478,139 @@ def domain_war_players(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("war_raw").alias("war"),
     )
     return bat.unionByName(pit)
+
+
+# ---------------------------------------------------------------------------
+# z_war_park — the last two unoracled links of reference calculator.py as a
+# tagged union over the REAL operators:
+#   grain='park': add_park_adjusted (pbp/war.py:172; reference
+#     calculator.py:82 park-factor dict lookup, get_war.py:118,
+#     batting.py:115-125 wRC+) over the full batting-WAR chain, with an
+#     md5-derived park-factor dim (pf in 90..110; ~1/4 of teams absent from
+#     the dim to exercise the neutral-100 coalesce).
+#   grain='conf': add_conference_rates (pbp/war.py:154; reference
+#     calculator.py:171-174 groupby(conference).transform('sum')) over the
+#     pitching-WAR chain with an md5-derived 3-way conference split.
+# Every published double is a fixed expression tree over already-oracled
+# inputs (wraa, war_raw, exact counting sums), so the value hash is stable.
+# ---------------------------------------------------------------------------
+
+_GUTS_RPA_CTE = f"""
+rpa AS (
+  SELECT division, year,
+         CASE WHEN SUM(CASE WHEN event_type IN {_PA_IN} THEN 1 ELSE 0 END) != 0
+              THEN CAST(SUM(runs_on_play) AS DOUBLE)
+                   / SUM(CASE WHEN event_type IN {_PA_IN} THEN 1 ELSE 0 END)
+              ELSE 0.0 END AS runs_pa
+  FROM read_parquet('{_PARSED_GLOB}')
+  GROUP BY 1, 2
+)"""
+
+_PARK_ORACLE = f"""
+WITH {_WAR_CTES_CHAIN},
+{_PIT_CTES},
+{_GUTS_RPA_CTE},
+pfdim AS (
+  SELECT team_id,
+         CAST(90 + {sql_md5_int("team_id")} % 21 AS DOUBLE) AS pf
+  FROM (SELECT DISTINCT team_id FROM batwar)
+  WHERE {sql_md5_int_seeded("team_id", 7)} % 4 != 0
+),
+parkbase AS (
+  SELECT b.division, b.year, b.batter_name AS player, b.team_id,
+         COALESCE(p.pf, 100.0) AS pf,
+         b.wraa + g.runs_pa * b.pa AS wrc,
+         g.runs_pa, b.pa
+  FROM batwar b
+  LEFT JOIN pfdim p ON b.team_id = p.team_id
+  LEFT JOIN rpa g ON b.division = g.division AND b.year = g.year
+),
+park AS (
+  SELECT division, year, player, team_id, pf, wrc,
+         100.0 * (CASE WHEN (runs_pa * pf / 100.0) != 0
+                       THEN (CASE WHEN CAST(pa AS DOUBLE) != 0
+                                  THEN wrc / CAST(pa AS DOUBLE) ELSE 0.0 END)
+                            / (runs_pa * pf / 100.0)
+                       ELSE 0.0 END) AS wrc_plus
+  FROM parkbase
+),
+confp AS (
+  SELECT division, year, player_id AS player, team_id,
+         'c' || CAST({sql_md5_int("team_id")} % 3 AS VARCHAR) AS conference,
+         pa, war_raw
+  FROM pitwar2
+),
+conf AS (
+  SELECT division, year, player, team_id, conference,
+         SUM(pa) OVER w AS conf_pa,
+         CASE WHEN SUM(pa) OVER w > 0
+              THEN (CAST(SUM(CAST(ROUND(war_raw * 1000000000) AS BIGINT)) OVER w AS DOUBLE) / 1e9)
+                   / (SUM(pa) OVER w) * 600.0
+              ELSE 0.0 END AS conf_rate
+  FROM confp
+  WINDOW w AS (PARTITION BY division, year, conference)
+)
+SELECT 'park' AS grain, division, year, player, team_id, pf, wrc, wrc_plus,
+       CAST(NULL AS VARCHAR) AS conference, CAST(NULL AS BIGINT) AS conf_pa,
+       CAST(NULL AS DOUBLE) AS conf_rate
+FROM park
+UNION ALL
+SELECT 'conf', division, year, player, team_id,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       conference, conf_pa, conf_rate
+FROM conf
+"""
+
+
+@register("z_war_park", _PARK_ORACLE, tags=("domain", "war"))
+def z_war_park(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import md5_int, md5_int_seeded
+    from d3d_etl_spark.pbp.events import PA_EVENTS
+    from d3d_etl_spark.pbp.war import add_conference_rates, add_park_adjusted
+
+    d_null = F.lit(None).cast("double")
+
+    # league run environment (pbp/guts.py:96 runs_pa) straight off the plays
+    parsed = materialized_parsed(spark, sf_dir)
+    lg_pa = F.sum(F.when(F.col("event_type").isin(*PA_EVENTS), 1).otherwise(0))
+    guts = parsed.groupBy("division", "year").agg(
+        F.sum("runs_on_play").alias("lg_runs"), lg_pa.alias("lg_pa")
+    ).select(
+        "division", "year",
+        F.when(
+            F.col("lg_pa") != 0, F.col("lg_runs").cast("double") / F.col("lg_pa")
+        ).otherwise(F.lit(0.0)).alias("runs_pa"),
+    )
+
+    bat = _war_batting_full(spark, sf_dir)
+    pf_dim = (
+        bat.select("team_id").distinct()
+        .where(F.pmod(md5_int_seeded(F.col("team_id"), 7), F.lit(4)) != 0)
+        .select(
+            "team_id",
+            (F.lit(90) + F.pmod(md5_int(F.col("team_id")), F.lit(21)))
+            .cast("double").alias("pf"),
+        )
+    )
+    park = add_park_adjusted(bat, pf_dim, guts).select(
+        F.lit("park").alias("grain"), "division", "year",
+        F.col("batter_name").alias("player"), "team_id",
+        "pf", "wrc", "wrc_plus",
+        F.lit(None).cast("string").alias("conference"),
+        F.lit(None).cast("long").alias("conf_pa"),
+        d_null.alias("conf_rate"),
+    )
+
+    pit = _pitching_war_df(spark, sf_dir).withColumn(
+        "conference",
+        F.concat(F.lit("c"), F.pmod(md5_int(F.col("team_id")), F.lit(3)).cast("string")),
+    )
+    conf = add_conference_rates(pit).select(
+        F.lit("conf").alias("grain"), "division", "year",
+        F.col("player_id").alias("player"), "team_id",
+        d_null.alias("pf"), d_null.alias("wrc"), d_null.alias("wrc_plus"),
+        "conference",
+        F.col("conf_pa").cast("long").alias("conf_pa"),
+        F.col("conf_war_per_600pa").alias("conf_rate"),
+    )
+    return park.unionByName(conf)

@@ -311,3 +311,23 @@ def test_batch_infer_invariant_to_batch_size(spark, sf_dir):
         for r in batch_infer(docs.repartition(7), 5).collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_connected_components_distributed_parity(spark):
+    """The distributed (alternating-star) branch must produce the identical
+    (node, component) map as the driver union-find branch."""
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (22, 21), (23, 22), (3, 40), (40, 41)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()  # driver path
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got == want

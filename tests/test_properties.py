@@ -4,6 +4,7 @@ max_examples is kept small and each example batches many rows."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -164,3 +165,27 @@ def test_split_thresholds_cover_and_order(weights):
         want = w / total * _HASH_CARD
         assert abs((b - prev) - want) <= len(weights) + 1
         prev = b
+
+
+@pytest.mark.slow
+def test_connected_components_log_rounds_on_chain(spark):
+    """Worst case for label propagation: a path graph, where min-label
+    flooding needs DIAMETER rounds (a 10k-chain would exceed max_iter and
+    silently truncate). The alternating large-star/small-star rounds must
+    converge in ~log2(n) rounds with the correct min-id components —
+    boilerplate/template near-dup chains in web corpora are exactly this
+    shape."""
+    import math
+
+    import d3d_etl_spark.operators.dedup as dd
+
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    comp = dd.connected_components(edges, driver_threshold=0)
+    # one component rooted at 0, every node present exactly once
+    assert comp.count() == n
+    assert comp.where("component != 0").count() == 0
+    bound = 2 * math.ceil(math.log2(n)) + 2
+    assert dd.last_cc_rounds <= bound, (
+        f"star rounds {dd.last_cc_rounds} > O(log n) bound {bound}"
+    )
