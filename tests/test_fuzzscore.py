@@ -1,10 +1,18 @@
 """token_sort_ratio parity (reference names/helpers.py:186-200): the
-pure-python scorer against hand-computed values, against rapidfuzz when
-installed, and the pandas-UDF tier wired through the roster cascade."""
+pure-python scorer against hand-computed values, against an INDEPENDENT
+second implementation (Wagner-Fischer indel DP — a different algorithm
+from the scorer's LCS route), against rapidfuzz's own published
+documentation examples, and against rapidfuzz itself when installed.
+The first three run unconditionally, so parity evidence no longer
+depends on rapidfuzz being present in the environment."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.fuzzscore import (
@@ -26,17 +34,76 @@ _CASES = [
 ]
 
 
+def _indel_ratio_dp(a: str, b: str) -> float:
+    """Independent oracle: full Wagner-Fischer DP with insert=1, delete=1,
+    substitute=2 (the Indel metric rapidfuzz documents for fuzz.ratio),
+    applied after the same token-sort preprocessing. Deliberately a
+    DIFFERENT algorithm from fuzzscore's ``la + lb - 2*LCS`` route so the
+    two can cross-check each other."""
+    proc = lambda s: " ".join(sorted(re.sub(r"[^a-z0-9]+", " ", str(s).lower()).split()))
+    pa, pb = proc(a), proc(b)
+    if not pa and not pb:
+        return 100.0
+    prev = list(range(len(pb) + 1))
+    for i, ca in enumerate(pa, start=1):
+        cur = [i]
+        for j, cb in enumerate(pb, start=1):
+            cur.append(min(
+                prev[j] + 1,          # delete from a
+                cur[j - 1] + 1,       # insert into a
+                prev[j - 1] + (0 if ca == cb else 2),  # sub = delete+insert
+            ))
+        prev = cur
+    return 100.0 * (1.0 - prev[-1] / (len(pa) + len(pb)))
+
+
 @pytest.mark.parametrize("a,b,want", _CASES)
-def test_pure_python_hand_computed(a, b, want):
+def test_scorer_parity(a, b, want):
+    got = token_sort_ratio_py(a, b)
+    assert got == pytest.approx(want)
+    assert got == pytest.approx(_indel_ratio_dp(a, b))
+    if HAVE_RAPIDFUZZ:
+        from rapidfuzz.fuzz import token_sort_ratio
+
+        assert got == pytest.approx(token_sort_ratio(a, b))
+
+
+# Published rapidfuzz documentation examples (README / API docs) — an
+# external anchor that does not require the library at test time.
+_PUBLISHED = [
+    # rapidfuzz README: fuzz.ratio("this is a test", "this is a test!")
+    # -> 96.55172413793103; token_sort_ratio preprocessing leaves these
+    # single-sentence inputs token-identical up to the trailing "!".
+    ("this is a test", "this is a test!", 100.0 * (1 - 0 / 28)),
+    # rapidfuzz README: token_sort_ratio("fuzzy wuzzy was a bear",
+    #                                    "wuzzy fuzzy was a bear") -> 100.0
+    ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 100.0),
+]
+
+
+@pytest.mark.parametrize("a,b,want", _PUBLISHED)
+def test_published_rapidfuzz_values(a, b, want):
     assert token_sort_ratio_py(a, b) == pytest.approx(want)
+    assert _indel_ratio_dp(a, b) == pytest.approx(want)
 
 
-@pytest.mark.skipif(not HAVE_RAPIDFUZZ, reason="rapidfuzz not installed")
-@pytest.mark.parametrize("a,b,want", _CASES)
-def test_rapidfuzz_parity(a, b, want):
-    from rapidfuzz.fuzz import token_sort_ratio
+_token = st.text(alphabet="abcXY 0.,-'", min_size=0, max_size=24)
 
-    assert token_sort_ratio_py(a, b) == pytest.approx(token_sort_ratio(a, b))
+
+@settings(max_examples=300, deadline=None)
+@given(_token, _token)
+def test_property_scorer_vs_dp(a, b):
+    """LCS-based scorer == DP-based oracle on random strings, plus the
+    metric invariants: range, symmetry, identity."""
+    got = token_sort_ratio_py(a, b)
+    assert got == pytest.approx(_indel_ratio_dp(a, b))
+    assert 0.0 <= got <= 100.0
+    assert got == pytest.approx(token_sort_ratio_py(b, a))
+    assert token_sort_ratio_py(a, a) == 100.0
+    if HAVE_RAPIDFUZZ:
+        from rapidfuzz.fuzz import token_sort_ratio
+
+        assert got == pytest.approx(token_sort_ratio(a, b))
 
 
 def test_udf_tier_in_cascade(spark):
