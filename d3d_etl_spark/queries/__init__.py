@@ -9,6 +9,7 @@ def load_all() -> None:
     from d3d_etl_spark.queries import (  # noqa: F401
         aggregates,
         boards,
+        bucketed,
         dedup,
         domain,
         fuzzy,
