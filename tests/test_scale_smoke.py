@@ -201,3 +201,47 @@ def test_ann_gate_scales_past_exact(spark):
     assert cand * 20 < all_pairs, (
         f"ANN gate must prune candidates: gated={cand} all-pairs={all_pairs}"
     )
+
+
+def test_incremental_dedup_matches_batch_restriction(spark):
+    """z_corpus_incremental's contract: processing only the new batch
+    against the persisted batch-1 band state yields EXACTLY the full-batch
+    LSH pairs restricted to pairs touching a new doc — and the persisted
+    state contains no new-batch docs (the measured path never computed
+    them)."""
+    from tests.conftest import TEST_SF_DIR
+
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.dedup import shingle_rows
+    from d3d_etl_spark.queries.dedup import (
+        _NEW_MOD,
+        _SHINGLE_N,
+        batch1_band_state,
+        lsh_gated_pairs,
+        z_corpus_incremental,
+    )
+
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in z_corpus_incremental(spark, TEST_SF_DIR).collect()
+    }
+
+    # state purity: no new-batch doc ever entered the persisted bands
+    state = batch1_band_state(spark, TEST_SF_DIR)
+    assert state.where((F.col("doc") % _NEW_MOD) == 0).count() == 0
+
+    # full-batch pairs over the whole corpus, restricted to pairs with >=1 new doc
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
+    batch = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in lsh_gated_pairs(sh)
+        .where(((F.col("doc_a") % _NEW_MOD) == 0) | ((F.col("doc_b") % _NEW_MOD) == 0))
+        .collect()
+    }
+    assert set(inc) == set(batch)
+    for k in inc:
+        assert inc[k] == pytest.approx(batch[k])
