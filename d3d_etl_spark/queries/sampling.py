@@ -207,3 +207,117 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"),
     )
     return split.unionByName(hash_arm).unionByName(strat)
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_mixing — temperature-weighted data-mixture construction: the
+# "mix sources to a token budget" stage every large-scale training pipeline
+# runs after filtering (upsample low-resource languages, downsample the
+# dominant one — the Pile/CCNet-style alpha=0.5 temperature reweighting).
+#
+# Per language: w_l = sqrt(tokens_l) / SUM_m sqrt(tokens_m), token budget
+# B = total_tokens / 2, acceptance p_l = min(1, w_l * B / tokens_l).
+# Acceptance is a deterministic integer comparison u < p_int where
+# u = md5(doc_id) % 1e6 and p_int quantizes p_l to 1e-6 — the per-doc
+# decision is exact on both engines, so the whole mixture is hash-checkable.
+# Determinism: sqrt(tokens_l) is quantized to an INTEGER s_l before the
+# normalizing sum, so S = SUM(s_l) is exact; p_int's one double expression
+# is mirrored operation-for-operation.
+#
+# Scale shape: one corpus scan (token count + hash are scan-local column
+# exprs), one tiny lang-stats aggregate broadcast back, one final groupBy —
+# the accept decision never shuffles the corpus.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA_NOTE = "alpha=0.5 (sqrt temperature)"
+_MIX_U_MOD = 1_000_000
+
+from d3d_etl_spark.functions.sampling import sql_hash_bucket  # noqa: E402
+from d3d_etl_spark.functions.text import sql_tokens  # noqa: E402
+
+_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len({sql_tokens("lower(text)")}) AS n_tok,
+         {sql_hash_bucket("doc_id", "mix")} % {_MIX_U_MOD} AS u
+  FROM documents
+),
+ls AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS t_l,
+         CAST(ROUND(SQRT(CAST(SUM(n_tok) AS DOUBLE)) * 1000000) AS BIGINT) AS s_l
+  FROM d GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(t_l) AS BIGINT) AS t_all, CAST(SUM(s_l) AS BIGINT) AS s_all FROM ls
+),
+p AS (
+  SELECT lang, n_docs, t_l,
+         LEAST({_MIX_U_MOD},
+               CAST(ROUND({_MIX_U_MOD} * (CAST(t_all AS DOUBLE) * s_l)
+                          / (2.0 * s_all * CAST(t_l AS DOUBLE))) AS BIGINT)) AS p_int
+  FROM ls CROSS JOIN tot
+)
+SELECT d.lang,
+       MAX(p.n_docs) AS n_docs,
+       MAX(p.t_l) AS total_tokens,
+       CAST(MAX(p.p_int) AS DOUBLE) / {_MIX_U_MOD} AS p_accept,
+       CAST(SUM(CASE WHEN d.u < p.p_int THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.u < p.p_int THEN d.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM d JOIN p ON d.lang = p.lang
+GROUP BY d.lang
+"""
+
+
+@register("z_corpus_mixing", _MIX_ORACLE, tags=("sampling", "corpus"))
+def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.sampling import hash_bucket
+    from d3d_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
+        (hash_bucket(F.col("doc_id"), "mix") % _MIX_U_MOD).alias("u"),
+    )
+    ls = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("t_l"),
+        F.round(F.sqrt(F.sum("n_tok").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s_l"),
+    )
+    tot = ls.agg(
+        F.sum("t_l").cast("long").alias("t_all"), F.sum("s_l").cast("long").alias("s_all")
+    )
+    # lang stats and the scalar totals are dim-sized: broadcast both
+    p = (
+        ls.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "t_l",
+            F.least(
+                F.lit(_MIX_U_MOD).cast("long"),
+                F.round(
+                    _MIX_U_MOD
+                    * (F.col("t_all").cast("double") * F.col("s_l"))
+                    / (2.0 * F.col("s_all") * F.col("t_l").cast("double"))
+                ).cast("long"),
+            ).alias("p_int"),
+        )
+    )
+    kept = F.col("u") < F.col("p_int")
+    return (
+        d.join(F.broadcast(p), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("t_l").alias("total_tokens"),
+            (F.max("p_int").cast("double") / _MIX_U_MOD).alias("p_accept"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
+        )
+    )

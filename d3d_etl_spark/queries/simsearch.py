@@ -642,3 +642,213 @@ def sim_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_vec").cast("long").alias("m"),
     )
     return pair.unionByName(canon)
+
+
+# ---------------------------------------------------------------------------
+# z_sim_incremental — incremental ANN-index maintenance: the embedding twin
+# of z_corpus_incremental (round-4 north-star addition). The index state —
+# batch-1 centroid components and batch-1 cell assignments — is persisted
+# to parquet ONCE per scale; the measured query handles a new ingest batch
+# (vec_id % 4 == 0) alone: assign each new vector against the STORED
+# centroids, probe its top-nprobe cells, fetch ONLY the stored assignments
+# in those cells (plus their vectors, by selective semi-join), and report
+# each new vector's nearest existing neighbor. The old corpus is never
+# re-embedded, re-assigned, or re-scanned beyond the candidate cells —
+# at 100 TB, store the vector table partitioned by assigned cell and the
+# candidate fetch is literal partition pruning.
+#
+# The DuckDB oracle reads the SAME persisted state parquet, so the
+# state handoff is inside the hash check, exactly as in the text twin.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from d3d_etl_spark.queries.domain import _CACHE_DIR as _IVF_CACHE_DIR
+from d3d_etl_spark.queries.domain import _ensure_materialized as _ensure_ivf_state
+
+_INC_MOD = 4
+_INC_NPROBE = 2
+_IVF_CENTS_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_{tag}")
+_IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_{tag}")
+_IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_*", "*.parquet")
+_IVF_ASSIGN_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_*", "*.parquet")
+
+
+def _ivf_tag(sf_dir: str) -> str:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return (m.group(1) if m else "x").replace(".", "p")
+
+
+def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) of the batch-1 index, persisted per scale.
+
+    Centroids: (label, pos, c) exact-integer-sum components over old
+    vectors; assignments: (vec_id, assigned_label, sim) from the same
+    nearest-centroid rule the steady-state query uses."""
+    tag = _ivf_tag(sf_dir)
+    cents_path = _IVF_CENTS_TPL.format(tag=tag)
+    assign_path = _IVF_ASSIGN_TPL.format(tag=tag)
+
+    def old_batch() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.where(F.col("vec_id") % _INC_MOD != 0)
+
+    def build_cents(tmp: str) -> None:
+        label_centroids(old_batch(), "label").write.mode("overwrite").parquet(tmp)
+
+    _ensure_ivf_state(
+        cents_path, cents_path + ".done", _IVF_CENTS_TPL.format(tag="*"), build_cents
+    )
+    cents = spark.read.parquet(cents_path)
+
+    def build_assign(tmp: str) -> None:
+        assign_nearest_centroid(old_batch(), cents, "label").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    _ensure_ivf_state(
+        assign_path, assign_path + ".done", _IVF_ASSIGN_TPL.format(tag="*"), build_assign
+    )
+    return cents, spark.read.parquet(assign_path)
+
+
+_INC_ORACLE = f"""
+WITH newv AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings WHERE vec_id % {_INC_MOD} = 0
+),
+cents AS (SELECT label, pos, c FROM read_parquet('{_IVF_CENTS_GLOB}')),
+assign AS (SELECT vec_id AS old_id, assigned_label AS label
+           FROM read_parquet('{_IVF_ASSIGN_GLOB}')),
+pscore AS (
+  SELECT n.vec_id, c.label,
+         SUM(n.x * c.c) AS dot, SUM(n.x * n.x) AS nx2, SUM(c.c * c.c) AS nc2
+  FROM newv n JOIN cents c ON n.pos = c.pos
+  GROUP BY 1, 2
+),
+pranked AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, label
+         ) AS rn
+  FROM pscore
+),
+probe AS (SELECT vec_id, label, rn FROM pranked WHERE rn <= {_INC_NPROBE}),
+cand AS (
+  SELECT p.vec_id, a.old_id FROM probe p JOIN assign a ON p.label = a.label
+),
+oldv AS (
+  SELECT vec_id AS old_id, CAST(unnest(embedding) AS DOUBLE) AS y,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+  WHERE vec_id % {_INC_MOD} != 0
+    AND vec_id IN (SELECT old_id FROM cand)
+),
+nnorm AS (SELECT vec_id, SUM(x * x) AS nx2 FROM newv GROUP BY 1),
+onorm AS (SELECT old_id, SUM(y * y) AS ny2 FROM oldv GROUP BY 1),
+dots AS (
+  SELECT c.vec_id, c.old_id, SUM(n.x * o.y) AS dot
+  FROM cand c
+  JOIN newv n ON n.vec_id = c.vec_id
+  JOIN oldv o ON o.old_id = c.old_id AND o.pos = n.pos
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.vec_id, d.old_id,
+         ROUND(d.dot / (SQRT(nn.nx2) * SQRT(oo.ny2)), 6) AS sim
+  FROM dots d
+  JOIN nnorm nn ON d.vec_id = nn.vec_id
+  JOIN onorm oo ON d.old_id = oo.old_id
+)
+SELECT s.vec_id,
+       p.label AS assigned_label,
+       s.old_id AS nn_id,
+       s.sim AS nn_sim
+FROM (
+  SELECT vec_id, old_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, old_id) AS rn
+  FROM sims
+) s
+JOIN probe p ON p.vec_id = s.vec_id AND p.rn = 1
+WHERE s.rn = 1
+"""
+
+
+@register("z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"))
+def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest existing neighbor for each new-batch vector, via the stored
+    IVF state: new-side work only + selective candidate fetch."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assign = ivf_index_state(spark, sf_dir)
+    assign = assign.select(F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label"))
+
+    new_comps = (
+        emb.where(F.col("vec_id") % _INC_MOD == 0)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+        .localCheckpoint()  # probe + norms + pair dots all reuse it
+    )
+    pscore = (
+        new_comps.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("nx2"),
+            F.sum(F.col("c") * F.col("c")).alias("nc2"),
+        )
+    )
+    psim = F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("nc2")), 6)
+    pw = Window.partitionBy("vec_id").orderBy(F.desc("psim"), F.asc("label"))
+    probe = (
+        pscore.select("vec_id", "label", psim.alias("psim"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _INC_NPROBE)
+        .select("vec_id", "label", "rn")
+        .localCheckpoint()
+    )
+    cand = probe.join(assign, "label").select("vec_id", "old_id").localCheckpoint()
+
+    # selective fetch: only candidate old vectors are ever read back
+    old_comps = (
+        emb.where(F.col("vec_id") % _INC_MOD != 0)
+        .join(cand.select(F.col("old_id").alias("vec_id")).distinct(), "vec_id", "left_semi")
+        .select(
+            F.col("vec_id").alias("old_id"), F.posexplode("embedding").alias("pos", "y")
+        )
+        .select("old_id", "pos", F.col("y").cast("double").alias("y"))
+        .localCheckpoint()  # norms + pair dots
+    )
+    nnorm = new_comps.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nx2"))
+    onorm = old_comps.groupBy("old_id").agg(F.sum(F.col("y") * F.col("y")).alias("ny2"))
+    dots = (
+        cand.join(new_comps, "vec_id")
+        .join(old_comps, ["old_id", "pos"])
+        .groupBy("vec_id", "old_id")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
+    )
+    sims = (
+        dots.join(nnorm, "vec_id")
+        .join(onorm, "old_id")
+        .select(
+            "vec_id",
+            "old_id",
+            F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("ny2")), 6).alias("sim"),
+        )
+    )
+    sw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
+    top1 = sims.withColumn("rn", F.row_number().over(sw)).where("rn = 1")
+    return (
+        top1.join(probe.where(F.col("rn") == 1).select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").alias("assigned_label"),
+            F.col("old_id").alias("nn_id"),
+            F.col("sim").alias("nn_sim"),
+        )
+    )

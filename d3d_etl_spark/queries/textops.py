@@ -566,3 +566,120 @@ def z_corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ssns",
         F.md5(F.regexp_replace(F.col("_p1"), _PHONE_RE, "<PHONE>")).alias("scrubbed_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_lm_score — statistical LM quality scoring (the CCNet/KenLM-style
+# perplexity filter, round-4 north-star addition): fit add-one-smoothed
+# bigram probabilities on the corpus itself, score each document by mean
+# negative log likelihood, and bucket into keep/review/drop bands.
+#
+# Determinism contract: every per-bigram surprisal term
+# -ln((c12+1)/(c1+V)) is quantized to an INTEGER (1e-4 units) BEFORE the
+# per-document sum, so the aggregation is exact integer arithmetic and the
+# score is one final division — the only cross-engine float exposure is
+# ln() of identical doubles inside a ROUND, mirrored operation-for-
+# operation in the oracle.
+#
+# Scale shape: token explode -> two count aggregates (bigram, history) that
+# shuffle ONLY count rows (vocab-sized, not corpus-sized), broadcast-scalar
+# vocab size, then one join of the bigram-instance stream against the
+# (w1,w2)-keyed stats table and a per-doc aggregate. At 100 TB the stats
+# table is dictionary-sized; the corpus is scanned twice (fit + score) —
+# the same two-pass shape CCNet uses, and the fit side can be sampled.
+# ---------------------------------------------------------------------------
+
+_LM_Q = 10_000  # surprisal quantum: 1e-4 nats
+_LM_KEEP_T, _LM_REVIEW_T = 3.37, 3.42  # band cuts sit inside this corpus's nll spread
+
+_LM_TOK = sql_tokens("lower(text)")
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_LM_TOK} AS w FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(w[1:len(w)-1]) AS w1,
+         unnest(w[2:len(w)])   AS w2
+  FROM toks WHERE len(w) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+c1  AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v   AS (SELECT COUNT(DISTINCT t.tok) AS vocab
+        FROM (SELECT unnest(w) AS tok FROM toks) t),
+stats AS (
+  SELECT c12.w1, c12.w2,
+         CAST(ROUND(-{_LM_Q} * LN(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vocab))) AS BIGINT) AS t
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+),
+scored AS (
+  SELECT bi.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(s.t) AS BIGINT) AS s_sum
+  FROM bi JOIN stats s ON bi.w1 = s.w1 AND bi.w2 = s.w2
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       CAST(s_sum AS DOUBLE) / n_bigrams / {_LM_Q} AS nll,
+       CASE WHEN CAST(s_sum AS DOUBLE) / n_bigrams / {_LM_Q} <= {_LM_KEEP_T} THEN 'keep'
+            WHEN CAST(s_sum AS DOUBLE) / n_bigrams / {_LM_Q} <= {_LM_REVIEW_T} THEN 'review'
+            ELSE 'drop' END AS qband
+FROM scored
+"""
+
+
+@register("z_corpus_lm_score", _LM_ORACLE, tags=("textops", "corpus"), bench=True)
+def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.lower(F.col("text")))
+    toks = docs.select("doc_id", tok.alias("w"))
+
+    n = F.size("w")
+    bi = (
+        toks.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("w", 1, n - 1).alias("w1"),
+                    F.slice("w", 2, n - 1).alias("w2"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        # fit + score both consume the bigram stream: materialize the
+        # tokenize+zip+explode once instead of three times
+        .localCheckpoint()
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    stats = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -_LM_Q
+                * F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vocab")))
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    scored = (
+        bi.join(stats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("t").cast("long").alias("s_sum"))
+    )
+    nll = F.col("s_sum").cast("double") / F.col("n_bigrams") / _LM_Q
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        nll.alias("nll"),
+        F.when(nll <= _LM_KEEP_T, "keep").when(nll <= _LM_REVIEW_T, "review").otherwise("drop").alias("qband"),
+    )
