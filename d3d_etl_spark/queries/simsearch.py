@@ -667,7 +667,7 @@ from d3d_etl_spark.queries.domain import _CACHE_DIR as _IVF_CACHE_DIR
 from d3d_etl_spark.queries.domain import _ensure_materialized as _ensure_ivf_state
 
 _INC_MOD = 4
-_INC_NPROBE = 2
+_INC_NPROBE = 3
 _IVF_CENTS_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_{tag}")
 _IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_{tag}")
 _IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_*", "*.parquet")

@@ -1,0 +1,131 @@
+"""Behavioral contracts for the round-4 corpus operators, beyond the
+oracle-parity harness: mixture semantics, LM-score invariants, and
+incremental-ANN recall/upper-bound guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR
+
+
+def test_mixing_temperature_semantics(spark):
+    """alpha=0.5 temperature mixing must (a) keep every acceptance in
+    (0, 1], (b) give the dominant language a LOWER acceptance than every
+    smaller one (that is the point of temperature reweighting), and
+    (c) keep roughly budget/2 of the corpus overall."""
+    from d3d_etl_spark.queries.sampling import z_corpus_mixing
+
+    rows = {r["lang"]: r for r in z_corpus_mixing(spark, TEST_SF_DIR).collect()}
+    assert len(rows) >= 2
+    for r in rows.values():
+        assert 0.0 < r["p_accept"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["total_tokens"]
+    dominant = max(rows.values(), key=lambda r: r["total_tokens"])
+    for r in rows.values():
+        if r["lang"] != dominant["lang"]:
+            assert dominant["p_accept"] < r["p_accept"]
+    total = sum(r["total_tokens"] for r in rows.values())
+    kept = sum(r["kept_tokens"] for r in rows.values())
+    # budget is total/2; hash sampling is exact-in-expectation only
+    assert 0.3 * total <= kept * 2 <= 1.7 * total
+
+
+def test_mixing_budget_formula(spark):
+    """p_accept must equal min(1, w_l * B / t_l) with w_l the normalized
+    sqrt weight and B = total/2 — recomputed independently here from the
+    published per-lang totals."""
+    import math
+
+    from d3d_etl_spark.queries.sampling import z_corpus_mixing
+
+    rows = z_corpus_mixing(spark, TEST_SF_DIR).collect()
+    s = {r["lang"]: round(math.sqrt(r["total_tokens"]) * 1_000_000) for r in rows}
+    s_all = sum(s.values())
+    t_all = sum(r["total_tokens"] for r in rows)
+    for r in rows:
+        expect = min(
+            1_000_000,
+            round(1_000_000 * (float(t_all) * s[r["lang"]]) / (2.0 * s_all * float(r["total_tokens"]))),
+        ) / 1_000_000
+        assert r["p_accept"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_lm_score_invariants(spark):
+    """Every >=2-token doc is scored exactly once; nll is positive and
+    bounded by ln of the worst-case smoothed denominator; bands partition."""
+    from d3d_etl_spark.functions.text import tokens
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.textops import z_corpus_lm_score
+
+    out = z_corpus_lm_score(spark, TEST_SF_DIR)
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    n_eligible = docs.where(F.size(tokens(F.lower(F.col("text")))) >= 2).count()
+    rows = out.collect()
+    assert len(rows) == n_eligible
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    # worst case: unseen-ish bigram in the largest history => p >= 1/(max_c1+V)
+    import math
+
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+    )
+    total_bigrams = sum(r["n_bigrams"] for r in rows)
+    bound = math.log(total_bigrams + vocab) + 1e-4  # quantization slack
+    for r in rows:
+        assert 0.0 < r["nll"] <= bound
+        assert r["qband"] in ("keep", "review", "drop")
+
+
+def test_sim_incremental_state_and_bounds(spark):
+    """Index-state purity (no new-batch vector was ever assigned) and the
+    gated-search contract: the reported neighbor similarity never exceeds
+    the true nearest-old-neighbor similarity, equals it whenever the true
+    neighbor's cell was probed, and top-1 recall stays useful."""
+    from d3d_etl_spark.functions.vectors import cosine
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.simsearch import (
+        _INC_MOD,
+        ivf_index_state,
+        z_sim_incremental,
+    )
+
+    out = {r["vec_id"]: r for r in z_sim_incremental(spark, TEST_SF_DIR).collect()}
+    assert out, "no new-batch vector produced a neighbor"
+
+    _, assign = ivf_index_state(spark, TEST_SF_DIR)
+    assert assign.where((F.col("vec_id") % _INC_MOD) == 0).count() == 0
+
+    # exact nearest OLD neighbor per new vector (brute force)
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    new = emb.where(F.col("vec_id") % _INC_MOD == 0).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    old = emb.where(F.col("vec_id") % _INC_MOD != 0).select(
+        F.col("vec_id").alias("oid"), F.col("embedding").alias("ov")
+    )
+    from pyspark.sql import Window
+
+    sims = new.crossJoin(old).select(
+        "nid", "oid", F.round(cosine(F.col("nv"), F.col("ov")), 6).alias("sim")
+    )
+    w = Window.partitionBy("nid").orderBy(F.desc("sim"), F.asc("oid"))
+    bf = {
+        r["nid"]: r
+        for r in sims.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+
+    hits = 0
+    for nid, r in out.items():
+        assert r["nn_sim"] <= bf[nid]["sim"] + 1e-9, "gated search beat exact search"
+        if r["nn_id"] == bf[nid]["oid"]:
+            hits += 1
+            assert r["nn_sim"] == pytest.approx(bf[nid]["sim"])
+    # near-random synthetic vectors are the ANN worst case: nprobe=3 of
+    # 10 cells measured 0.5-0.6 recall@1 here; the pin catches collapse
+    assert hits / len(out) >= 0.4, f"top-1 recall collapsed: {hits}/{len(out)}"
