@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.streaming.events import streaming_sessions, windowed_event_counts
 
@@ -487,3 +489,56 @@ def test_streaming_csv_source(spark, sf_dir, tmp_path):
         for r in windowed_event_counts(csv_batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless streaming probe (inline HOF band keys + stream-static
+    joins) must find exactly the batch z_corpus_incremental new-vs-old
+    pairs, with identical Jaccard values — proving the inline signature
+    path is bit-identical to the grouped batch signature pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.queries.dedup import (
+        _JACCARD_T,
+        _NEW_MOD,
+        batch1_band_state,
+        z_corpus_incremental,
+    )
+    from d3d_etl_spark.streaming.corpus import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % _NEW_MOD == 0).select("doc_id", "text")
+    staged = os.path.join(str(tmp_path), "doc_stream")
+    new_docs.write.parquet(staged)
+    stream_src = spark.readStream.schema(new_docs.schema).parquet(staged)
+
+    state = batch1_band_state(spark, sf_dir)
+    old_docs = docs.where(F.col("doc_id") % _NEW_MOD != 0)
+
+    q = (
+        streaming_incremental_dedup(stream_src, state, old_docs, _JACCARD_T)
+        .writeStream.format("memory")
+        .queryName("inc_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # a pair sharing several bands streams once per band: dedup at read,
+    # exactly as the lake sink's dedup_keys would
+    got = {
+        (min(r["doc_id"], r["old_id"]), max(r["doc_id"], r["old_id"])): r["jaccard"]
+        for r in spark.sql(
+            "SELECT doc_id, old_id, jaccard FROM inc_dedup_stream"
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in z_corpus_incremental(spark, sf_dir).where(F.col("vs") == "new-old").collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
