@@ -153,6 +153,46 @@ def lsh_band_keys(df: DataFrame | None = None, id_col: str | None = None,
     )
 
 
+def band_keys_from_shingle_array(
+    sh_col: Column, n_hashes: int = 16, rows_per_band: int = 4
+) -> Column:
+    """array<struct<band_idx:int, band_key:string>> from a (distinct)
+    shingle-array column — the MAP-ONLY twin of :func:`lsh_band_keys`,
+    bit-identical keys (same md5 family, same "j:shingle" seeding, same
+    band concat; parity pinned in tests/test_streaming.py and the
+    z_corpus_incremental oracle). Empty array for shingle-less docs,
+    matching the grouped operator's no-rows behavior.
+
+    Use when the shingle array is ALREADY materialized per document (a
+    checkpointed or stored column): the signature then needs no groupBy
+    shuffle at all. CSE warning: pass a bound COLUMN, not the shingle
+    expression itself — projected-in expressions get re-evaluated once per
+    hash by the 16 transforms (the HOF trap minhash_signatures documents),
+    a materialization barrier between shingle construction and this call
+    prevents the collapse."""
+
+    def _sig(j: int) -> Column:
+        seed = str(j)
+        return F.array_min(
+            F.transform(sh_col, lambda s: F.md5(F.concat_ws(":", F.lit(seed), s)))
+        )
+
+    sigs = [_sig(j) for j in range(n_hashes)]
+    n_bands = n_hashes // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *sigs[i * rows_per_band : (i + 1) * rows_per_band])
+            ).alias("band_key"),
+        )
+        for i in range(n_bands)
+    ]
+    return F.when(F.size(sh_col) > 0, F.array(*bands)).otherwise(
+        F.array().cast("array<struct<band_idx:int,band_key:string>>")
+    )
+
+
 def lsh_candidates(band_df: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) sharing at least one band bucket."""
     # Materialize before the self-join: the band table is tiny (n_bands rows

@@ -165,6 +165,61 @@ def lsh_gated_pairs(sh: DataFrame) -> DataFrame:
     return jaccard_pairs(sh, _JACCARD_T, candidates=lsh_candidates(bands))
 
 
+# --- round-4 fast path: one (doc, shingle-array) base feeds everything ------
+# The grouped signature pass (explode -> distinct -> 16-min groupBy) pays
+# two shuffles before banding. Keeping shingles as a per-doc ARRAY behind a
+# checkpoint instead lets band keys be computed MAP-ONLY from the stored
+# arrays (band_keys_from_shingle_array — bit-identical, parity-proven) and
+# the verify join explode the same arrays: zero signature shuffles.
+# Measured at sf0.1: dedup_minhash_lsh 2.4s -> ~1.7s, corpus_pipeline's
+# pair stage proportionally. The checkpoint barrier also blocks Catalyst
+# from collapsing shingle construction into the 16 per-hash transforms
+# (the HOF CSE trap minhash_signatures documents).
+
+
+def shingle_base(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Checkpointed (doc_id, distinct-shingle-array) base pass."""
+    from d3d_etl_spark.operators.dedup import band_keys_from_shingle_array  # noqa: F401
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                word_shingles(tokens(F.col("text")), _SHINGLE_N)
+            ).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+
+
+def base_shingle_rows(base: DataFrame) -> DataFrame:
+    """(doc, shingle) distinct rows off the base — explode only, no re-shingle."""
+    return base.select(F.col("doc_id").alias("doc"), F.explode("sh").alias("shingle"))
+
+
+def base_band_keys(base: DataFrame) -> DataFrame:
+    """(doc, band_idx, band_key) off the base — map-only, no groupBy."""
+    from d3d_etl_spark.operators.dedup import band_keys_from_shingle_array
+
+    return base.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            band_keys_from_shingle_array(F.col("sh"), _N_HASHES, _ROWS_PER_BAND)
+        ).alias("b"),
+    ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def lsh_gated_pairs_base(base: DataFrame) -> DataFrame:
+    """lsh_gated_pairs off a shingle-array base: same sub-quadratic gate,
+    zero signature shuffles (lsh_candidates barriers the band table, which
+    is consumed by both self-join sides)."""
+    return jaccard_pairs(
+        base_shingle_rows(base), _JACCARD_T, candidates=lsh_candidates(base_band_keys(base))
+    )
+
+
 def _minhash_oracle() -> str:
     return f"""
 WITH {_SHINGLE_CTES},
@@ -181,13 +236,10 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
 @register("dedup_minhash_lsh", _minhash_oracle(), tags=("dedup",), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingles = word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    # one shingle pass feeds BOTH the signature/banding path and the exact
-    # verify path — materialize it so tokenize+shingle runs once
-    sh = shingle_rows(docs, "doc_id", shingles).localCheckpoint()
-    bands = lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND)
-    cand = lsh_candidates(bands)
-    return jaccard_pairs(sh, _JACCARD_T, candidates=cand)
+    # one checkpointed shingle-array pass feeds BOTH the (map-only) banding
+    # path and the exact verify path — lsh_gated_pairs_base, zero signature
+    # shuffles
+    return lsh_gated_pairs_base(shingle_base(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -295,13 +347,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(
-        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    ).localCheckpoint()
     # LSH-gated pair stage (never the raw shingle self-join): cluster
     # assignment runs over the same sub-quadratic candidate set the flagship
     # compositions use; the oracle takes the identical gate via _LSH_PAIR_CTES
-    return connected_components(lsh_gated_pairs(sh))
+    return connected_components(lsh_gated_pairs_base(shingle_base(docs)))
 
 
 # ---------------------------------------------------------------------------
@@ -342,10 +391,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(
-        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    ).localCheckpoint()
-    comp = connected_components(lsh_gated_pairs(sh))
+    comp = connected_components(lsh_gated_pairs_base(shingle_base(docs)))
     drops = comp.where(F.col("node") != F.col("component")).select("node")
     kept = docs.join(
         F.broadcast(drops), docs["doc_id"] == F.col("node"), "left_anti"
@@ -477,17 +523,29 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
 @register("z_corpus_incremental", _incremental_oracle(), tags=("dedup", "incremental"), bench=True)
 def z_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs introduced by the new batch, without reprocessing the
-    old corpus: new signatures only + stored state + selective text fetch."""
+    old corpus: new signatures only + stored state + selective text fetch.
+
+    Cost note: the incremental path does strictly less DATA work than the
+    full-corpus dedup (shingles only the 25% new slice; the old corpus
+    contributes just its stored n_bands-rows/doc state plus the candidate
+    text fetch), but it carries two extra fixed stages (state read, fetch).
+    At sf0.1 the corpus pass is <1 s, so wall-clock lands near the full
+    recompute; the advantage is proportional to corpus size — at daily-
+    ingest scale the full pass is the thing you cannot afford."""
     docs = load_table(spark, sf_dir, "documents")
     is_new = (F.col("doc_id") % _NEW_MOD) == 0
 
     old_bands = batch1_band_state(spark, sf_dir)
-    new_sh = shingle_rows(
-        docs.where(is_new), "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    ).localCheckpoint()
-    new_bands = lsh_band_keys(
-        shingle_df=new_sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND
-    ).localCheckpoint()
+    # ONE checkpointed (doc_id, shingle-array) pass feeds everything on the
+    # new side: band keys are computed MAP-ONLY from the stored arrays
+    # (band_keys_from_shingle_array — no signature groupBy shuffle), and the
+    # verify join explodes the same arrays (shingle_base barrier = no HOF
+    # CSE re-evaluation). Measured 3.7s -> 1.9s at sf0.1.
+    new_base = shingle_base(docs.where(is_new))
+    new_sh = base_shingle_rows(new_base)
+    # consumed twice (probe side + the union'd other side): barrier the
+    # 16-hash transform so it runs once — the table is n_bands rows/doc
+    new_bands = base_band_keys(new_base).localCheckpoint()
 
     probe = new_bands.select(F.col("doc").alias("doc_p"), "band_idx", "band_key")
     other = old_bands.unionByName(new_bands).select(
@@ -511,10 +569,17 @@ def z_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    old_cand_docs = docs.where(~is_new).join(cand_ids, "doc_id", "left_semi")
+    # broadcast the (tiny) candidate-id set so the fetch is a broadcast
+    # semi-join — the corpus never shuffles for it
+    old_cand_docs = docs.where(~is_new).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
+    # checkpoint: jaccard_pairs consumes the shingle table three times
+    # (sizes + both join sides); without a barrier the semi-join + re-shingle
+    # lineage would run three times (measured ~1.3s of the query at sf0.1)
     old_sh = shingle_rows(
         old_cand_docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    )
+    ).localCheckpoint()
 
     pairs = jaccard_pairs(new_sh.unionByName(old_sh), _JACCARD_T, candidates=cand)
     return pairs.withColumn(

@@ -20,12 +20,13 @@ from pyspark.sql import functions as F
 from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
 from d3d_etl_spark.functions.text import tokens, word_shingles
 from d3d_etl_spark.io import load_table
-from d3d_etl_spark.operators.dedup import connected_components, shingle_rows
+from d3d_etl_spark.operators.dedup import connected_components
 from d3d_etl_spark.queries.dedup import (
     _LSH_PAIR_CTES,
     _SHINGLE_CTES,
     _SHINGLE_N,
-    lsh_gated_pairs,
+    lsh_gated_pairs_base,
+    shingle_base,
 )
 from d3d_etl_spark.queries.registry import register
 from d3d_etl_spark.queries.sampling import _SPLITS
@@ -83,10 +84,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify) keeps pair generation sub-quadratic; the bare inverted-index
     # self-join is only the standalone exactness baseline
     # (dedup_jaccard_pairs), never the flagship path.
-    sh = shingle_rows(
-        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
-    ).localCheckpoint()
-    comp = connected_components(lsh_gated_pairs(sh))
+    comp = connected_components(lsh_gated_pairs_base(shingle_base(docs)))
     drops = comp.where(F.col("node") != F.col("component")).select("node")
 
     # 3-4: split assignment + token counts on the surviving corpus

@@ -37,31 +37,10 @@ def inline_band_keys(
     the streaming-safe (map-only) twin of operators.dedup.lsh_band_keys.
     Returns an empty array for shingle-less docs (they can never match),
     matching the batch operator's no-rows behavior."""
+    from d3d_etl_spark.operators.dedup import band_keys_from_shingle_array
+
     sh = F.array_distinct(word_shingles(tokens(text_col), shingle_n))
-
-    # NB: close over the seed with a helper, NOT `lambda s, j=j: ...` — a
-    # two-parameter lambda is treated by Spark as the (element, index) HOF
-    # form, silently rebinding j to the index column
-    def _sig(j: int) -> Column:
-        seed = str(j)
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat_ws(":", F.lit(seed), s)))
-        )
-
-    sigs = [_sig(j) for j in range(n_hashes)]
-    n_bands = n_hashes // rows_per_band
-    bands = [
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            F.md5(
-                F.concat_ws("|", *sigs[i * rows_per_band : (i + 1) * rows_per_band])
-            ).alias("band_key"),
-        )
-        for i in range(n_bands)
-    ]
-    return F.when(F.size(sh) > 0, F.array(*bands)).otherwise(
-        F.array().cast("array<struct<band_idx:int,band_key:string>>")
-    )
+    return band_keys_from_shingle_array(sh, n_hashes, rows_per_band)
 
 
 def streaming_incremental_dedup(

@@ -76,14 +76,19 @@ def test_complex_pipelines_no_sortmerge(spark, sf_dir):
 
 
 def test_benched_queries_no_sortmerge(spark, sf_dir):
-    """Every headline (benched) query must run SMJ-free at test scale:
-    a SortMergeJoin means a dimension/candidate side lost its broadcast and
-    the fact side started shuffling for it."""
+    """Every headline (benched) query must run free of SHUFFLING sort-merge
+    joins at test scale: an SMJ fed by an Exchange means a dimension/
+    candidate side lost its broadcast and the fact side started shuffling
+    for it. An SMJ in a zero-exchange plan is the opposite case — the
+    bucketed co-located merge join (z_bucketed_spine) — and is exactly what
+    that query pins for itself."""
     for name, q in sorted(REGISTRY.items()):
         if not q.bench:
             continue
         s = summarize_plan(q.fn(spark, sf_dir))
-        assert s.n_sortmerge_joins == 0, f"{name} grew a SortMergeJoin"
+        assert s.n_sortmerge_joins == 0 or s.n_exchanges == 0, (
+            f"{name} grew a shuffling SortMergeJoin"
+        )
 
 
 def test_aqe_splits_skewed_join(spark):
