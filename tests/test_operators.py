@@ -331,3 +331,47 @@ def test_connected_components_distributed_parity(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert got == want
+
+
+def test_band_keys_array_equals_grouped(spark):
+    """band_keys_from_shingle_array (map-only) must produce EXACTLY the
+    (doc, band_idx, band_key) rows of the grouped lsh_band_keys pass for
+    the same shingle sets — including empty-set docs (no rows) and
+    single-shingle docs."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.operators.dedup import (
+        band_keys_from_shingle_array,
+        lsh_band_keys,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a b c", "b c d", "c d e"]),
+            (2, ["b c d", "a b c"]),      # permuted subset of 1
+            (3, []),                       # shingle-less: must emit nothing
+            (4, ["zzz yyy xxx"]),          # single shingle
+            (5, ["a b c", "b c d", "c d e"]),  # exact dup of 1: same keys
+        ],
+        "doc_id long, sh array<string>",
+    )
+    arr = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(band_keys_from_shingle_array(F.col("sh"), 16, 4)).alias("b"),
+        )
+        .select("doc", "b.band_idx", "b.band_key")
+    )
+    grouped = lsh_band_keys(
+        shingle_df=docs.select(
+            F.col("doc_id").alias("doc"), F.explode("sh").alias("shingle")
+        ),
+        n_hashes=16,
+        rows_per_band=4,
+    )
+    a = {(r["doc"], r["band_idx"]): r["band_key"] for r in arr.collect()}
+    g = {(r["doc"], r["band_idx"]): r["band_key"] for r in grouped.collect()}
+    assert a == g
+    assert not any(k[0] == 3 for k in a), "empty doc leaked band rows"
+    for i in range(4):
+        assert a[(1, i)] == a[(5, i)], "identical shingle sets must share keys"
