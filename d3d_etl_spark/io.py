@@ -62,6 +62,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a THIN scan to session parallelism ahead of a CPU-heavy
+    map stage (regex/tokenize/shingle/decode/GEMM).
+
+    Benchmark-scale parquet often plans a single input split, which would
+    serialize the expensive projection on one core (measured: the whole
+    corpus_doc_stats pass ran as one task, 2.2s -> 1.1s at sf0.1 once
+    fanned). Production-scale inputs already span >= the session
+    parallelism and pass through untouched — the guard keeps this from
+    ever ADDING a shuffle where the scan provides parallelism, so the
+    zero-data-dependent-shuffle doctrine still holds: the only exchange
+    this can introduce is a round-robin rebalance of a single-split scan.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

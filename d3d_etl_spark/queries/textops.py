@@ -32,7 +32,7 @@ from d3d_etl_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from d3d_etl_spark.io import load_table
+from d3d_etl_spark.io import fan_out, load_table
 from d3d_etl_spark.queries.registry import register
 
 _TOK = sql_tokens("text")
@@ -116,7 +116,7 @@ def corpus_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured ~4x the whole-query cost). Materializing the token array /
     # marker-hit counts as projection-boundary columns evaluates each ONCE
     # per row; later selects read the bound reference.
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     stage1 = docs.select(
         "doc_id", "n_chars", "lang", "text", tokens(t).alias("toks")
@@ -535,7 +535,7 @@ FROM r
 
 @register("z_corpus_pii", _PII_ORACLE, tags=("text",))
 def z_corpus_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     pad = lambda e, n: F.lpad((did % (10 ** n)).cast("string"), n, "0")  # noqa: E731
     raw = F.concat(

