@@ -683,3 +683,67 @@ def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         nll.alias("nll"),
         F.when(nll <= _LM_KEEP_T, "keep").when(nll <= _LM_REVIEW_T, "review").otherwise("drop").alias("qband"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_span_dedup — exact duplicated-SPAN signal (the "Deduplicating
+# Training Data Makes Language Models Better" exact-substring stage, done
+# the Spark way): every _SPAN_N-token span of every document, counted with
+# multiplicity across the corpus; a span instance is duplicated iff its
+# total occurrence count >= 2 (covers both cross-document template reuse
+# and within-document repetition). Per document: the fraction of its spans
+# that are duplicated, plus the trim decision at _SPAN_TRIM_T.
+#
+# Scale shape: spans are hashed to 60-bit ints map-side so the count
+# aggregate and the join back shuffle fixed-width ints, never the span
+# text; both stages are the linear inverted-index shape (one groupBy + one
+# equi-join), no pair enumeration anywhere. The count table is span-
+# cardinality-sized; at 100 TB both sides bucket naturally by span hash.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+_SPAN_TRIM_T = 0.2
+
+_SPAN_SQL = sql_word_shingles(_TOK, _SPAN_N)
+
+from d3d_etl_spark.functions.strings import sql_md5_int as _sql_md5_int  # noqa: E402
+
+_SPAN_ORACLE = f"""
+WITH sp AS (
+  SELECT doc_id, {_sql_md5_int("s", 15)} AS sh
+  FROM (SELECT doc_id, unnest({_SPAN_SQL}) AS s FROM documents)
+),
+c AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY 1)
+SELECT sp.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
+       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= {_SPAN_TRIM_T}
+         AS would_trim
+FROM sp JOIN c ON sp.sh = c.sh
+GROUP BY sp.doc_id
+"""
+
+
+@register("z_corpus_span_dedup", _SPAN_ORACLE, tags=("textops", "dedup"), bench=True)
+def z_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d3d_etl_spark.functions.strings import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), _SPAN_N)).alias("s"),
+    ).select("doc_id", md5_int(F.col("s"), 15).alias("sh"))
+    counts = sp.groupBy("sh").agg(F.count("*").alias("c"))
+    is_dup = (F.col("c") >= 2).cast("long")
+    frac = F.sum(is_dup).cast("double") / F.count("*")
+    return (
+        sp.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(is_dup).cast("long").alias("n_dup_spans"),
+            frac.alias("dup_span_frac"),
+            (frac >= _SPAN_TRIM_T).alias("would_trim"),
+        )
+    )
