@@ -542,3 +542,57 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v)
+
+
+def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless streaming embedding probe must agree with the batch
+    incremental-ANN query: same probed cells, and for every new vector the
+    batch top-1 neighbor (when above the alert threshold) appears in the
+    stream with the same similarity."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.queries.simsearch import (
+        _INC_MOD,
+        _INC_NPROBE,
+        ivf_index_state,
+        z_sim_incremental,
+    )
+    from d3d_etl_spark.streaming.vectors import streaming_ann_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % _INC_MOD == 0).select("vec_id", "embedding")
+    staged = os.path.join(str(tmp_path), "vec_stream")
+    new.write.parquet(staged)
+    stream_src = spark.readStream.schema(new.schema).parquet(staged)
+
+    cents, assign = ivf_index_state(spark, sf_dir)
+    old = emb.where(F.col("vec_id") % _INC_MOD != 0)
+
+    MIN_SIM = 0.2
+    q = (
+        streaming_ann_probe(stream_src, cents, assign, old, _INC_NPROBE, MIN_SIM)
+        .writeStream.format("memory")
+        .queryName("ann_probe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["old_id"]): r["sim"]
+        for r in spark.sql("SELECT * FROM ann_probe_stream").collect()
+    }
+    assert got, "stream produced no alerts"
+
+    batch = {r["vec_id"]: r for r in z_sim_incremental(spark, sf_dir).collect()}
+    for vid, r in batch.items():
+        if r["nn_sim"] >= MIN_SIM:
+            key = (vid, r["nn_id"])
+            assert key in got, f"batch top-1 {key} missing from stream"
+            assert got[key] == pytest.approx(r["nn_sim"], abs=2e-6)
+    # and nothing in the stream beats the batch top-1 for its vector
+    for (vid, _oid), s in got.items():
+        if vid in batch:
+            assert s <= batch[vid]["nn_sim"] + 2e-6
