@@ -747,3 +747,64 @@ def z_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= _SPAN_TRIM_T).alias("would_trim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_bpe_pairs — tokenizer-training statistics (the BPE merge-rule
+# surface): word-frequency-weighted adjacent-character-pair counts over the
+# corpus, ranked — exactly the statistic a BPE trainer maximizes each merge
+# round. One round is published (top-_BPE_TOPK candidates, deterministic
+# count-desc/pair-asc rank); training iterates by re-running with the
+# winning pair merged into one symbol — a driver loop over this same
+# vocab-sized aggregate, never another corpus pass, because the statistic
+# is computed from the WORD-COUNT table (types x frequency), not from raw
+# text.
+#
+# Scale shape: corpus scan -> vocab-sized word-count aggregate; the pair
+# explode runs over word TYPES (each weighted by its count), so its cost
+# tracks vocabulary, not corpus size; final top-k is TakeOrdered (no full
+# sort shuffle).
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH wrd AS (SELECT unnest({sql_tokens('lower(text)')}) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM wrd GROUP BY 1),
+p AS (
+  SELECT c, unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM wc WHERE length(w) >= 2
+),
+pc AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY 1)
+SELECT pair, cnt,
+       ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+FROM pc ORDER BY rank LIMIT {_BPE_TOPK}
+"""
+
+
+@register("z_corpus_bpe_pairs", _BPE_ORACLE, tags=("textops", "tokenizer"))
+def z_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        wc.where(F.length("w") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair"),
+        )
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pc.orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+        .withColumn("rank", F.row_number().over(w))
+    )
