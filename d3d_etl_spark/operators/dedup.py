@@ -395,6 +395,7 @@ def connected_components(
         .localCheckpoint()
     )
     last_cc_rounds = 0
+    converged = False
     for _ in range(max_iter):
         last_cc_rounds += 1
         # large-star: for each u, hang every BIGGER neighbor off m(u)
@@ -422,8 +423,20 @@ def connected_components(
         # converged when the (distinct, canonical) edge set is a fixpoint
         if nxt.count() == cur.count() and nxt.exceptAll(cur).count() == 0:
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # the extraction below is only valid on a CONVERGED star forest; a
+        # multi-level forest would emit duplicate, conflicting labels and
+        # downstream canonical-dedup would silently drop/keep the wrong
+        # docs. Alternating star rounds converge in O(log n), so max_iter
+        # exhaustion means the input is pathologically larger than the
+        # operator was configured for — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "alternating star rounds; raise max_iter"
+        )
     # fixpoint = star forest: src are leaves, dst are component roots
     leaves = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (

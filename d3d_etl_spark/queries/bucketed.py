@@ -139,7 +139,12 @@ def z_bucketed_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the property IS the query's contract: agg + join + re-agg must all be
     # satisfied by the bucket partitioning — a single Exchange here means
-    # the layout lever broke, and that is a correctness failure of this query
+    # the layout lever broke, and that is a correctness failure of this
+    # query. An explicit raise (not assert) so python -O can't compile the
+    # contract away.
     n = count_shuffles(out)
-    assert n == 0, f"z_bucketed_spine expected a zero-exchange plan, found {n}"
+    if n != 0:
+        raise RuntimeError(
+            f"z_bucketed_spine expected a zero-exchange plan, found {n} exchanges"
+        )
     return out

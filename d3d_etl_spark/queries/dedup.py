@@ -179,8 +179,6 @@ def lsh_gated_pairs(sh: DataFrame) -> DataFrame:
 
 def shingle_base(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Checkpointed (doc_id, distinct-shingle-array) base pass."""
-    from d3d_etl_spark.operators.dedup import band_keys_from_shingle_array  # noqa: F401
-
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.repartition(n_parts)
@@ -433,19 +431,14 @@ FROM ({_SIMHASH_PAIRS_ORACLE})
 # ---------------------------------------------------------------------------
 
 import os as _os
-import re as _re
 
 from d3d_etl_spark.queries.domain import _CACHE_DIR as _STATE_CACHE_DIR
 from d3d_etl_spark.queries.domain import _ensure_materialized as _ensure_state
+from d3d_etl_spark.queries.domain import sf_tag as _sf_tag
 
 _NEW_MOD = 4  # doc_id % 4 == 0 -> "new" batch (deterministic 25% daily slice)
 _STATE_PATH_TPL = _os.path.join(_STATE_CACHE_DIR, "lsh_bands_{tag}")
 _STATE_GLOB = _os.path.join(_STATE_CACHE_DIR, "lsh_bands_*", "*.parquet")
-
-
-def _sf_tag(sf_dir: str) -> str:
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    return (m.group(1) if m else "x").replace(".", "p")
 
 
 def batch1_band_state(spark: SparkSession, sf_dir: str) -> DataFrame:

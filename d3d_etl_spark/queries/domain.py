@@ -53,6 +53,15 @@ def _games_for(sf_dir: str) -> int:
     return max(10, int(sf * 3000))
 
 
+def sf_tag(sf_dir: str) -> str:
+    """Scale tag for per-scale persisted state families (lsh_bands_{tag},
+    ivf_cents_{tag}, ...): the sf token of the data dir, dots mangled for
+    path safety. One definition — the incremental text and embedding state
+    families must key identically or a scale switch desyncs them."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return (m.group(1) if m else "x").replace(".", "p")
+
+
 def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None:
     """Skip-if-exists materialization with crash/concurrency safety.
 
@@ -66,6 +75,13 @@ def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None
     half-written dir that the marker check would trust), THEN prune other
     scales. The import-time oracle glob stays unambiguous: only one scale
     survives a regeneration.
+
+    The temp dir is DOT-prefixed (``.tmp_<name>``) so it sits OUTSIDE the
+    family's glob namespace: a build that crashes mid-write must not leave
+    a directory the oracle globs (``<family>_*/\\*.parquet``) silently
+    match — that would poison every subsequent oracle read at the
+    still-valid scale with half-written files. Stale crash leftovers are
+    swept on the next locked regeneration.
     """
     import fcntl
     import glob as _glob
@@ -80,8 +96,15 @@ def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None
         try:
             if os.path.exists(marker) and os.path.isdir(path):
                 return  # lost the race: another process already built it
-            tmp = path + ".tmp"
+            tmp = os.path.join(
+                os.path.dirname(path), ".tmp_" + os.path.basename(path)
+            )
             shutil.rmtree(tmp, ignore_errors=True)
+            # sweep crash leftovers from earlier runs of this family
+            for stale in _glob.glob(
+                os.path.join(os.path.dirname(path), ".tmp_" + family + "*")
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
             build(tmp)
             shutil.rmtree(path, ignore_errors=True)
             os.replace(tmp, path)

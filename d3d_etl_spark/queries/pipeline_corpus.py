@@ -18,13 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
-from d3d_etl_spark.functions.text import tokens, word_shingles
+from d3d_etl_spark.functions.text import tokens
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.operators.dedup import connected_components
 from d3d_etl_spark.queries.dedup import (
     _LSH_PAIR_CTES,
     _SHINGLE_CTES,
-    _SHINGLE_N,
     lsh_gated_pairs_base,
     shingle_base,
 )

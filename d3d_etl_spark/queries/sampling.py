@@ -224,8 +224,9 @@ def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalizing sum, so S = SUM(s_l) is exact; p_int's one double expression
 # is mirrored operation-for-operation.
 #
-# Scale shape: one corpus scan (token count + hash are scan-local column
-# exprs), one tiny lang-stats aggregate broadcast back, one final groupBy —
+# Scale shape: ONE materialized doc-grain pass (token count + hash are
+# scan-local column exprs; the barrier shares it between the lang-stats
+# aggregate and the final accept groupBy), tiny lang stats broadcast back —
 # the accept decision never shuffles the corpus.
 # ---------------------------------------------------------------------------
 
@@ -276,12 +277,15 @@ def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # d feeds BOTH the language aggregate and the final accept groupBy:
+    # barrier it so tokenize+hash runs once (Catalyst does not share the
+    # scan between the two consumers) — d is doc-grain, 4 narrow columns
     d = docs.select(
         "doc_id",
         "lang",
         F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
         (hash_bucket(F.col("doc_id"), "mix") % _MIX_U_MOD).alias("u"),
-    )
+    ).localCheckpoint()
     ls = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("t_l"),

@@ -665,6 +665,7 @@ import os as _os
 
 from d3d_etl_spark.queries.domain import _CACHE_DIR as _IVF_CACHE_DIR
 from d3d_etl_spark.queries.domain import _ensure_materialized as _ensure_ivf_state
+from d3d_etl_spark.queries.domain import sf_tag as _ivf_tag
 
 _INC_MOD = 4
 _INC_NPROBE = 3
@@ -672,13 +673,6 @@ _IVF_CENTS_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_{tag}")
 _IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_{tag}")
 _IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_*", "*.parquet")
 _IVF_ASSIGN_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_*", "*.parquet")
-
-
-def _ivf_tag(sf_dir: str) -> str:
-    import re as _re
-
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    return (m.group(1) if m else "x").replace(".", "p")
 
 
 def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

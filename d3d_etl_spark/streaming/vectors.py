@@ -11,6 +11,13 @@ the exact cosine verify is a per-row zip_with against the candidate's
 vector. No watermark, no state store. Ranking/top-1 happens at the
 idempotent sink (alerts above `min_sim` stream through once per matching
 candidate), mirroring the corpus twin's dedup-at-sink contract.
+
+Static-side sizing: the assignment state and the indexed-vector table are
+corpus-proportional, so no broadcast is forced — Spark broadcasts them
+while they fit and shuffles the per-batch join when they don't; at real
+scale both live bucketed/partitioned by cell label so the probe join
+prunes to the probed cells, or the verify moves into foreachBatch for the
+batch twin's candidate-gated selective fetch.
 """
 
 from __future__ import annotations
@@ -96,7 +103,7 @@ def streaming_ann_probe(
     state = assignments.select(
         F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label")
     )
-    cand = probes.join(F.broadcast(state), "label")
+    cand = probes.join(state, "label")
 
     old = old_vectors.select(
         F.col("vec_id").alias("old_id"), F.col("embedding").alias("v_old")
@@ -112,7 +119,7 @@ def streaming_ann_probe(
     )
     sim = F.round(dot / (_norm(F.col("v_new")) * _norm(F.col("v_old"))), 6)
     return (
-        cand.join(F.broadcast(old), "old_id")
+        cand.join(old, "old_id")
         .where(F.col("vec_id") != F.col("old_id"))
         .select("vec_id", "old_id", sim.alias("sim"))
         .where(F.col("sim") >= min_sim)
