@@ -808,3 +808,31 @@ def z_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BPE_TOPK)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+_BPE_TRAIN_ROUNDS = 5
+
+
+@register("z_corpus_bpe_train", None, tags=("textops", "tokenizer"))
+def z_corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five rounds of actual BPE training over the corpus word-count table
+    (operators/bpe.py): each round re-aggregates pair counts over word
+    TYPES, driver-fetches the argmax, and applies the merge as a per-row
+    left-to-right fold. Rows-only by design — the round-over-round greedy
+    argmax is driver control flow, like connected_components and the
+    k-means loop — but the trainer itself is pinned EXACTLY against a
+    pure-python BPE reference in tests/test_operators.py, and the round-1
+    statistic is fully oracled as z_corpus_bpe_pairs."""
+    from d3d_etl_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    merges = train_bpe(words, _BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        [(i, p1, p2, cnt) for i, (p1, p2, cnt) in enumerate(merges)],
+        "merge_idx int, p1 string, p2 string, cnt long",
+    )

@@ -375,3 +375,57 @@ def test_band_keys_array_equals_grouped(spark):
     assert not any(k[0] == 3 for k in a), "empty doc leaked band rows"
     for i in range(4):
         assert a[(1, i)] == a[(5, i)], "identical shingle sets must share keys"
+
+
+def _py_bpe(word_counts, n_merges):
+    """Pure-python BPE reference (classic Sennrich algorithm): pair counts
+    over (word -> freq), greedy merge with count-desc / pair-asc tiebreak,
+    left-to-right merge application."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (p1, p2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((p1, p2, cnt))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == p1 and sym[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """10 merge rounds on a word-count table with overlap traps ("aaaa"),
+    ties, and multi-merge words — the Spark fold must learn the identical
+    ordered merge list."""
+    from d3d_etl_spark.operators.bpe import apply_merge, train_bpe
+    from pyspark.sql import functions as F
+
+    wcounts = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaaa": 4, "banana": 2, "aa": 7,
+    }
+    words = spark.createDataFrame(list(wcounts.items()), "w string, c long")
+    got = train_bpe(words, 10)
+    want = _py_bpe(wcounts, 10)
+    assert got == want
+
+    # the overlap trap directly: "aaaa" under (a, a) -> [aa, aa]; "aaa" -> [aa, a]
+    df = spark.createDataFrame([(["a"] * 4,), (["a"] * 3,)], "symbols array<string>")
+    rows = df.select(apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
+    assert rows[0]["m"] == ["aa", "aa"]
+    assert rows[1]["m"] == ["aa", "a"]

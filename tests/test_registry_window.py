@@ -46,8 +46,13 @@ def test_supplementary_tier_is_z_prefixed():
 
 
 def test_rows_only_queries_are_supplementary():
-    """The FSM-containing rows-only pipelines live in the z_ tier; their
-    value evidence is the oracled domain_* family over the materialized
-    parse."""
+    """Rows-only (oracle-less) queries live in the z_ tier and each has a
+    documented reason: the three FSM-containing pipelines (value evidence =
+    the oracled domain_* family over the materialized parse) and the
+    iterative greedy BPE trainer (value evidence = exact parity vs a
+    pure-python reference in tests/test_operators.py; its round-1 statistic
+    is fully oracled as z_corpus_bpe_pairs)."""
     rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
-    assert rows_only == ["z_fsm_funnel", "z_pbp_dag", "z_pbp_war"]
+    assert rows_only == [
+        "z_corpus_bpe_train", "z_fsm_funnel", "z_pbp_dag", "z_pbp_war",
+    ]
