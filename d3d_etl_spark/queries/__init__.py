@@ -10,6 +10,7 @@ def load_all() -> None:
         aggregates,
         boards,
         bucketed,
+        curation,
         dedup,
         domain,
         fuzzy,

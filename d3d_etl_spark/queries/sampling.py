@@ -271,21 +271,12 @@ GROUP BY d.lang
 """
 
 
-@register("z_corpus_mixing", _MIX_ORACLE, tags=("sampling", "corpus"))
-def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from d3d_etl_spark.functions.sampling import hash_bucket
-    from d3d_etl_spark.functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    # d feeds BOTH the language aggregate and the final accept groupBy:
-    # barrier it so tokenize+hash runs once (Catalyst does not share the
-    # scan between the two consumers) — d is doc-grain, 4 narrow columns
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
-        (hash_bucket(F.col("doc_id"), "mix") % _MIX_U_MOD).alias("u"),
-    ).localCheckpoint()
+def mixing_profile(d: DataFrame) -> DataFrame:
+    """Temperature mixing over an arbitrary doc-grain frame
+    (doc_id, lang, n_tok, u) — z_corpus_mixing applies it to the full
+    corpus, z_corpus_curation to the quality/dedup survivors. `d` should
+    be materialized by the caller (it feeds the lang aggregate AND the
+    final accept groupBy)."""
     ls = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("t_l"),
@@ -325,3 +316,23 @@ def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
         )
     )
+
+
+def mixing_doc_grain(docs: DataFrame, salt: str = "mix") -> DataFrame:
+    """(doc_id, lang, n_tok, u): the doc-grain input mixing_profile needs,
+    materialized (tokenize+hash must run once across its two consumers)."""
+    from d3d_etl_spark.functions.sampling import hash_bucket
+    from d3d_etl_spark.functions.text import tokens
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
+        (hash_bucket(F.col("doc_id"), salt) % _MIX_U_MOD).alias("u"),
+    ).localCheckpoint()
+
+
+@register("z_corpus_mixing", _MIX_ORACLE, tags=("sampling", "corpus"))
+def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing_profile(mixing_doc_grain(docs))

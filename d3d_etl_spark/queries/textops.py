@@ -594,8 +594,9 @@ _LM_KEEP_T, _LM_REVIEW_T = 3.37, 3.42  # band cuts sit inside this corpus's nll 
 
 _LM_TOK = sql_tokens("lower(text)")
 
-_LM_ORACLE = f"""
-WITH toks AS (
+# reusable CTE body (toks -> ... -> scored): shared by _LM_ORACLE and the
+# z_corpus_curation composition
+_LM_CTES = f"""toks AS (
   SELECT doc_id, {_LM_TOK} AS w FROM documents
 ),
 bi AS (
@@ -619,7 +620,10 @@ scored AS (
          CAST(SUM(s.t) AS BIGINT) AS s_sum
   FROM bi JOIN stats s ON bi.w1 = s.w1 AND bi.w2 = s.w2
   GROUP BY 1
-)
+)"""
+
+_LM_ORACLE = f"""
+WITH {_LM_CTES}
 SELECT doc_id, n_bigrams,
        CAST(s_sum AS DOUBLE) / n_bigrams / {_LM_Q} AS nll,
        CASE WHEN CAST(s_sum AS DOUBLE) / n_bigrams / {_LM_Q} <= {_LM_KEEP_T} THEN 'keep'
@@ -708,12 +712,15 @@ _SPAN_SQL = sql_word_shingles(_TOK, _SPAN_N)
 
 from d3d_etl_spark.functions.strings import sql_md5_int as _sql_md5_int  # noqa: E402
 
-_SPAN_ORACLE = f"""
-WITH sp AS (
+# reusable CTE body (sp, spc): shared by _SPAN_ORACLE and z_corpus_curation
+_SPAN_CTES = f"""sp AS (
   SELECT doc_id, {_sql_md5_int("s", 15)} AS sh
   FROM (SELECT doc_id, unnest({_SPAN_SQL}) AS s FROM documents)
 ),
-c AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY 1)
+spc AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY 1)"""
+
+_SPAN_ORACLE = f"""
+WITH {_SPAN_CTES.replace("spc AS", "c AS")}
 SELECT sp.doc_id,
        COUNT(*) AS n_spans,
        CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
