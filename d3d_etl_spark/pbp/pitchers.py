@@ -67,17 +67,91 @@ def _pitcher_fsm(plays: pd.DataFrame, lineup: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
 
 
-def fill_pitchers(plays: DataFrame, pitching_lineups: DataFrame) -> DataFrame:
-    """Cogrouped stateful join: plays x ordered pitching lineup -> active
-    pitcher per play.
-
-    `plays` needs (contest_id, play_id, half, play_text);
-    `pitching_lineups` needs (contest_id, side in {'home','away'},
-    pitch_order, player_name).
-    """
+def fill_pitchers_grouped(plays: DataFrame, pitching_lineups: DataFrame) -> DataFrame:
+    """The per-game cogroup form of :func:`fill_pitchers` — kept as the
+    parity anchor (tests pin the partitioned runner against it)."""
     return (
         plays.select("contest_id", "play_id", "half", "play_text")
         .groupBy("contest_id")
         .cogroup(pitching_lineups.groupBy("contest_id"))
         .applyInPandas(_pitcher_fsm, PITCHER_SCHEMA)
     )
+
+
+def _pitcher_map_iter(batches):
+    """Multi-game pitcher-queue runner over a tag-union sorted partition:
+    per game, kind=0 rows (lineup, ordered by side/pitch_order) arrive
+    first and build the queues; kind=1 rows (plays, ordered by play_id)
+    then step the FSM. State carries across arrow batches; resets on
+    contest change. Same rationale as state.base_state_map_iter: many
+    games per worker instead of per-game cogroup overhead (and AQE cannot
+    collapse the explicit repartition)."""
+    cur: object = object()
+    queues: dict[str, list[str]] = {}
+    ptr: dict[str, int] = {}
+    for pdf in batches:
+        out: list[tuple] = []
+        for row in pdf.itertuples(index=False):
+            if row.contest_id != cur:
+                cur = row.contest_id
+                queues = {"home": [], "away": []}
+                ptr = {"home": 0, "away": 0}
+            if row.kind == 0:
+                if row.side in queues:
+                    queues[row.side].append(row.player_name)
+            else:
+                name = pitcher_step(queues, ptr, row.half, row.play_text)
+                out.append((row.contest_id, row.play_id, name))
+        yield pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
+
+
+def fill_pitchers(plays: DataFrame, pitching_lineups: DataFrame) -> DataFrame:
+    """Ordered stateful join: plays x ordered pitching lineup -> active
+    pitcher per play (J15).
+
+    `plays` needs (contest_id, play_id, half, play_text);
+    `pitching_lineups` needs (contest_id, side in {'home','away'},
+    pitch_order, player_name).
+
+    Execution: tag-union of the two inputs, hash-repartitioned by game and
+    secondary-sorted so each game reads (lineup rows, then plays in order);
+    one mapInPandas walks many games per worker — the partitioned twin of
+    the base-state runner, bit-identical to the cogroup form
+    (tests/test_pitchers.py pins it, including lineup-less games and
+    arrow-batch boundaries).
+    """
+    from pyspark.sql import functions as F
+
+    p = plays.select(
+        "contest_id",
+        "play_id",
+        "half",
+        "play_text",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("pitch_order"),
+        F.lit(None).cast("string").alias("player_name"),
+    )
+    lu = pitching_lineups.select(
+        "contest_id",
+        F.lit(None).cast("long").alias("play_id"),
+        F.lit(None).cast("string").alias("half"),
+        F.lit(None).cast("string").alias("play_text"),
+        F.lit(0).alias("kind"),
+        "side",
+        F.col("pitch_order").cast("long").alias("pitch_order"),
+        "player_name",
+    )
+    n = plays.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        p.unionByName(lu)
+        .repartition(n, "contest_id")
+        .sortWithinPartitions(
+            "contest_id",
+            "kind",
+            F.coalesce(F.col("side"), F.lit("")),
+            F.coalesce(F.col("pitch_order"), F.lit(-1)),
+            F.coalesce(F.col("play_id"), F.lit(-1)),
+        )
+    )
+    return arranged.mapInPandas(_pitcher_map_iter, PITCHER_SCHEMA)

@@ -66,3 +66,38 @@ def test_pitcher_sub_not_in_queue(spark):
     # narration wins when the named sub isn't the queue's next entry
     assert got[1] == "STARTER, S."
     assert got[3] == "SURPRISE, X."
+
+
+def test_partitioned_pitcher_fsm_matches_cogroup(spark):
+    """fill_pitchers (tag-union partitioned runner) must be bit-identical
+    to the per-game cogroup form across many generated games — including a
+    game with NO lineup rows (pitcher None) and tiny arrow batches that
+    straddle game boundaries."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.pbp.parser import add_metadata
+    from d3d_etl_spark.pbp.pitchers import fill_pitchers, fill_pitchers_grouped
+    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+
+    raw = spark.createDataFrame(generate_games(30, seed=11), RAW_SCHEMA)
+    plays = add_metadata(raw).select("contest_id", "play_id", "half", "play_text")
+    games = [r["contest_id"] for r in plays.select("contest_id").distinct().collect()]
+    # deterministic lineups for all but the first game (the lineup-less edge)
+    rows = []
+    for g in sorted(games)[1:]:
+        for side in ("home", "away"):
+            for k in range(3):
+                rows.append((g, side, k + 1, f"P{k}_{side}_{g % 7}"))
+    lineups = spark.createDataFrame(
+        rows, "contest_id long, side string, pitch_order int, player_name string"
+    )
+
+    want = sorted(map(tuple, fill_pitchers_grouped(plays, lineups).collect()))
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        got = sorted(map(tuple, fill_pitchers(plays, lineups).collect()))
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+    assert got == want and len(got) == plays.count()
