@@ -245,3 +245,70 @@ def test_incremental_dedup_matches_batch_restriction(spark):
     assert set(inc) == set(batch)
     for k in inc:
         assert inc[k] == pytest.approx(batch[k])
+
+
+def test_incremental_dedup_selective_fetch(spark, tmp_path):
+    """Proof that the incremental path touches old TEXT only for candidate
+    ids: corrupt the text of every NON-candidate old document (the band
+    state, built from the originals, stays fixed) and the query's output
+    must be unchanged — if the measured path re-shingled the old corpus,
+    the corrupted text would shift signatures or Jaccard values."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import d3d_etl_spark.queries.dedup as dq
+    from d3d_etl_spark.io import load_table
+    from tests.conftest import TEST_SF_DIR
+
+    # baseline run (also materializes the band state from the ORIGINALS)
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dq.z_corpus_incremental(spark, TEST_SF_DIR).collect()
+    }
+    assert base, "need at least one pair for the proof to bite"
+    touched = {d for pair in base for d in pair}
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    is_new = (F.col("doc_id") % dq._NEW_MOD) == 0
+    # candidate ids are a superset of result ids; to be safe, only corrupt
+    # old docs that CANNOT be candidates: recompute the candidate set the
+    # same way the query does (band join against the state)
+    state = dq.batch1_band_state(spark, TEST_SF_DIR)
+    new_bands = dq.base_band_keys(dq.shingle_base(docs.where(is_new)))
+    cand_old = (
+        new_bands.select("band_idx", "band_key")
+        .distinct()
+        .join(state, ["band_idx", "band_key"])
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    corrupted = (
+        docs.join(cand_old, "doc_id", "left_anti")
+        .where(~is_new)
+        .withColumn("text", F.lit("corrupted corpus text placeholder"))
+        .unionByName(docs.join(cand_old, "doc_id", "left_semi"))
+        .unionByName(docs.where(is_new))
+    )
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    corrupted.coalesce(1).write.parquet(path)
+
+    orig = dq.load_table
+
+    def patched(s, d, name):
+        if name == "documents":
+            return s.read.parquet(path)
+        return orig(s, d, name)
+
+    try:
+        dq.load_table = patched
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dq.z_corpus_incremental(spark, TEST_SF_DIR).collect()
+        }
+    finally:
+        dq.load_table = orig
+    assert set(got) == set(base)
+    for k in base:
+        assert got[k] == pytest.approx(base[k])
+    assert touched  # the proof exercised real pairs
