@@ -25,10 +25,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: separator used to encode a symbol pair as one key; \x1f never appears in
-#: whitespace-tokenized symbols
-_SEP = "\x1f"
-
 
 def word_symbol_counts(words: DataFrame, word_col: str = "w", count_col: str = "c") -> DataFrame:
     """(symbols: array<string>, c) — each distinct word as its initial

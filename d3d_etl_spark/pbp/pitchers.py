@@ -3,10 +3,11 @@ stateful join the reference implements at names/names.py:40-97: each team's
 pitching lineup is an ordered queue; the active pitcher advances when a
 pitching-substitution event ("X to p for Y") occurs while that team fields.
 
-No relational join expresses "consume a queue in event order", so this is a
-cogrouped `applyInPandas`: plays and lineup rows co-partition on contest_id,
-the per-game FSM walks plays in order with one queue pointer per side.
-Fresh implementation (not a copy); parallelizes per game like F1.
+No relational join expresses "consume a queue in event order"; execution
+is the partitioned multi-game runner (tag-union + secondary sort +
+mapInPandas, state reset per contest — see fill_pitchers), with the
+per-game cogroup form kept as the parity anchor. Fresh implementation
+(not a copy); parallelizes across games like F1.
 """
 
 from __future__ import annotations
@@ -101,7 +102,10 @@ def _pitcher_map_iter(batches):
                     queues[row.side].append(row.player_name)
             else:
                 name = pitcher_step(queues, ptr, row.half, row.play_text)
-                out.append((row.contest_id, row.play_id, name))
+                # play_id is nullable in the tag-union (lineup rows carry
+                # null), so pandas promotes it to float64 — cast back
+                # explicitly rather than trusting the arrow float->long cast
+                out.append((row.contest_id, int(row.play_id), name))
         yield pd.DataFrame(out, columns=["contest_id", "play_id", "pitcher_name"])
 
 

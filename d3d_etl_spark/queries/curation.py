@@ -102,7 +102,7 @@ def z_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = z_corpus_lm_score(spark, sf_dir).select("doc_id", "nll")
     span = z_corpus_span_dedup(spark, sf_dir).select("doc_id", "would_trim")
 
-    d = mixing_doc_grain(docs)
+    d = mixing_doc_grain(docs, materialize=False)  # surv below carries the barrier
     surv = (
         d.join(lm, "doc_id")
         .join(span, "doc_id", "left")

@@ -318,18 +318,24 @@ def mixing_profile(d: DataFrame) -> DataFrame:
     )
 
 
-def mixing_doc_grain(docs: DataFrame, salt: str = "mix") -> DataFrame:
-    """(doc_id, lang, n_tok, u): the doc-grain input mixing_profile needs,
-    materialized (tokenize+hash must run once across its two consumers)."""
+def mixing_doc_grain(docs: DataFrame, salt: str = "mix", materialize: bool = True) -> DataFrame:
+    """(doc_id, lang, n_tok, u): the doc-grain input mixing_profile needs.
+
+    `materialize` barriers the frame for MULTI-consumer use (mixing_profile
+    reads it twice); pass False when the frame feeds a single downstream
+    consumer that applies its own barrier (z_corpus_curation's survivor
+    filter) — an unconditional checkpoint there just writes a corpus-sized
+    table to read it once."""
     from d3d_etl_spark.functions.sampling import hash_bucket
     from d3d_etl_spark.functions.text import tokens
 
-    return docs.select(
+    d = docs.select(
         "doc_id",
         "lang",
         F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
         (hash_bucket(F.col("doc_id"), salt) % _MIX_U_MOD).alias("u"),
-    ).localCheckpoint()
+    )
+    return d.localCheckpoint() if materialize else d
 
 
 @register("z_corpus_mixing", _MIX_ORACLE, tags=("sampling", "corpus"))

@@ -720,14 +720,14 @@ _SPAN_CTES = f"""sp AS (
 spc AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY 1)"""
 
 _SPAN_ORACLE = f"""
-WITH {_SPAN_CTES.replace("spc AS", "c AS")}
+WITH {_SPAN_CTES}
 SELECT sp.doc_id,
        COUNT(*) AS n_spans,
-       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
-       CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= {_SPAN_TRIM_T}
+       CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_span_frac,
+       CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= {_SPAN_TRIM_T}
          AS would_trim
-FROM sp JOIN c ON sp.sh = c.sh
+FROM sp JOIN spc ON sp.sh = spc.sh
 GROUP BY sp.doc_id
 """
 

@@ -343,5 +343,9 @@ def test_partitioned_fsm_matches_grouped(spark):
             map(tuple, grouped.collect())
         )
     finally:
+        # conf.get(key, None) is None when never explicitly set — restore
+        # means UNSET in that case, or every later test runs on tiny batches
         if saved is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

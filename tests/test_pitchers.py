@@ -98,6 +98,10 @@ def test_partitioned_pitcher_fsm_matches_cogroup(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
         got = sorted(map(tuple, fill_pitchers(plays, lineups).collect()))
     finally:
+        # conf.get(key, None) is None when never explicitly set — restore
+        # means UNSET in that case, or every later test runs on tiny batches
         if saved is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert got == want and len(got) == plays.count()
