@@ -102,3 +102,46 @@ def test_mixing_single_language(spark):
     assert len(rows) == 1
     assert rows[0]["p_accept"] == 0.5
     assert rows[0]["n_kept"] <= rows[0]["n_docs"]
+
+
+def test_ensure_materialized_tmp_outside_glob(spark, tmp_path, monkeypatch):
+    """Crash-safety contract of the state materializer: builds happen in a
+    DOT-prefixed temp dir that the family glob cannot match, and stale
+    crash leftovers are swept on the next regeneration."""
+    import glob
+    import os
+
+    import d3d_etl_spark.queries.domain as dom
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    monkeypatch.setattr(dom, "_CACHE_DIR", cache)
+
+    path = os.path.join(cache, "fam_a")
+    # a previous crashed build left its temp dir behind
+    stale = os.path.join(cache, ".tmp_fam_b")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "w") as f:
+        f.write("half-written")
+
+    seen_tmp = {}
+
+    def build(tmp):
+        seen_tmp["path"] = tmp
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "data.parquet"), "w") as f:
+            f.write("ok")
+
+    dom._ensure_materialized(path, path + ".done", os.path.join(cache, "fam_*"), build)
+
+    # build ran in a dot-prefixed dir the family glob can never see
+    assert os.path.basename(seen_tmp["path"]).startswith(".tmp_")
+    assert glob.glob(os.path.join(cache, "fam_*", "*.parquet")) == [
+        os.path.join(path, "data.parquet")
+    ]
+    # the crash leftover was swept
+    assert not os.path.exists(stale)
+    # idempotent fast path: a second call does not rebuild
+    seen_tmp.clear()
+    dom._ensure_materialized(path, path + ".done", os.path.join(cache, "fam_*"), build)
+    assert not seen_tmp
