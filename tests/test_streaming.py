@@ -596,3 +596,72 @@ def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     for (vid, _oid), s in got.items():
         if vid in batch:
             assert s <= batch[vid]["nn_sim"] + 2e-6
+
+
+def test_streaming_incremental_dedup_lake_sink(spark, sf_dir, tmp_path):
+    """The docstring's sink contract, executed: multi-band duplicate pairs
+    from the stateless probe collapse at the lake sink (dedup_keys), and
+    replaying the stream into the same sink is idempotent — the lake holds
+    exactly the batch new-vs-old pair set both times."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.queries.dedup import (
+        _JACCARD_T,
+        _NEW_MOD,
+        batch1_band_state,
+        z_corpus_incremental,
+    )
+    from d3d_etl_spark.streaming.corpus import streaming_incremental_dedup
+    from d3d_etl_spark.streaming.events import stream_upsert_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.where(F.col("doc_id") % _NEW_MOD == 0).select("doc_id", "text")
+    staged = os.path.join(str(tmp_path), "doc_stream")
+    new_docs.write.parquet(staged)
+
+    state = batch1_band_state(spark, sf_dir)
+    old_docs = docs.where(F.col("doc_id") % _NEW_MOD != 0)
+    lake = os.path.join(str(tmp_path), "lake")
+
+    def run(checkpoint):
+        stream_src = spark.readStream.schema(new_docs.schema).parquet(staged)
+        alerts = streaming_incremental_dedup(stream_src, state, old_docs, _JACCARD_T)
+        q = (
+            stream_upsert_sink(
+                alerts, lake, checkpoint,
+                partition_by=(), dedup_keys=("doc_id", "old_id"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # orientation: streaming emits (new doc_id, old_id); batch pairs are
+    # (min, max) — normalize to new-first (exactly one side is new)
+    want = {
+        (r["doc_a"], r["doc_b"]) if r["doc_a"] % _NEW_MOD == 0
+        else (r["doc_b"], r["doc_a"])
+        for r in z_corpus_incremental(spark, sf_dir)
+        .where(F.col("vs") == "new-old")
+        .collect()
+    }
+
+    run(os.path.join(str(tmp_path), "ckpt1"))
+    got1 = {
+        (r["doc_id"], r["old_id"])
+        for r in spark.read.parquet(lake).select("doc_id", "old_id").collect()
+    }
+    assert got1 == want
+    # replay into the same lake with a FRESH checkpoint: idempotent
+    run(os.path.join(str(tmp_path), "ckpt2"))
+    got2 = {
+        (r["doc_id"], r["old_id"])
+        for r in spark.read.parquet(lake).select("doc_id", "old_id").collect()
+    }
+    assert got2 == want
+    # and the lake rows are unique (the sink's dedup_keys collapsed the
+    # once-per-shared-band duplicates)
+    n = spark.read.parquet(lake).count()
+    assert n == len(want)
