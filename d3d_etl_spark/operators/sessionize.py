@@ -11,7 +11,7 @@ with forced-advance cascades — live in operators/fsm.py as grouped maps.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

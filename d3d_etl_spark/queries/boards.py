@@ -6,7 +6,7 @@ pitching.py:111-168, war_calculation/common.py:39-48.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.queries.domain import (

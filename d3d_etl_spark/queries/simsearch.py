@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d3d_etl_spark.functions.vectors import cosine
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.operators.similarity import (
     assign_nearest_centroid,

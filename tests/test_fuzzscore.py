@@ -13,7 +13,6 @@ import re
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.fuzzscore import (
     HAVE_RAPIDFUZZ,

@@ -6,12 +6,10 @@ per-event wOBA weights, against hand-built fixtures."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from d3d_etl_spark.pbp.metrics import expected_runs_long, linear_weights, add_re24
 from d3d_etl_spark.pbp.metrics_full import PBP_WITH_METRICS_SCHEMA, pbp_with_metrics
 from d3d_etl_spark.pbp.parser import parse_pbp
-from tests.test_pbp import _GAME
 from tests.test_win_prob import _we
 
 

@@ -73,8 +73,6 @@ def test_partitioned_pitcher_fsm_matches_cogroup(spark):
     to the per-game cogroup form across many generated games — including a
     game with NO lineup rows (pitcher None) and tiny arrow batches that
     straddle game boundaries."""
-    from pyspark.sql import functions as F
-
     from d3d_etl_spark.pbp.parser import add_metadata
     from d3d_etl_spark.pbp.pitchers import fill_pitchers, fill_pitchers_grouped
     from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games

@@ -196,7 +196,7 @@ def test_streaming_base_state_matches_batch(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from d3d_etl_spark.pbp.parser import add_events, add_metadata
+    from d3d_etl_spark.pbp.parser import add_metadata
     from d3d_etl_spark.pbp.state import BASE_STATE_SCHEMA, base_state_fsm
     from d3d_etl_spark.operators.fsm import run_grouped_fsm
     from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
