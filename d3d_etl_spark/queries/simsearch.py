@@ -845,3 +845,121 @@ def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim").alias("nn_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z_sim_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+# dedup = k-means cluster the embeddings, search near-duplicate pairs only
+# WITHIN each cluster, and from every qualifying pair drop the member whose
+# cosine to its cluster centroid is HIGHER (the paper keeps the duplicate
+# farthest from the centroid — the most "informative" copy). Composes the
+# oracled kmeans arm (hash-seeded Lloyd step, sim_assign_family) with the
+# within-cluster pair operator; the drop rule is a deterministic
+# (centroid_sim, vec_id) lexicographic loser per pair, no recursion.
+# Scale shape: pair work is sum(c_i^2) not n^2 (cluster-local self-join),
+# centroid table is k*dim broadcast rows, the drop set is pair-bounded and
+# broadcast back over the corpus. Output: one row per vector with its
+# assigned cluster, centroid sim, and kept flag (the full dedup decision —
+# every assignment participates in the hash).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % {_K_CLUSTERS} AS cluster,
+         x, pos
+  FROM e0
+),
+cents AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY cluster, pos
+),
+scores AS (
+  SELECT e.vec_id, c.cluster,
+         SUM(e.x * c.c) AS dot, SUM(e.x * e.x) AS nx2, SUM(c.c * c.c) AS nc2
+  FROM comps e JOIN cents c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cluster, ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) AS csim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, cluster
+         ) AS rn
+  FROM scores
+),
+asgn AS (SELECT vec_id, cluster, csim FROM ranked WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.csim AS ca, b.csim AS cb,
+         SUM(ea.x * eb.x) AS dot, SUM(ea.x * ea.x) AS na2, SUM(eb.x * eb.x) AS nb2
+  FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN e0 ea ON ea.vec_id = a.vec_id
+  JOIN e0 eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+  GROUP BY 1, 2, 3, 4
+),
+drops AS (
+  SELECT DISTINCT
+         CASE WHEN ca > cb OR (ca = cb AND id_a > id_b) THEN id_a ELSE id_b END AS vec_id
+  FROM p
+  WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster, a.csim,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""
+
+
+@register("z_sim_semdedup", _SEMDEDUP_ORACLE, tags=("similarity", "dedup"))
+def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings table: hash-seeded k-means step ->
+    within-cluster cosine pairs (>= tau) -> drop the closer-to-centroid
+    member of each pair. Beyond-reference LLM-pipeline operator."""
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = emb.withColumn(
+        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
+    )
+    cents = label_centroids(seeded, "cluster")
+    clustered = (
+        emb.join(
+            assign_nearest_centroid(seeded, cents, "cluster").select(
+                "vec_id",
+                F.col("assigned_label").alias("cluster"),
+                F.col("sim").alias("csim"),
+            ),
+            "vec_id",
+        )
+        # one assignment pass feeds BOTH sides of the pair self-join and the
+        # final output — without the barrier the centroid agg runs 3x
+        .localCheckpoint()
+    )
+    pairs = within_cluster_near_pairs(clustered, _SEMDEDUP_TAU)
+    cs = clustered.select("vec_id", "csim")
+    p = pairs.join(
+        cs.select(F.col("vec_id").alias("id_a"), F.col("csim").alias("ca")), "id_a"
+    ).join(cs.select(F.col("vec_id").alias("id_b"), F.col("csim").alias("cb")), "id_b")
+    loser = F.when(
+        (F.col("ca") > F.col("cb"))
+        | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    drops = p.select(loser.alias("vec_id")).distinct()
+    # drop set is pair-bounded (<< corpus) -> broadcast flag join
+    return clustered.join(
+        F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        "csim",
+        F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )

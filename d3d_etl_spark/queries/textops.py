@@ -846,3 +846,96 @@ def z_corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, p1, p2, cnt) for i, (p1, p2, cnt) in enumerate(merges)],
         "merge_idx int, p1 string, p2 string, cnt long",
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_shard_balance — size-balanced training-shard assignment
+# (serpentine / boustrophedon packing): rank documents by token count
+# descending, then deal rank r to shard serpentine(r, S) — block b = r div S
+# walks shards left-to-right when b is even, right-to-left when odd, so each
+# block of S consecutive-sized docs spreads one doc per shard and the
+# big-doc/small-doc imbalance alternates direction. This is the standard
+# deterministic writer shape for "emit N training shards with near-equal
+# token totals" (greedy LPT without the priority queue — fully data-parallel).
+#
+# The GLOBAL rank is computed two-level like corpus_chunk_pack's prefix sum:
+# bucket docs by token-count RANGE (bucket = n div B, so any doc in a higher
+# bucket strictly out-ranks any doc in a lower bucket), rank within buckets
+# by a partitioned window, then add tiny broadcast bucket-count offsets — no
+# global-order window collapsing to one partition. SIZING RULE at scale: B
+# bounds the per-bucket window partition; pick B so n_docs_per_bucket ~
+# corpus/parallelism (the token-count histogram is known from corpus_doc_stats).
+# Output: one row per shard with its doc count + token total — the balance
+# itself is what the hash verifies.
+# ---------------------------------------------------------------------------
+
+_SHARDS = 16
+_RANK_BUCKET = 8  # token-count range width per rank bucket
+
+
+_SHARD_BALANCE_ORACLE = f"""
+WITH t AS (SELECT doc_id, len({_TOK}) AS n FROM documents),
+r AS (
+  SELECT doc_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1 AS r0
+  FROM t
+),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN (r0 // {_SHARDS}) % 2 = 0
+              THEN r0 % {_SHARDS}
+              ELSE {_SHARDS} - 1 - (r0 % {_SHARDS}) END AS shard
+  FROM r
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM s
+GROUP BY 1
+"""
+
+
+@register("z_corpus_shard_balance", _SHARD_BALANCE_ORACLE, tags=("textops", "sharding"))
+def z_corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine token-balanced shard assignment over `documents`, global
+    rank via range-bucketed two-level prefix counts (no single-partition
+    window). Beyond-reference LLM-pipeline operator (training-shard writer)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+    ).withColumn("bucket", F.expr(f"n div {_RANK_BUCKET}"))
+
+    # level 1: rank within each token-count range bucket
+    w_in = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("doc_id"))
+    within = t.withColumn("rn_in", F.row_number().over(w_in))
+
+    # level 2: tiny offsets table — docs in strictly-higher buckets all rank
+    # earlier (bucket = n div B makes cross-bucket order exact, see header)
+    counts = t.groupBy("bucket").agg(F.count("*").alias("bcount"))
+    w_b = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("bcount").over(w_b), F.lit(0))
+    ).select("bucket", "offset")
+
+    # integer div (not double-cast division): exact past 2^53 doc ranks
+    serp = F.expr(
+        f"CASE WHEN (r0 div {_SHARDS}) % 2 = 0 THEN r0 % {_SHARDS} "
+        f"ELSE {_SHARDS} - 1 - (r0 % {_SHARDS}) END"
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("r0", F.col("offset") + F.col("rn_in") - 1)
+        .withColumn("shard", serp.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

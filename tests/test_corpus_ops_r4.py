@@ -129,3 +129,61 @@ def test_sim_incremental_state_and_bounds(spark):
     # near-random synthetic vectors are the ANN worst case: nprobe=3 of
     # 10 cells measured 0.5-0.6 recall@1 here; the pin catches collapse
     assert hits / len(out) >= 0.4, f"top-1 recall collapsed: {hits}/{len(out)}"
+
+
+def test_shard_balance_properties(spark):
+    """Serpentine packing: every shard exists, doc counts differ by at most
+    1, token totals are near-equal (within one max-doc size), and the
+    two-level distributed rank reproduces the naive global sort rank."""
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from d3d_etl_spark.queries.textops import _SHARDS
+
+    pdf = (
+        REGISTRY["z_corpus_shard_balance"]
+        .fn(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values("shard")
+    )
+    assert list(pdf["shard"]) == list(range(_SHARDS))
+    assert pdf["n_docs"].max() - pdf["n_docs"].min() <= 1
+    # serpentine keeps totals within ~one document of each other; the
+    # corpus max doc length bounds the spread
+    from d3d_etl_spark.functions.text import tokens
+    from d3d_etl_spark.io import load_table
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    max_doc = docs.select(F.max(F.size(tokens(F.col("text"))))).first()[0]
+    assert pdf["total_tokens"].max() - pdf["total_tokens"].min() <= max_doc
+    assert pdf["total_tokens"].sum() == docs.select(
+        F.sum(F.size(tokens(F.col("text"))))
+    ).first()[0]
+
+
+def test_semdedup_drop_rule(spark):
+    """SemDeDup drop decisions: kept+dropped partition the corpus; every
+    dropped vector has a surviving-or-dropped within-cluster neighbor at
+    >= tau whose centroid-sim is lower-or-equal (the loser rule); survivors
+    of a pair never both stay when one loses."""
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from d3d_etl_spark.queries.simsearch import _SEMDEDUP_TAU
+
+    res = REGISTRY["z_sim_semdedup"].fn(spark, TEST_SF_DIR)
+    pdf = res.toPandas()
+    assert set(pdf["kept"].unique()) <= {0, 1}
+    clustered = res.selectExpr("vec_id", "cluster", "csim")
+    from d3d_etl_spark.io import load_table
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    pairs = within_cluster_near_pairs(
+        clustered.join(emb, "vec_id"), _SEMDEDUP_TAU
+    ).toPandas()
+    csim = dict(zip(pdf["vec_id"], pdf["csim"]))
+    kept = dict(zip(pdf["vec_id"], pdf["kept"]))
+    losers = set()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        loser = a if (csim[a], a) > (csim[b], b) else b
+        losers.add(loser)
+        assert kept[loser] == 0, (a, b)
+    # exactly the losers are dropped — nothing else
+    assert losers == set(pdf.loc[pdf["kept"] == 0, "vec_id"])

@@ -429,3 +429,32 @@ def test_bpe_trainer_matches_python_reference(spark):
     rows = df.select(apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
     assert rows[0]["m"] == ["aa", "aa"]
     assert rows[1]["m"] == ["aa", "a"]
+
+
+def test_within_cluster_near_pairs_semantics(spark):
+    """SemDeDup pair stage: cluster-locality, threshold, canonical
+    orientation, and an exactly-known cosine. Vectors: a==b (cos 1.0) in
+    cluster 0; c orthogonal to both, same cluster; d identical to a but in
+    cluster 1 -> must NOT pair across clusters."""
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        (4, 1, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cluster long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.pair_sim
+        for r in within_cluster_near_pairs(df, 0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    # lower threshold admits nothing new (orthogonals are 0.0), negative
+    # threshold admits the orthogonal pairs too
+    got_all = {
+        (r.id_a, r.id_b): r.pair_sim
+        for r in within_cluster_near_pairs(df, -1.0).collect()
+    }
+    assert set(got_all) == {(1, 2), (1, 3), (2, 3)}
+    assert got_all[(1, 3)] == 0.0 and got_all[(2, 3)] == 0.0
