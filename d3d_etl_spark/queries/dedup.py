@@ -601,3 +601,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("long").alias("h"),
     )
     return sig.unionByName(pair)
+
+
+# ---------------------------------------------------------------------------
+# z_dedup_canonical_quality — quality-aware representative selection: the
+# production variant of dedup_canonical. Real corpus pipelines keep the
+# BEST document of each near-dup cluster (longest / highest quality), not
+# the lowest id — the duplicates are usually truncated or boilerplated
+# copies of the fullest one. Same LSH-gated pair stage + transitive
+# closure; the representative is then rank-1 per component by
+# (n_chars DESC, doc_id ASC). Output: per-lang profile of the surviving
+# corpus plus how many survivors are cluster representatives (vs docs that
+# were never in any near-dup pair).
+# Scale shape: comp is duplicate-bounded (<< corpus); the per-component
+# window partitions on component (bounded by cluster size); drop and
+# representative sets broadcast back over the corpus.
+# ---------------------------------------------------------------------------
+
+_CANON_QUALITY_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+{_LSH_PAIR_CTES},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+ranked AS (
+  SELECT c.node, ROW_NUMBER() OVER (
+           PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.node
+         ) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+drops AS (SELECT node FROM ranked WHERE rn > 1),
+reps AS (SELECT node FROM ranked WHERE rn = 1)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN r.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reps
+FROM documents d
+LEFT JOIN reps r ON d.doc_id = r.node
+WHERE d.doc_id NOT IN (SELECT node FROM drops)
+GROUP BY d.lang
+"""
+
+
+@register("z_dedup_canonical_quality", _CANON_QUALITY_ORACLE, tags=("dedup",))
+def z_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter keeping the longest doc per near-dup cluster (quality-
+    aware canonical selection). Beyond-reference LLM-pipeline operator."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(lsh_gated_pairs_base(shingle_base(docs)))
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = (
+        comp.join(
+            docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        # one closure pass feeds both the drop and representative sets
+        .localCheckpoint()
+    )
+    drops = ranked.where(F.col("rn") > 1).select("node")
+    reps = ranked.where(F.col("rn") == 1).select("node", F.lit(1).alias("_rep"))
+    kept = docs.join(
+        F.broadcast(drops), docs["doc_id"] == drops["node"], "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(reps), kept["doc_id"] == reps["node"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("long").alias("n_reps"),
+        )
+    )

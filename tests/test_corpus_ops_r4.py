@@ -187,3 +187,66 @@ def test_semdedup_drop_rule(spark):
         assert kept[loser] == 0, (a, b)
     # exactly the losers are dropped — nothing else
     assert losers == set(pdf.loc[pdf["kept"] == 0, "vec_id"])
+
+
+def test_canonical_quality_keeps_longest(spark):
+    """Quality-aware canonical selection must keep at least as many chars
+    as the min-id variant (keeping the longest of each cluster maximizes
+    surviving chars), drop exactly one doc per pairally-connected cluster
+    member beyond the representative, and mark exactly one rep per cluster."""
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.dedup import connected_components
+    from d3d_etl_spark.queries.dedup import lsh_gated_pairs_base, shingle_base
+    from d3d_etl_spark.queries.registry import REGISTRY
+
+    qual = (
+        REGISTRY["z_dedup_canonical_quality"].fn(spark, TEST_SF_DIR).toPandas()
+    )
+    minid = REGISTRY["dedup_canonical"].fn(spark, TEST_SF_DIR).toPandas()
+    assert qual["total_chars"].sum() >= minid["total_chars"].sum()
+    assert qual["n_docs"].sum() == minid["n_docs"].sum()  # same cluster count
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    comp = connected_components(
+        lsh_gated_pairs_base(shingle_base(docs))
+    ).toPandas()
+    n_clusters = comp["component"].nunique()
+    assert qual["n_reps"].sum() == n_clusters
+    # survivors = corpus - (cluster members beyond one rep each)
+    n_total = docs.count()
+    assert qual["n_docs"].sum() == n_total - (len(comp) - n_clusters)
+
+
+def test_semdedup_exact_duplicate_recall(spark):
+    """Structural recall guarantee: identical vectors are assigned the same
+    cluster regardless of their hash SEED (assignment depends only on the
+    embedding), so exact duplicates are always caught by the within-cluster
+    pair stage — the SemDeDup blind spot is only near-dups split across
+    clusters, never exact copies."""
+    import random
+
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.operators.similarity import (
+        assign_nearest_centroid,
+        label_centroids,
+        within_cluster_near_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(5)]  # planted exact dups
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeded = emb.withColumn(
+        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(4))
+    )
+    cents = label_centroids(seeded, "cluster")
+    asgn = assign_nearest_centroid(seeded, cents, "cluster")
+    clustered = emb.join(
+        asgn.select("vec_id", F.col("assigned_label").alias("cluster")), "vec_id"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_near_pairs(clustered, 0.999999).collect()
+    }
+    assert {(i, 100 + i) for i in range(5)} <= got

@@ -315,3 +315,20 @@ def test_sim_canon_pair_stage_ann_gated(spark):
     assert "FlatMapCoGroupsInArrow" not in plan, (
         "gated path must not fall back to the all-pairs block cogroup"
     )
+
+
+def test_semdedup_plan_cluster_local(spark, sf_dir):
+    """z_sim_semdedup's pair stage must stay cluster-local: the self-join is
+    keyed on the cluster label (never a cartesian all-pairs), and the
+    pair-bounded drop set broadcasts back over the corpus."""
+    import inspect
+
+    import d3d_etl_spark.queries.simsearch as ss
+
+    df = REGISTRY["z_sim_semdedup"].fn(spark, sf_dir)
+    s = summarize_plan(df)
+    assert "CartesianProduct" not in s.text, "semdedup pair stage went all-pairs"
+    assert s.n_broadcast_joins >= 1, "drop-set flag join must broadcast"
+    # source-level: the query routes through the within-cluster operator
+    src = inspect.getsource(ss.z_sim_semdedup)
+    assert "within_cluster_near_pairs" in src
