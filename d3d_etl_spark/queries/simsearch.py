@@ -865,8 +865,9 @@ def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35
 
-_SEMDEDUP_ORACLE = f"""
-WITH e0 AS (
+# shared CTE body (e0 -> asgn -> pairs -> drops): z_sim_semdedup publishes
+# the per-vector decision; z_sim_d4 stacks prototype pruning on top
+_SEMDEDUP_CTES = f"""e0 AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS pos
   FROM embeddings
@@ -910,18 +911,21 @@ drops AS (
          CASE WHEN ca > cb OR (ca = cb AND id_a > id_b) THEN id_a ELSE id_b END AS vec_id
   FROM p
   WHERE ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) >= {_SEMDEDUP_TAU}
-)
+)"""
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_SEMDEDUP_CTES}
 SELECT a.vec_id, a.cluster, a.csim,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
 
 
-@register("z_sim_semdedup", _SEMDEDUP_ORACLE, tags=("similarity", "dedup"))
-def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup over the embeddings table: hash-seeded k-means step ->
-    within-cluster cosine pairs (>= tau) -> drop the closer-to-centroid
-    member of each pair. Beyond-reference LLM-pipeline operator."""
+def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared SemDeDup stages: (clustered, drops). `clustered` carries
+    (vec_id, embedding, ..., cluster, csim) behind a localCheckpoint barrier
+    (one assignment pass feeds both pair-join sides and the final output);
+    `drops` is the pair-bounded loser set."""
     from d3d_etl_spark.functions.strings import md5_int
     from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
 
@@ -930,19 +934,14 @@ def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
     )
     cents = label_centroids(seeded, "cluster")
-    clustered = (
-        emb.join(
-            assign_nearest_centroid(seeded, cents, "cluster").select(
-                "vec_id",
-                F.col("assigned_label").alias("cluster"),
-                F.col("sim").alias("csim"),
-            ),
+    clustered = emb.join(
+        assign_nearest_centroid(seeded, cents, "cluster").select(
             "vec_id",
-        )
-        # one assignment pass feeds BOTH sides of the pair self-join and the
-        # final output — without the barrier the centroid agg runs 3x
-        .localCheckpoint()
-    )
+            F.col("assigned_label").alias("cluster"),
+            F.col("sim").alias("csim"),
+        ),
+        "vec_id",
+    ).localCheckpoint()
     pairs = within_cluster_near_pairs(clustered, _SEMDEDUP_TAU)
     cs = clustered.select("vec_id", "csim")
     p = pairs.join(
@@ -953,7 +952,15 @@ def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
         F.col("id_a"),
     ).otherwise(F.col("id_b"))
-    drops = p.select(loser.alias("vec_id")).distinct()
+    return clustered, p.select(loser.alias("vec_id")).distinct()
+
+
+@register("z_sim_semdedup", _SEMDEDUP_ORACLE, tags=("similarity", "dedup"))
+def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings table: hash-seeded k-means step ->
+    within-cluster cosine pairs (>= tau) -> drop the closer-to-centroid
+    member of each pair. Beyond-reference LLM-pipeline operator."""
+    clustered, drops = _semdedup_parts(spark, sf_dir)
     # drop set is pair-bounded (<< corpus) -> broadcast flag join
     return clustered.join(
         F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left"
@@ -962,4 +969,72 @@ def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         "csim",
         F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_sim_d4 — the D4 pipeline (Tirumala et al. 2023, arXiv:2308.12284):
+# SemDeDup followed by SSL-prototype pruning (Sorscher et al. 2022) — after
+# removing semantic duplicates, also prune the most PROTOTYPICAL fraction of
+# each cluster (the survivors closest to their centroid carry the least
+# marginal information; the hard, far-from-centroid examples are kept).
+# Deterministic: survivors ranked per cluster by (csim DESC, vec_id ASC);
+# the top floor(n_c / DEN) rows are pruned. Output: one row per vector with
+# its terminal stage ('semdedup_drop' | 'prototype_drop' | 'kept').
+# Scale shape: everything SemDeDup had, plus one per-cluster window over
+# survivors (bounded by cluster size — same k sizing rule).
+# ---------------------------------------------------------------------------
+
+_D4_PRUNE_DEN = 4  # prune the most-prototypical 1/4 of each cluster's survivors
+
+_D4_ORACLE = f"""
+WITH {_SEMDEDUP_CTES},
+surv AS (
+  SELECT a.vec_id, a.cluster, a.csim
+  FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+r AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY csim DESC, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS nc
+  FROM surv
+)
+SELECT a.vec_id, a.cluster, a.csim,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'semdedup_drop'
+            WHEN r.rn <= r.nc // {_D4_PRUNE_DEN} THEN 'prototype_drop'
+            ELSE 'kept' END AS stage
+FROM asgn a
+LEFT JOIN drops d ON a.vec_id = d.vec_id
+LEFT JOIN r ON a.vec_id = r.vec_id
+"""
+
+
+@register("z_sim_d4", _D4_ORACLE, tags=("similarity", "dedup"))
+def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 data selection: SemDeDup drops, then prototype-prune the
+    closest-to-centroid 1/DEN of each cluster's survivors. Beyond-reference
+    LLM-pipeline operator."""
+    from pyspark.sql import Window
+
+    clustered, drops = _semdedup_parts(spark, sf_dir)
+    flagged = clustered.join(
+        F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left"
+    ).select("vec_id", "cluster", "csim", "_d")
+    surv = flagged.where(F.col("_d").isNull())
+    w_rank = Window.partitionBy("cluster").orderBy(F.desc("csim"), F.asc("vec_id"))
+    w_count = Window.partitionBy("cluster")
+    r = surv.select(
+        "vec_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_count).alias("nc"),
+    )
+    stage = (
+        F.when(F.col("_d").isNotNull(), "semdedup_drop")
+        .when(F.col("rn") <= F.expr(f"nc div {_D4_PRUNE_DEN}"), "prototype_drop")
+        .otherwise("kept")
+    )
+    return (
+        flagged.join(r, "vec_id", "left")
+        .select("vec_id", "cluster", "csim", stage.alias("stage"))
     )

@@ -250,3 +250,26 @@ def test_semdedup_exact_duplicate_recall(spark):
         for r in within_cluster_near_pairs(clustered, 0.999999).collect()
     }
     assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_d4_stage_semantics(spark):
+    """D4 pipeline: stage partition is consistent with z_sim_semdedup
+    (identical semdedup_drop set), per-cluster prototype_drop count is
+    exactly floor(survivors/DEN), and every prototype_drop out-ranks (by
+    centroid sim) every kept survivor in its cluster."""
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from d3d_etl_spark.queries.simsearch import _D4_PRUNE_DEN
+
+    d4 = REGISTRY["z_sim_d4"].fn(spark, TEST_SF_DIR).toPandas()
+    sd = REGISTRY["z_sim_semdedup"].fn(spark, TEST_SF_DIR).toPandas()
+    assert set(d4.loc[d4["stage"] == "semdedup_drop", "vec_id"]) == set(
+        sd.loc[sd["kept"] == 0, "vec_id"]
+    )
+    surv = d4[d4["stage"] != "semdedup_drop"]
+    for cluster, grp in surv.groupby("cluster"):
+        n_proto = (grp["stage"] == "prototype_drop").sum()
+        assert n_proto == len(grp) // _D4_PRUNE_DEN, cluster
+        if n_proto:
+            worst_dropped = grp.loc[grp["stage"] == "prototype_drop", "csim"].min()
+            best_kept = grp.loc[grp["stage"] == "kept", "csim"].max()
+            assert worst_dropped >= best_kept, cluster

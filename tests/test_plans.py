@@ -329,6 +329,12 @@ def test_semdedup_plan_cluster_local(spark, sf_dir):
     s = summarize_plan(df)
     assert "CartesianProduct" not in s.text, "semdedup pair stage went all-pairs"
     assert s.n_broadcast_joins >= 1, "drop-set flag join must broadcast"
-    # source-level: the query routes through the within-cluster operator
-    src = inspect.getsource(ss.z_sim_semdedup)
-    assert "within_cluster_near_pairs" in src
+    # source-level: both SemDeDup-family queries route through the shared
+    # stage helper, which routes through the within-cluster operator
+    assert "within_cluster_near_pairs" in inspect.getsource(ss._semdedup_parts)
+    for fn in (ss.z_sim_semdedup, ss.z_sim_d4):
+        assert "_semdedup_parts" in inspect.getsource(fn)
+
+    # D4 adds only survivor-bounded windows on top — still no cartesian
+    d4 = REGISTRY["z_sim_d4"].fn(spark, sf_dir)
+    assert "CartesianProduct" not in summarize_plan(d4).text
