@@ -1010,7 +1010,7 @@ LEFT JOIN r ON a.vec_id = r.vec_id
 """
 
 
-@register("z_sim_d4", _D4_ORACLE, tags=("similarity", "dedup"))
+@register("z_sim_d4", _D4_ORACLE, tags=("similarity", "dedup"), bench=True)
 def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 data selection: SemDeDup drops, then prototype-prune the
     closest-to-centroid 1/DEN of each cluster's survivors. Beyond-reference

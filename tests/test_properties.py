@@ -189,3 +189,43 @@ def test_connected_components_log_rounds_on_chain(spark):
     assert dd.last_cc_rounds <= bound, (
         f"star rounds {dd.last_cc_rounds} > O(log n) bound {bound}"
     )
+
+
+def test_serpentine_rank_two_level_equals_naive(spark):
+    """The range-bucketed two-level global rank behind z_corpus_shard_balance
+    must equal a naive single-window rank for ANY token-count multiset —
+    including heavy ties and skewed distributions. Randomized multisets with
+    a fixed seed; failure would mean the cross-bucket strict-order argument
+    (bucket = n div B) is broken."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    for trial in range(3):
+        rows = [
+            (i, rng.choice([0, 1, 7, 8, 9, 15, 16, 40, rng.randint(0, 100)]))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        naive = {
+            r.doc_id: r.rk
+            for r in df.withColumn(
+                "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("doc_id")))
+            ).collect()
+        }
+        b = df.withColumn("bucket", F.expr("n div 8"))
+        w_in = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("doc_id"))
+        within = b.withColumn("rn_in", F.row_number().over(w_in))
+        counts = b.groupBy("bucket").agg(F.count("*").alias("bcount"))
+        w_b = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "offset", F.coalesce(F.sum("bcount").over(w_b), F.lit(0))
+        ).select("bucket", "offset")
+        two_level = {
+            r.doc_id: r.rk
+            for r in within.join(offsets, "bucket")
+            .withColumn("rk", F.col("offset") + F.col("rn_in"))
+            .collect()
+        }
+        assert two_level == naive, trial

@@ -312,3 +312,20 @@ def test_incremental_dedup_selective_fetch(spark, tmp_path):
     for k in base:
         assert got[k] == pytest.approx(base[k])
     assert touched  # the proof exercised real pairs
+
+
+def test_semdedup_pair_volume_is_cluster_bounded(spark):
+    """SemDeDup's candidate volume must be sum over clusters of c*(c-1)/2 —
+    never the all-pairs n*(n-1)/2. With k reasonably balanced clusters
+    that's ~n^2/(2k): assert the actual un-thresholded pair count equals the
+    cluster-size formula exactly and sits well under half of all-pairs."""
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
+    from d3d_etl_spark.queries.simsearch import _semdedup_parts
+
+    clustered, _ = _semdedup_parts(spark, "/root/testdata/sf0.01")
+    n = clustered.count()
+    sizes = [r.c for r in clustered.groupBy("cluster").agg(F.count("*").alias("c")).collect()]
+    expected = sum(c * (c - 1) // 2 for c in sizes)
+    got = within_cluster_near_pairs(clustered, -1.0).count()
+    assert got == expected
+    assert got < n * (n - 1) // 2 / 2, "cluster gating bought less than 2x"
