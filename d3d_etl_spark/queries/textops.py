@@ -939,3 +939,104 @@ def z_corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_lr_step — quality-classifier training step (the CCNet/fastText
+# shape): logistic regression over hashed bag-of-words features, one
+# full-batch gradient-descent step from a deterministic md5-seeded weight
+# vector, label = (lang = 'en'). The trainer loop (operators/classifier.py
+# lr_gradient_step iterated) is pytest-pinned for loss descent; the oracled
+# query publishes step 1 — seed weight, exact-integer gradient, updated
+# weight per feature. Determinism: features and weights quantized to 1e-6,
+# margin and gradient are exact integer sums, the single exp() runs on
+# identical doubles inside a ROUND (the lm_score ln() precedent).
+# ---------------------------------------------------------------------------
+
+_LR_FEATURES = 64
+_LR_RATE = 0.5
+
+_LR_STEP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOK} AS w FROM documents),
+ex AS (
+  SELECT doc_id, len(w) AS nd, unnest(w) AS tok FROM toks WHERE len(w) > 0
+),
+xc AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_LR_FEATURES} AS j,
+         nd, COUNT(*) AS c
+  FROM ex GROUP BY 1, 2, 3
+),
+x AS (SELECT doc_id, j, CAST(ROUND(1000000.0 * c / nd) AS BIGINT) AS x_q FROM xc),
+w0 AS (
+  SELECT r.range AS j,
+         (('0x' || substr(md5('w:' || CAST(r.range AS VARCHAR)), 1, 8))::BIGINT
+          % 2001 - 1000) / 1000.0 AS w
+  FROM range({_LR_FEATURES}) r
+),
+wq AS (SELECT j, w, CAST(ROUND(w * 1000000.0) AS BIGINT) AS w_q FROM w0),
+margin AS (
+  SELECT x.doc_id,
+         CAST(SUM(x.x_q * wq.w_q) AS DOUBLE) / 1000000000000.0 AS m
+  FROM x JOIN wq ON x.j = wq.j GROUP BY 1
+),
+p AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 / (1.0 + EXP(-m))) AS BIGINT) AS p_q
+  FROM margin
+),
+y AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_q
+  FROM toks WHERE len(w) > 0
+),
+g AS (
+  SELECT x.j, SUM((p.p_q - y.y_q) * x.x_q) AS g_int
+  FROM x JOIN p ON x.doc_id = p.doc_id JOIN y ON x.doc_id = y.doc_id
+  GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM y)
+SELECT w0.j AS feature,
+       w0.w AS w0,
+       CAST(COALESCE(g.g_int, 0) AS BIGINT) AS g_int,
+       w0.w - {_LR_RATE} * CAST(COALESCE(g.g_int, 0) AS DOUBLE)
+            / 1000000000000.0 / n.n_docs AS w1
+FROM w0 LEFT JOIN g ON w0.j = g.j CROSS JOIN n
+"""
+
+
+@register("z_corpus_lr_step", _LR_STEP_ORACLE, tags=("textops", "classifier"))
+def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracled GD step of the hashed-BoW logistic quality classifier
+    (label: lang = 'en'). Beyond-reference LLM-pipeline operator."""
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.operators.classifier import (
+        X_SCALE,
+        hashed_features,
+        lr_gradient_step,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    # one explode feeds features; labels restricted to docs with features
+    xq = hashed_features(docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES)
+    labels = (
+        docs.select(
+            "doc_id",
+            F.size(tok).alias("nd"),
+            F.when(F.col("lang") == "en", F.lit(X_SCALE)).otherwise(0).cast("long").alias("y_q"),
+        )
+        .where(F.col("nd") > 0)
+        .select("doc_id", "y_q")
+    )
+    w0 = spark.range(_LR_FEATURES).select(
+        F.col("id").alias("j"),
+        (
+            (md5_int(F.concat(F.lit("w:"), F.col("id").cast("string"))) % 2001 - 1000)
+            / 1000.0
+        ).alias("w"),
+    )
+    stepped = lr_gradient_step(xq, labels, w0, _LR_RATE)
+    return (
+        w0.select("j", F.col("w").alias("w0"))
+        .join(stepped.select("j", F.col("w").alias("w1"), "g_int"), "j")
+        .select(F.col("j").alias("feature"), "w0", "g_int", "w1")
+    )
