@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.sampling import sql_hash_bucket
+from d3d_etl_spark.functions.text import sql_tokens, sql_word_shingles
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.queries.registry import register
 from d3d_etl_spark.queries.sampling import (
@@ -125,4 +126,139 @@ def z_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_accept",
         F.col("n_kept").alias("n_final"),
         F.col("kept_tokens").alias("final_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_dsir — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every document by how target-like its hashed
+# n-gram distribution is, then Gumbel-top-k resample toward the target.
+#   1. hashed bigram features (md5 % B buckets) — the paper's hashed n-gram
+#      feature space;
+#   2. add-one-smoothed bucket distributions for the TARGET (here: the
+#      lang='en' slice, standing in for the high-quality target domain) and
+#      the RAW corpus; per-bucket log-ratio t_j = ln p_t[j] - ln p_r[j],
+#      integer-quantized (1e-4) into a B-row broadcast table;
+#   3. per-doc log importance weight lw_d = sum_j c_dj * t_j — an EXACT
+#      integer sum (lm_score determinism contract);
+#   4. Gumbel perturbation from the doc-id hash (two ln() of identical
+#      doubles inside a ROUND), then top-K by (lw + gumbel) — the paper's
+#      sampling-without-replacement trick, made deterministic.
+# Scale shape: bucket stats are B rows (broadcast); the corpus shuffles
+# once for per-doc feature counts and once for the per-doc weight sum; the
+# top-K is a partial TakeOrdered (never a global sort), and the selected
+# set broadcasts back as a flag join. Docs without bigrams score no weight
+# and are excluded (same eligibility rule as the LM gate).
+# ---------------------------------------------------------------------------
+
+_DSIR_SH2 = sql_word_shingles(sql_tokens("text"), 2)
+_DSIR_B = 256      # feature buckets
+_DSIR_K = 100      # resample size
+_DSIR_Q = 10_000   # log-ratio / gumbel quantum (1e-4)
+_DSIR_U_MOD = 1_000_000
+
+_DSIR_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
+s AS (SELECT doc_id, lang, unnest(sh) AS s FROM toks WHERE len(sh) > 0),
+feat AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_DSIR_B} AS j,
+         COUNT(*) AS c
+  FROM s GROUP BY 1, 2, 3
+),
+rawc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat GROUP BY 1),
+tgtc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat WHERE lang = 'en' GROUP BY 1),
+tots AS (
+  SELECT (SELECT SUM(c) FROM rawc) AS tr, (SELECT SUM(c) FROM tgtc) AS tt
+),
+t AS (
+  SELECT r.j,
+         CAST(ROUND({_DSIR_Q} * (
+           LN((COALESCE(tg.c, 0) + 1.0) / (tots.tt + {_DSIR_B}))
+           - LN((r.c + 1.0) / (tots.tr + {_DSIR_B}))
+         )) AS BIGINT) AS t_q
+  FROM rawc r LEFT JOIN tgtc tg ON r.j = tg.j CROSS JOIN tots
+),
+lw AS (
+  SELECT f.doc_id, CAST(SUM(f.c * t.t_q) AS BIGINT) AS lw_q
+  FROM feat f JOIN t ON f.j = t.j GROUP BY 1
+),
+gum AS (
+  SELECT doc_id,
+         CAST(ROUND({_DSIR_Q} * (-LN(-LN(
+           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_DSIR_U_MOD} + 0.5) / {_DSIR_U_MOD}.0
+         )))) AS BIGINT) AS g_q
+  FROM lw
+),
+r AS (
+  SELECT l.doc_id, l.lw_q, gum.g_q,
+         ROW_NUMBER() OVER (ORDER BY l.lw_q + gum.g_q DESC, l.doc_id) AS rn
+  FROM lw l JOIN gum ON l.doc_id = gum.doc_id
+)
+SELECT doc_id, lw_q, g_q,
+       CAST(CASE WHEN rn <= {_DSIR_K} THEN 1 ELSE 0 END AS INTEGER) AS sel
+FROM r
+"""
+
+
+@register("z_corpus_dsir", _DSIR_ORACLE, tags=("corpus", "sampling"))
+def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the lang='en' target slice:
+    per-doc exact-integer log importance weight + deterministic Gumbel
+    top-K selection flag. Beyond-reference LLM-pipeline operator."""
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), 2)
+    feat = (
+        docs.select("doc_id", "lang", F.explode(sh).alias("s"))
+        .withColumn("j", md5_int(F.col("s")) % _DSIR_B)
+        .groupBy("doc_id", "lang", "j")
+        .agg(F.count("*").alias("c"))
+        # feeds raw stats, target stats, and the per-doc weight sum
+        .localCheckpoint()
+    )
+    rawc = feat.groupBy("j").agg(F.sum("c").alias("c"))
+    tgtc = feat.where(F.col("lang") == "en").groupBy("j").agg(F.sum("c").alias("ct"))
+    tots = rawc.agg(F.sum("c").alias("tr")).crossJoin(
+        feat.where(F.col("lang") == "en").agg(F.sum("c").alias("tt"))
+    )
+    t_q = F.round(
+        _DSIR_Q
+        * (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("c") + 1.0) / (F.col("tr") + _DSIR_B))
+        )
+    ).cast("long")
+    t = (
+        rawc.join(tgtc, "j", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("j", t_q.alias("t_q"))
+    )
+    lw = (
+        feat.join(F.broadcast(t), "j")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("t_q")).alias("lw_q"))
+    )
+    u = (
+        md5_int(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))) % _DSIR_U_MOD
+        + 0.5
+    ) / float(_DSIR_U_MOD)
+    scored = lw.select(
+        "doc_id",
+        "lw_q",
+        F.round(_DSIR_Q * (-F.log(-F.log(u)))).cast("long").alias("g_q"),
+    )
+    # partial top-K (TakeOrdered), selected set broadcast back as a flag
+    topk = (
+        scored.orderBy(F.desc(F.col("lw_q") + F.col("g_q")), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(1).alias("_sel"))
+    )
+    return scored.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "lw_q",
+        "g_q",
+        F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
     )

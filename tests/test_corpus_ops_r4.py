@@ -346,3 +346,28 @@ def test_lr_trainer_loss_descends_and_matches_numpy(spark):
         losses.append(loss(w_np))
     assert all(b < a - 1e-6 for a, b in zip(losses, losses[1:])), losses
     assert not math.isnan(losses[-1])
+
+
+def test_dsir_selection_enriches_target(spark):
+    """DSIR must actually steer toward the target: the lang='en' share of
+    the selected top-K strictly exceeds the corpus base rate, and the mean
+    importance weight of en docs exceeds the non-en mean (the log-ratio
+    features are fit on exactly that split)."""
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.registry import REGISTRY
+
+    res = REGISTRY["z_corpus_dsir"].fn(spark, TEST_SF_DIR).toPandas()
+    langs = (
+        load_table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    m = res.merge(langs, on="doc_id")
+    base_rate = (m["lang"] == "en").mean()
+    sel_rate = (m.loc[m["sel"] == 1, "lang"] == "en").mean()
+    assert sel_rate > base_rate, (sel_rate, base_rate)
+    assert (
+        m.loc[m["lang"] == "en", "lw_q"].mean()
+        > m.loc[m["lang"] != "en", "lw_q"].mean()
+    )
+    assert m["sel"].sum() == 100
