@@ -411,34 +411,49 @@ def within_cluster_near_pairs(
     id_col: str = "vec_id",
     label_col: str = "cluster",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """SemDeDup pair stage (Abbas et al. 2023, arXiv:2303.09540): candidate
     near-duplicate pairs are searched only WITHIN a k-means cluster, never
     across clusters. Input carries (id, label, vec); output is one row per
     within-cluster pair with cosine >= tau: (id_a, id_b, pair_sim),
     id_a < id_b, sim rounded 6dp (fold-order stability, file docstring).
+    `carry` columns ride through from both sides as <col>_a / <col>_b —
+    downstream drop rules read them off the pair row instead of paying a
+    corpus-sized join-back.
 
     Scale shape: the self-join shuffles both sides hash-partitioned on the
     cluster label, so total pair work is sum(c_i^2) over cluster sizes
     instead of n^2 — the paper's point. SIZING RULE: pick k so the largest
     cluster's c^2 fits one task (k ~ n/1000 keeps clusters ~1000 rows
     regardless of corpus size); a runaway cluster is re-split by a second
-    hash-seeded k-means level, same operator. The pair compare itself is a
-    JVM-side zip_with/aggregate fold — no Python, no explode."""
+    hash-seeded k-means level, same operator. That same rule makes the
+    sort-free shuffled-hash join the right physical strategy (the build
+    side's per-partition slice is cluster-bounded by construction) — the
+    hint drops two full sorts vs the SMJ default. The pair compare itself
+    is a JVM-side zip_with/aggregate fold — no Python, no explode."""
     a = clustered.select(
         F.col(id_col).alias("id_a"),
         F.col(label_col).alias("_lbl"),
         F.col(vec_col).alias("_va"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = clustered.select(
         F.col(id_col).alias("id_b"),
         F.col(label_col).alias("_lbl"),
         F.col(vec_col).alias("_vb"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     pair_sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     return (
-        a.join(b, "_lbl")
+        a.join(b.hint("shuffle_hash"), "_lbl")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", pair_sim.alias("pair_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            pair_sim.alias("pair_sim"),
+            *[f"{c}_a" for c in carry],
+            *[f"{c}_b" for c in carry],
+        )
         .where(F.col("pair_sim") >= tau)
     )

@@ -934,25 +934,27 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
     )
     cents = label_centroids(seeded, "cluster")
+    # unique-key corpus-corpus join: sort-free shuffled hash (per-partition
+    # build side is corpus/n_parts rows — the SMJ sorts buy nothing here)
     clustered = emb.join(
-        assign_nearest_centroid(seeded, cents, "cluster").select(
+        assign_nearest_centroid(seeded, cents, "cluster")
+        .select(
             "vec_id",
             F.col("assigned_label").alias("cluster"),
             F.col("sim").alias("csim"),
-        ),
+        )
+        .hint("shuffle_hash"),
         "vec_id",
     ).localCheckpoint()
-    pairs = within_cluster_near_pairs(clustered, _SEMDEDUP_TAU)
-    cs = clustered.select("vec_id", "csim")
-    p = pairs.join(
-        cs.select(F.col("vec_id").alias("id_a"), F.col("csim").alias("ca")), "id_a"
-    ).join(cs.select(F.col("vec_id").alias("id_b"), F.col("csim").alias("cb")), "id_b")
+    # csim rides through the pair self-join (carry=) — the loser rule reads
+    # it off the pair row; no corpus-sized join-back
+    pairs = within_cluster_near_pairs(clustered, _SEMDEDUP_TAU, carry=("csim",))
     loser = F.when(
-        (F.col("ca") > F.col("cb"))
-        | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+        (F.col("csim_a") > F.col("csim_b"))
+        | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),
         F.col("id_a"),
     ).otherwise(F.col("id_b"))
-    return clustered, p.select(loser.alias("vec_id")).distinct()
+    return clustered, pairs.select(loser.alias("vec_id")).distinct()
 
 
 @register("z_sim_semdedup", _SEMDEDUP_ORACLE, tags=("similarity", "dedup"))
@@ -981,8 +983,11 @@ def z_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic: survivors ranked per cluster by (csim DESC, vec_id ASC);
 # the top floor(n_c / DEN) rows are pruned. Output: one row per vector with
 # its terminal stage ('semdedup_drop' | 'prototype_drop' | 'kept').
-# Scale shape: everything SemDeDup had, plus one per-cluster window over
-# survivors (bounded by cluster size — same k sizing rule).
+# Scale shape: everything SemDeDup had, plus ONE per-cluster window pass
+# (bounded by cluster size — same k sizing rule): the survivor rank is a
+# running sum of the survivor indicator over the full (csim DESC, vec_id)
+# order, which equals ROW_NUMBER over the survivors-only partition — no
+# survivors-table join-back.
 # ---------------------------------------------------------------------------
 
 _D4_PRUNE_DEN = 4  # prune the most-prototypical 1/4 of each cluster's survivors
@@ -1020,21 +1025,26 @@ def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered, drops = _semdedup_parts(spark, sf_dir)
     flagged = clustered.join(
         F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left"
-    ).select("vec_id", "cluster", "csim", "_d")
-    surv = flagged.where(F.col("_d").isNull())
-    w_rank = Window.partitionBy("cluster").orderBy(F.desc("csim"), F.asc("vec_id"))
-    w_count = Window.partitionBy("cluster")
-    r = surv.select(
+    ).select(
         "vec_id",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_count).alias("nc"),
+        "cluster",
+        "csim",
+        F.when(F.col("_d").isNull(), 1).otherwise(0).alias("_surv"),
+    )
+    w_ord = Window.partitionBy("cluster").orderBy(F.desc("csim"), F.asc("vec_id"))
+    w_all = Window.partitionBy("cluster")
+    ranked = flagged.select(
+        "vec_id",
+        "cluster",
+        "csim",
+        "_surv",
+        # survivor rank = running survivor count in the full order
+        F.sum("_surv").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("srank"),
+        F.sum("_surv").over(w_all).alias("nc"),
     )
     stage = (
-        F.when(F.col("_d").isNotNull(), "semdedup_drop")
-        .when(F.col("rn") <= F.expr(f"nc div {_D4_PRUNE_DEN}"), "prototype_drop")
+        F.when(F.col("_surv") == 0, "semdedup_drop")
+        .when(F.col("srank") <= F.expr(f"nc div {_D4_PRUNE_DEN}"), "prototype_drop")
         .otherwise("kept")
     )
-    return (
-        flagged.join(r, "vec_id", "left")
-        .select("vec_id", "cluster", "csim", stage.alias("stage"))
-    )
+    return ranked.select("vec_id", "cluster", "csim", stage.alias("stage"))
