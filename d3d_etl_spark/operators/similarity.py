@@ -426,8 +426,9 @@ def within_cluster_near_pairs(
     cluster label, so total pair work is sum(c_i^2) over cluster sizes
     instead of n^2 — the paper's point. SIZING RULE: pick k so the largest
     cluster's c^2 fits one task (k ~ n/1000 keeps clusters ~1000 rows
-    regardless of corpus size); a runaway cluster is re-split by a second
-    hash-seeded k-means level, same operator. That same rule makes the
+    regardless of corpus size); a runaway cluster is re-split by
+    :func:`resplit_oversized_clusters` (a second hash-seeded k-means
+    level, content-based so dup recall survives). That same rule makes the
     sort-free shuffled-hash join the right physical strategy (the build
     side's per-partition slice is cluster-bounded by construction) — the
     hint drops two full sorts vs the SMJ default. The pair compare itself
@@ -457,3 +458,92 @@ def within_cluster_near_pairs(
         )
         .where(F.col("pair_sim") >= tau)
     )
+
+
+def resplit_oversized_clusters(
+    clustered: DataFrame,
+    max_size: int,
+    sub_k: int = 4,
+    max_levels: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "cluster",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The runaway-cluster guard `within_cluster_near_pairs`' sizing rule
+    leans on, as code: clusters above `max_size` are re-split by a second
+    hash-seeded k-means level — seed sub-clusters by id hash WITHIN the
+    parent, compute sub-centroids, reassign by EMBEDDING restricted to the
+    parent's own sub-centroids. Assignment is content-based, so identical
+    vectors always land in the same sub-cluster and the exact-duplicate
+    recall guarantee of the pair stage survives every split level.
+
+    Iterates up to `max_levels` (each level multiplies the label by sub_k,
+    so labels stay collision-free longs). A cluster of near-identical
+    vectors is NOT separable by content — by design: those rows genuinely
+    are each other's near-dup candidates, and the level loop stops rather
+    than scattering them. Output: same rows, `label_col` refined.
+
+    Scale shape per level: one size agg (cluster-cardinality rows,
+    broadcast), one centroid agg over only the oversized rows, one
+    restricted-assignment join keyed (pos, parent) — never touches rows in
+    compliant clusters."""
+    from pyspark.sql import Window
+
+    out = clustered
+    for _ in range(max_levels):
+        sizes = out.groupBy(label_col).agg(F.count("*").alias("_csz"))
+        big = sizes.where(F.col("_csz") > max_size).select(label_col)
+        if big.isEmpty():
+            break
+        flagged = out.join(
+            F.broadcast(big.withColumn("_big", F.lit(1))), label_col, "left"
+        )
+        ok = flagged.where(F.col("_big").isNull()).drop("_big")
+        over = flagged.where(F.col("_big").isNotNull()).drop("_big")
+
+        from d3d_etl_spark.functions.strings import md5_int
+
+        seeded = over.withColumn(
+            "_sub", F.pmod(md5_int(F.col(id_col).cast("string")), F.lit(sub_k))
+        )
+        comps = seeded.select(
+            label_col, "_sub", F.posexplode(vec_col).alias("pos", "x")
+        ).select(
+            label_col, "_sub", "pos",
+            F.round(F.col("x").cast("double") * SIM_SCALE).cast("long").alias("xs"),
+        )
+        cents = comps.groupBy(label_col, "_sub", "pos").agg(
+            (F.sum("xs").cast("double") / F.count("*") / SIM_SCALE).alias("c")
+        )
+        # restricted assignment: candidates are the PARENT's sub-centroids only
+        vcomps = over.select(
+            id_col, label_col, F.posexplode(vec_col).alias("pos", "x")
+        ).select(id_col, label_col, "pos", F.col("x").cast("double").alias("x"))
+        scores = (
+            vcomps.join(F.broadcast(cents), [label_col, "pos"])
+            .groupBy(id_col, label_col, "_sub")
+            .agg(
+                F.sum(F.col("x") * F.col("c")).alias("dot"),
+                F.sum(F.col("x") * F.col("x")).alias("nx2"),
+                F.sum(F.col("c") * F.col("c")).alias("nc2"),
+            )
+        )
+        sim = F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("nc2")), 6)
+        w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("_sub"))
+        best = (
+            scores.select(id_col, label_col, "_sub", sim.alias("_s"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .select(id_col, (F.col(label_col) * sub_k + F.col("_sub")).alias("_new"))
+        )
+        refined = over.join(best.hint("shuffle_hash"), id_col).select(
+            *[
+                F.col("_new").alias(label_col) if c == label_col else F.col(c)
+                for c in over.columns
+            ]
+        )
+        # compliant clusters keep label-space parity with the refined ones
+        out = ok.withColumn(
+            label_col, F.col(label_col) * sub_k
+        ).unionByName(refined).localCheckpoint()
+    return out

@@ -458,3 +458,39 @@ def test_within_cluster_near_pairs_semantics(spark):
     }
     assert set(got_all) == {(1, 2), (1, 3), (2, 3)}
     assert got_all[(1, 3)] == 0.0 and got_all[(2, 3)] == 0.0
+
+
+def test_resplit_oversized_clusters(spark):
+    """Runaway-cluster guard: a single oversized cluster of separable
+    vectors is split below the bound; rows are preserved; planted identical
+    vectors always share a final sub-cluster (content-based assignment), so
+    pair recall survives the split."""
+    import random
+
+    from d3d_etl_spark.operators.similarity import (
+        resplit_oversized_clusters,
+        within_cluster_near_pairs,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(500)]
+    rows = [(i, 0, v) for i, v in enumerate(base)]
+    rows += [(1000 + i, 0, base[i]) for i in range(10)]  # planted exact dups
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<float>"
+    )
+    out = resplit_oversized_clusters(df, max_size=150, sub_k=4, max_levels=4)
+    assert out.count() == len(rows)
+    assert {r.vec_id for r in out.select("vec_id").collect()} == {
+        r[0] for r in rows
+    }
+    sizes = [r.c for r in out.groupBy("cluster").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) <= 150, sizes
+    lbl = {r.vec_id: r.cluster for r in out.collect()}
+    for i in range(10):
+        assert lbl[i] == lbl[1000 + i], i
+    got = {
+        (r.id_a, r.id_b)
+        for r in within_cluster_near_pairs(out, 0.999999).collect()
+    }
+    assert {(i, 1000 + i) for i in range(10)} <= got
