@@ -1,0 +1,59 @@
+"""Streaming quality-classifier INFERENCE: score documents ARRIVING as a
+stream with a trained hashed-BoW logistic model — the Structured Streaming
+twin of the batch training/scoring surface in operators/classifier.py, and
+the deployment half of the z_corpus_lr_step story (train in batch, gate the
+ingest stream with the frozen model).
+
+Stateless by construction: the trained weight vector is feature-dim (64
+doubles here, ~1M for a production fastText-style model — always
+dimension-sized, never corpus-sized), collected to COLUMN LITERALS exactly
+like streaming/vectors.py's centroid literals. Scoring is then pure
+per-row column math — tokenize, hash each token, index the weight array,
+one fold, one sigmoid. No state store, no watermark, no shuffle; the
+stream scales with source parallelism alone.
+
+Margin algebra: the batch trainer's margin is sum_j (c_j / nd) * w_j over
+per-doc feature counts; per-row that is (1/nd) * sum_tokens w[h(token)] —
+the same number without materializing the count table, off by only the
+batch side's 1e-6 feature quantization (|delta| <= n_features * 5e-7 *
+max|w|, asserted in the parity test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d3d_etl_spark.functions.strings import md5_int
+from d3d_etl_spark.functions.text import tokens
+
+
+def _weight_literals(weights: DataFrame) -> Column:
+    """Collect a (j, w) weight table into an array literal indexed by j.
+    Feature-dim rows only — the canonical broadcast-as-literal case."""
+    rows = {r["j"]: float(r["w"]) for r in weights.collect()}
+    return F.array(*[F.lit(rows[j]) for j in range(len(rows))])
+
+
+def streaming_quality_scores(
+    doc_stream: DataFrame, weights: DataFrame, n_features: int
+) -> DataFrame:
+    """Score a stream of (doc_id, text) rows with a trained logistic model:
+    (doc_id, n_tokens, score, accept). Zero-token docs score NULL and are
+    not accepted (same eligibility rule as the batch trainer)."""
+    w_arr = _weight_literals(weights)
+    tok = tokens(F.col("text"))
+    per_tok = F.transform(
+        tok, lambda t: F.element_at(w_arr, (md5_int(t) % n_features + 1).cast("int"))
+    )
+    margin = F.when(
+        F.size(tok) > 0,
+        F.aggregate(per_tok, F.lit(0.0), lambda a, x: a + x) / F.size(tok),
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return doc_stream.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        score.alias("score"),
+        F.coalesce(score >= 0.5, F.lit(False)).alias("accept"),
+    )

@@ -665,3 +665,77 @@ def test_streaming_incremental_dedup_lake_sink(spark, sf_dir, tmp_path):
     # once-per-shared-band duplicates)
     n = spark.read.parquet(lake).count()
     assert n == len(want)
+
+
+def test_streaming_classifier_scores_match_batch(spark, sf_dir, tmp_path):
+    """Stateless streaming inference with a model TRAINED in batch: train 3
+    GD steps with lr_gradient_step, freeze the weights, score the document
+    stream, and pin every per-doc score against the batch quantized-margin
+    computation (tolerance = the documented 1e-6 feature-quantization gap).
+    The stream must also respect the zero-token eligibility rule."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.functions.text import tokens as tok_fn
+    from d3d_etl_spark.operators.classifier import (
+        X_SCALE,
+        hashed_features,
+        lr_gradient_step,
+    )
+    from d3d_etl_spark.queries.textops import _LR_FEATURES, _LR_RATE
+    from d3d_etl_spark.streaming.classifier import streaming_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tok_fn(F.col("text"))
+    xq = hashed_features(
+        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
+    ).localCheckpoint()
+    labels = (
+        docs.select(
+            "doc_id",
+            F.size(tok).alias("nd"),
+            F.when(F.col("lang") == "en", F.lit(X_SCALE)).otherwise(0).cast("long").alias("y_q"),
+        )
+        .where(F.col("nd") > 0)
+        .select("doc_id", "y_q")
+        .localCheckpoint()
+    )
+    w = spark.range(_LR_FEATURES).select(F.col("id").alias("j"), F.lit(0.0).alias("w"))
+    for _ in range(3):
+        w = lr_gradient_step(xq, labels, w, _LR_RATE).select("j", "w").localCheckpoint()
+
+    staged = os.path.join(str(tmp_path), "doc_stream")
+    docs.select("doc_id", "text").write.parquet(staged)
+    src = spark.readStream.schema("doc_id long, text string").parquet(staged)
+    q = (
+        streaming_quality_scores(src, w, _LR_FEATURES)
+        .writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM clf_stream").collect()}
+    assert len(got) == docs.count()
+
+    # batch reference: quantized margin off the feature table
+    wmap = {r["j"]: r["w"] for r in w.collect()}
+    batch = (
+        xq.toPandas()
+        .assign(contrib=lambda d: d["x_q"] / X_SCALE * d["j"].map(wmap))
+        .groupby("doc_id")["contrib"]
+        .sum()
+    )
+    max_w = max(abs(v) for v in wmap.values())
+    tol = _LR_FEATURES * 5e-7 * max_w + 1e-9
+    for doc_id, m in batch.items():
+        p = 1.0 / (1.0 + math.exp(-m))
+        r = got[doc_id]
+        assert abs(r["score"] - p) <= tol / 4 + 1e-6, (doc_id, r["score"], p)
+        assert r["accept"] == (r["score"] >= 0.5)
+    for doc_id, r in got.items():
+        if r["n_tokens"] == 0:
+            assert r["score"] is None and r["accept"] is False
