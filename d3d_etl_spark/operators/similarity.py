@@ -412,6 +412,7 @@ def within_cluster_near_pairs(
     label_col: str = "cluster",
     vec_col: str = "embedding",
     carry: tuple[str, ...] = (),
+    salt: int = 1,
 ) -> DataFrame:
     """SemDeDup pair stage (Abbas et al. 2023, arXiv:2303.09540): candidate
     near-duplicate pairs are searched only WITHIN a k-means cluster, never
@@ -432,22 +433,54 @@ def within_cluster_near_pairs(
     sort-free shuffled-hash join the right physical strategy (the build
     side's per-partition slice is cluster-bounded by construction) — the
     hint drops two full sorts vs the SMJ default. The pair compare itself
-    is a JVM-side zip_with/aggregate fold — no Python, no explode."""
+    is a JVM-side zip_with/aggregate fold — no Python, no explode.
+
+    Per-pair work is ONE dot product: norms precompute per ROW before the
+    join (identical values and fold order as the inline cosine — one fold
+    per row instead of two per pair). `salt` splits each cluster's pair
+    block into `salt` independent tasks (probe side bucketed by id hash,
+    build side replicated salt-fold): the pair stage's cost is per-pair
+    CPU, not bytes, so when the cluster count is below the core count —
+    or AQE coalesces the small-byte shuffle onto one core — salting is
+    what restores parallelism. Pair output is salt-invariant (each (a, b)
+    meets exactly once, in a's salt bucket); the explicit fixed-width
+    repartition is deliberate — AQE does not coalesce user-specified
+    repartitions, which is the point. At real corpus scale k >> cores and
+    salt=1 is right; size salt ~ cores/k otherwise."""
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.functions.vectors import dot, norm
+
     a = clustered.select(
         F.col(id_col).alias("id_a"),
         F.col(label_col).alias("_lbl"),
         F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
         *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = clustered.select(
         F.col(id_col).alias("id_b"),
         F.col(label_col).alias("_lbl"),
         F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
         *[F.col(c).alias(f"{c}_b") for c in carry],
     )
-    pair_sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    join_keys = ["_lbl"]
+    if salt > 1:
+        a = a.withColumn(
+            "_salt", F.pmod(md5_int(F.col("id_a").cast("string")), F.lit(salt))
+        )
+        b = b.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        n_parts = clustered.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(n_parts, "_lbl", "_salt")
+        b = b.repartition(n_parts, "_lbl", "_salt")
+        join_keys = ["_lbl", "_salt"]
+    pair_sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
-        a.join(b.hint("shuffle_hash"), "_lbl")
+        a.join(b.hint("shuffle_hash"), join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -947,8 +947,13 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         "vec_id",
     ).localCheckpoint()
     # csim rides through the pair self-join (carry=) — the loser rule reads
-    # it off the pair row; no corpus-sized join-back
-    pairs = within_cluster_near_pairs(clustered, _SEMDEDUP_TAU, carry=("csim",))
+    # it off the pair row; no corpus-sized join-back. salt ~ cores/k keeps
+    # the per-pair CPU spread across the session when k < parallelism
+    # (output is salt-invariant; see the operator docstring)
+    pair_salt = max(1, spark.sparkContext.defaultParallelism // _K_CLUSTERS)
+    pairs = within_cluster_near_pairs(
+        clustered, _SEMDEDUP_TAU, carry=("csim",), salt=pair_salt
+    )
     loser = F.when(
         (F.col("csim_a") > F.col("csim_b"))
         | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),

@@ -494,3 +494,22 @@ def test_resplit_oversized_clusters(spark):
         for r in within_cluster_near_pairs(out, 0.999999).collect()
     }
     assert {(i, 1000 + i) for i in range(10)} <= got
+
+
+def test_within_cluster_pairs_salt_invariant(spark, sf_dir):
+    """The salted pair join is a physical-distribution knob only: pair sets
+    and sims are identical for salt=1 and salt=5 on real data."""
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
+    from d3d_etl_spark.queries.simsearch import _SEMDEDUP_TAU, _semdedup_parts
+
+    clustered, _ = _semdedup_parts(spark, sf_dir)
+    base = {
+        (r.id_a, r.id_b): r.pair_sim
+        for r in within_cluster_near_pairs(clustered, _SEMDEDUP_TAU, salt=1).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b): (r.pair_sim)
+        for r in within_cluster_near_pairs(clustered, _SEMDEDUP_TAU, salt=5).collect()
+    }
+    assert base == salted
+    assert base, "no pairs found at tau"
