@@ -1040,3 +1040,47 @@ def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stepped.select("j", F.col("w").alias("w1"), "g_int"), "j")
         .select(F.col("j").alias("feature"), "w0", "g_int", "w1")
     )
+
+
+_LR_TRAIN_STEPS = 3
+
+
+@register("z_corpus_lr_train", None, tags=("textops", "classifier"))
+def z_corpus_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full-batch GD steps of the hashed-BoW logistic quality
+    classifier (operators/classifier.py lr_gradient_step iterated from the
+    zero vector). Rows-only by design — the step loop is driver control
+    flow, exactly like z_corpus_bpe_train — but each step is the oracled
+    z_corpus_lr_step computation and the iterated trainer is pinned
+    per-step against an independent numpy mirror (and for strict loss
+    descent) in tests/test_corpus_ops_r4.py. Output: (feature, w) after
+    the final step, rounded 8dp."""
+    from d3d_etl_spark.functions.text import tokens as tok_fn
+    from d3d_etl_spark.operators.classifier import (
+        X_SCALE,
+        hashed_features,
+        lr_gradient_step,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tok_fn(F.col("text"))
+    xq = hashed_features(
+        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
+    ).localCheckpoint()
+    labels = (
+        docs.select(
+            "doc_id",
+            F.size(tok).alias("nd"),
+            F.when(F.col("lang") == "en", F.lit(X_SCALE))
+            .otherwise(0)
+            .cast("long")
+            .alias("y_q"),
+        )
+        .where(F.col("nd") > 0)
+        .select("doc_id", "y_q")
+        .localCheckpoint()
+    )
+    w = spark.range(_LR_FEATURES).select(F.col("id").alias("j"), F.lit(0.0).alias("w"))
+    for _ in range(_LR_TRAIN_STEPS):
+        w = lr_gradient_step(xq, labels, w, _LR_RATE).select("j", "w").localCheckpoint()
+    return w.select(F.col("j").alias("feature"), F.round("w", 8).alias("w"))
