@@ -60,11 +60,19 @@ def lr_gradient_step(
         "doc_id",
         F.round(X_SCALE / (F.lit(1.0) + F.exp(-F.col("m")))).cast("long").alias("p_q"),
     )
+    # decimal(38,0) accumulator: each term is bounded by 1e12, so a long
+    # sum would wrap past ~9.2e6 docs per feature — exactly the 100 TB
+    # full-batch shape this module claims. DuckDB's SUM(BIGINT) promotes
+    # to HUGEINT; decimal(38,0) is the Spark twin of that promotion.
     grad = (
         xq.join(p, "doc_id")
         .join(labels, "doc_id")
         .groupBy("j")
-        .agg(F.sum((F.col("p_q") - F.col("y_q")) * F.col("x_q")).alias("g_int"))
+        .agg(
+            F.sum(
+                ((F.col("p_q") - F.col("y_q")) * F.col("x_q")).cast("decimal(38,0)")
+            ).alias("g_int")
+        )
     )
     n = labels.agg(F.count("*").alias("n_docs"))
     return (

@@ -539,12 +539,9 @@ def resplit_oversized_clusters(
         seeded = over.withColumn(
             "_sub", F.pmod(md5_int(F.col(id_col).cast("string")), F.lit(sub_k))
         )
-        comps = seeded.select(
-            label_col, "_sub", F.posexplode(vec_col).alias("pos", "x")
-        ).select(
-            label_col, "_sub", "pos",
-            F.round(F.col("x").cast("double") * SIM_SCALE).cast("long").alias("xs"),
-        )
+        # same exact fixed-point centroid contract as label_centroids, with
+        # the (parent, sub) composite label
+        comps = scaled_components(seeded, [label_col, "_sub"], vec_col)
         cents = comps.groupBy(label_col, "_sub", "pos").agg(
             (F.sum("xs").cast("double") / F.count("*") / SIM_SCALE).alias("c")
         )

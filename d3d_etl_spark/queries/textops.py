@@ -1016,8 +1016,13 @@ def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    # one explode feeds features; labels restricted to docs with features
-    xq = hashed_features(docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES)
+    # one explode feeds features; labels restricted to docs with features.
+    # The barrier matters: lr_gradient_step reads xq in BOTH its margin and
+    # gradient branches — uncheckpointed, the tokenize/explode/groupBy
+    # subtree would run twice (the z_corpus_lr_train / z_corpus_dsir pattern)
+    xq = hashed_features(
+        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
+    ).localCheckpoint()
     labels = (
         docs.select(
             "doc_id",
@@ -1037,7 +1042,15 @@ def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepped = lr_gradient_step(xq, labels, w0, _LR_RATE)
     return (
         w0.select("j", F.col("w").alias("w0"))
-        .join(stepped.select("j", F.col("w").alias("w1"), "g_int"), "j")
+        .join(
+            stepped.select(
+                "j",
+                F.col("w").alias("w1"),
+                # decimal(38,0) overflow-safe accumulator -> published BIGINT
+                F.col("g_int").cast("long").alias("g_int"),
+            ),
+            "j",
+        )
         .select(F.col("j").alias("feature"), "w0", "g_int", "w1")
     )
 

@@ -28,11 +28,19 @@ from d3d_etl_spark.functions.strings import md5_int
 from d3d_etl_spark.functions.text import tokens
 
 
-def _weight_literals(weights: DataFrame) -> Column:
+def _weight_literals(weights: DataFrame, n_features: int) -> Column:
     """Collect a (j, w) weight table into an array literal indexed by j.
-    Feature-dim rows only — the canonical broadcast-as-literal case."""
+    Feature-dim rows only — the canonical broadcast-as-literal case.
+    Fails fast on a short or gappy table: a silent gap would make
+    element_at return NULL for the missing index and NULL out every
+    affected document's margin fold."""
     rows = {r["j"]: float(r["w"]) for r in weights.collect()}
-    return F.array(*[F.lit(rows[j]) for j in range(len(rows))])
+    if sorted(rows) != list(range(n_features)):
+        raise ValueError(
+            f"weight table must cover features 0..{n_features - 1} exactly; "
+            f"got {len(rows)} rows"
+        )
+    return F.array(*[F.lit(rows[j]) for j in range(n_features)])
 
 
 def streaming_quality_scores(
@@ -41,7 +49,7 @@ def streaming_quality_scores(
     """Score a stream of (doc_id, text) rows with a trained logistic model:
     (doc_id, n_tokens, score, accept). Zero-token docs score NULL and are
     not accepted (same eligibility rule as the batch trainer)."""
-    w_arr = _weight_literals(weights)
+    w_arr = _weight_literals(weights, n_features)
     tok = tokens(F.col("text"))
     per_tok = F.transform(
         tok, lambda t: F.element_at(w_arr, (md5_int(t) % n_features + 1).cast("int"))

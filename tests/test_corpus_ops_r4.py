@@ -354,6 +354,7 @@ def test_dsir_selection_enriches_target(spark):
     importance weight of en docs exceeds the non-en mean (the log-ratio
     features are fit on exactly that split)."""
     from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries import curation  # noqa: F401 — registers z_corpus_dsir
     from d3d_etl_spark.queries.registry import REGISTRY
 
     res = REGISTRY["z_corpus_dsir"].fn(spark, TEST_SF_DIR).toPandas()

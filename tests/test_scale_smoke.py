@@ -322,7 +322,9 @@ def test_semdedup_pair_volume_is_cluster_bounded(spark):
     from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
     from d3d_etl_spark.queries.simsearch import _semdedup_parts
 
-    clustered, _ = _semdedup_parts(spark, "/root/testdata/sf0.01")
+    from tests.conftest import TEST_SF_DIR
+
+    clustered, _ = _semdedup_parts(spark, TEST_SF_DIR)
     n = clustered.count()
     sizes = [r.c for r in clustered.groupBy("cluster").agg(F.count("*").alias("c")).collect()]
     expected = sum(c * (c - 1) // 2 for c in sizes)
