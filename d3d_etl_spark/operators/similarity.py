@@ -577,3 +577,73 @@ def resplit_oversized_clusters(
             label_col, F.col(label_col) * sub_k
         ).unionByName(refined).localCheckpoint()
     return out
+
+
+def within_cluster_near_pairs_gemm(
+    clustered: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    label_col: str = "cluster",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """GEMM engine for the SemDeDup pair stage: ONE numpy/BLAS task per
+    cluster (the ann_gated_near_pairs bucket-GEMM applied to k-means
+    clusters). Same output contract as :func:`within_cluster_near_pairs`
+    (id_a < id_b, pair_sim rounded 6dp, `carry` columns as <c>_a/<c>_b) —
+    round-6 makes the two engines' sims identical, pinned by the
+    equivalence test in tests/test_operators.py.
+
+    When to pick which: the HOF engine's per-pair cost is a JVM fold per
+    element — fine at modest dims; at production embedding dims (768-4096)
+    the GEMM's BLAS matmul wins by an order of magnitude. Parallelism is
+    one task per cluster, exactly right at real scale where k >> cores
+    (the sizing rule bounds each task's c^2 GEMM); below that the HOF
+    engine's salt knob spreads better. Carry columns must be numeric
+    (shipped as float64 through Arrow)."""
+    import pyarrow as pa
+
+    tagged = clustered.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *[F.col(c).cast("double").alias(c) for c in carry],
+    )
+    fields = [("id_a", pa.int64()), ("id_b", pa.int64()), ("pair_sim", pa.float64())]
+    fields += [(f"{c}_{s}", pa.float64()) for c in carry for s in ("a", "b")]
+    out_schema = pa.schema(fields)
+    ddl = ", ".join(
+        f"{n} {'long' if t == pa.int64() else 'double'}" for n, t in fields
+    )
+
+    def gemm_cluster_pairs(tbl: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        if tbl.num_rows < 2:
+            return out_schema.empty_table()
+        c = tbl.column("vec").combine_chunks()
+        A = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+        norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+        sims = np.round((A @ A.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(norms), k=1)
+        keep = sims[iu, ju] >= tau
+        if not keep.any():
+            return out_schema.empty_table()
+        ids = tbl.column("vid").combine_chunks().to_numpy()
+        ia, jb = iu[keep], ju[keep]
+        # canonical orientation id_a < id_b; carries swap WITH their ids
+        a_first = ids[ia] < ids[jb]
+        lo_ix = np.where(a_first, ia, jb)
+        hi_ix = np.where(a_first, jb, ia)
+        cols = {
+            "id_a": ids[lo_ix],
+            "id_b": ids[hi_ix],
+            "pair_sim": sims[ia, jb],
+        }
+        for cname in carry:
+            cv = tbl.column(cname).combine_chunks().to_numpy(zero_copy_only=False)
+            cols[f"{cname}_a"] = cv[lo_ix]
+            cols[f"{cname}_b"] = cv[hi_ix]
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupBy("_lbl").applyInArrow(gemm_cluster_pairs, ddl)

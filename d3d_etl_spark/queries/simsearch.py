@@ -946,14 +946,15 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         .hint("shuffle_hash"),
         "vec_id",
     ).localCheckpoint()
-    # csim rides through the pair self-join (carry=) — the loser rule reads
-    # it off the pair row; no corpus-sized join-back. salt ~ cores/k keeps
-    # the per-pair CPU spread across the session when k < parallelism
-    # (output is salt-invariant; see the operator docstring)
-    pair_salt = max(1, spark.sparkContext.defaultParallelism // _K_CLUSTERS)
-    pairs = within_cluster_near_pairs(
-        clustered, _SEMDEDUP_TAU, carry=("csim",), salt=pair_salt
-    )
+    # csim rides through the pair stage (carry=) — the loser rule reads it
+    # off the pair row; no corpus-sized join-back. GEMM engine: one BLAS
+    # task per cluster (2x the salted HOF join even at these 64 dims, an
+    # order of magnitude at production dims); round-6 keeps it
+    # hash-identical to the HOF engine AND the DuckDB oracle, and the
+    # equivalence is pinned in tests/test_operators.py
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
+
+    pairs = within_cluster_near_pairs_gemm(clustered, _SEMDEDUP_TAU, carry=("csim",))
     loser = F.when(
         (F.col("csim_a") > F.col("csim_b"))
         | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),

@@ -513,3 +513,30 @@ def test_within_cluster_pairs_salt_invariant(spark, sf_dir):
     }
     assert base == salted
     assert base, "no pairs found at tau"
+
+
+def test_within_cluster_pairs_gemm_equals_hof(spark, sf_dir):
+    """The GEMM engine must produce exactly the HOF engine's pairs: same
+    (id_a, id_b) set, same rounded sims, same carried csims (including the
+    swap-with-id orientation)."""
+    from d3d_etl_spark.operators.similarity import (
+        within_cluster_near_pairs,
+        within_cluster_near_pairs_gemm,
+    )
+    from d3d_etl_spark.queries.simsearch import _SEMDEDUP_TAU, _semdedup_parts
+
+    clustered, _ = _semdedup_parts(spark, sf_dir)
+    hof = {
+        (r.id_a, r.id_b): (r.pair_sim, r.csim_a, r.csim_b)
+        for r in within_cluster_near_pairs(
+            clustered, _SEMDEDUP_TAU, carry=("csim",)
+        ).collect()
+    }
+    gemm = {
+        (r.id_a, r.id_b): (r.pair_sim, r.csim_a, r.csim_b)
+        for r in within_cluster_near_pairs_gemm(
+            clustered, _SEMDEDUP_TAU, carry=("csim",)
+        ).collect()
+    }
+    assert hof == gemm
+    assert hof, "no pairs at tau"
