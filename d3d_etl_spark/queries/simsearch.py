@@ -1054,3 +1054,110 @@ def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return ranked.select("vec_id", "cluster", "csim", stage.alias("stage"))
+
+
+# ---------------------------------------------------------------------------
+# z_sim_kmeans_iter — TWO Lloyd iterations, both oracled: proves the
+# "iterate it and only the seed column changes" claim of sim_kmeans_step
+# with SQL-mirrored evidence instead of a docstring. Iteration 1 is the
+# oracled kmeans arm (hash-seeded partition -> exact-integer centroids ->
+# reassign); iteration 2 re-derives centroids FROM iteration 1's assigned
+# clusters and reassigns again. Output: (iter, vec_id, cluster, sim) for
+# both iterations — the hash covers the full trajectory, and the pytest
+# invariant pins that mean assignment similarity does not decrease
+# (Lloyd monotonicity under the cosine objective, modulo round-6).
+# Scale shape per iteration: unchanged from sim_kmeans_step (one partial
+# agg over (cluster, pos), one broadcast k*dim reassignment join).
+# ---------------------------------------------------------------------------
+
+_KMEANS2_ORACLE = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+comps1 AS (
+  SELECT vec_id,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % {_K_CLUSTERS} AS cluster,
+         x, pos
+  FROM e0
+),
+cents1 AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps1 GROUP BY cluster, pos
+),
+scores1 AS (
+  SELECT e.vec_id, c.cluster,
+         SUM(e.x * c.c) AS dot, SUM(e.x * e.x) AS nx2, SUM(c.c * c.c) AS nc2
+  FROM comps1 e JOIN cents1 c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+ranked1 AS (
+  SELECT vec_id, cluster, ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, cluster
+         ) AS rn
+  FROM scores1
+),
+asgn1 AS (SELECT vec_id, cluster, sim FROM ranked1 WHERE rn = 1),
+comps2 AS (
+  SELECT e0.vec_id, a.cluster, e0.x, e0.pos
+  FROM e0 JOIN asgn1 a ON e0.vec_id = a.vec_id
+),
+cents2 AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps2 GROUP BY cluster, pos
+),
+scores2 AS (
+  SELECT e.vec_id, c.cluster,
+         SUM(e.x * c.c) AS dot, SUM(e.x * e.x) AS nx2, SUM(c.c * c.c) AS nc2
+  FROM e0 e JOIN cents2 c ON e.pos = c.pos
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT vec_id, cluster, ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx2) * SQRT(nc2)), 6) DESC, cluster
+         ) AS rn
+  FROM scores2
+),
+asgn2 AS (SELECT vec_id, cluster, sim FROM ranked2 WHERE rn = 1)
+SELECT CAST(1 AS BIGINT) AS iter, vec_id, cluster, sim FROM asgn1
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, cluster, sim FROM asgn2
+"""
+
+
+@register("z_sim_kmeans_iter", _KMEANS2_ORACLE, tags=("similarity",))
+def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two oracled Lloyd iterations of spherical k-means: iteration 2's
+    centroids come from iteration 1's assignments — the convergence loop's
+    body as SQL-mirrored evidence."""
+    from d3d_etl_spark.functions.strings import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = emb.withColumn(
+        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
+    )
+    cents1 = label_centroids(seeded, "cluster")
+    # one assignment pass feeds iteration-1 output AND iteration-2 centroids
+    asgn1 = assign_nearest_centroid(seeded, cents1, "cluster").localCheckpoint()
+    relabeled = emb.join(
+        asgn1.select("vec_id", F.col("assigned_label").alias("cluster")).hint(
+            "shuffle_hash"
+        ),
+        "vec_id",
+    )
+    cents2 = label_centroids(relabeled, "cluster")
+    asgn2 = assign_nearest_centroid(emb, cents2, "cluster")
+    row = lambda df, i: df.select(  # noqa: E731
+        F.lit(i).cast("long").alias("iter"),
+        "vec_id",
+        F.col("assigned_label").alias("cluster"),
+        "sim",
+    )
+    return row(asgn1, 1).unionByName(row(asgn2, 2))

@@ -372,3 +372,21 @@ def test_dsir_selection_enriches_target(spark):
         > m.loc[m["lang"] != "en", "lw_q"].mean()
     )
     assert m["sel"].sum() == 100
+
+
+def test_kmeans_iteration_improves_assignment(spark):
+    """Lloyd monotonicity: iteration 2's mean assignment similarity is at
+    least iteration 1's (recomputing centroids from the assignment cannot
+    hurt the mean cosine objective, modulo round-6), and every vector is
+    assigned exactly once per iteration."""
+    from d3d_etl_spark.queries.registry import REGISTRY
+
+    pdf = REGISTRY["z_sim_kmeans_iter"].fn(spark, TEST_SF_DIR).toPandas()
+    n = pdf["vec_id"].nunique()
+    for it in (1, 2):
+        grp = pdf[pdf["iter"] == it]
+        assert len(grp) == n
+        assert grp["vec_id"].is_unique
+    m1 = pdf.loc[pdf["iter"] == 1, "sim"].mean()
+    m2 = pdf.loc[pdf["iter"] == 2, "sim"].mean()
+    assert m2 >= m1 - 1e-6, (m1, m2)
