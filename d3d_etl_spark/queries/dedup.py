@@ -685,3 +685,89 @@ def z_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("long").alias("n_reps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_safe_split — leakage-safe train/val/test splitting: near-duplicate
+# documents MUST land in the same split, or the eval set silently contains
+# paraphrases of training documents (the split-contamination failure mode of
+# naive per-doc hashing). The split key is therefore the near-dup CLUSTER
+# representative — component id from the LSH-gated transitive closure,
+# falling back to the doc's own id for unclustered docs — pushed through the
+# standard deterministic hash_split. Zero cross-split near-dup pairs by
+# construction (property-pinned, alongside a demonstration that the naive
+# doc-id split DOES leak on this corpus).
+# Scale shape: comp is duplicate-bounded (<< corpus, broadcast); the split
+# assignment is a pure column expression over the joined frame; output is
+# split-cardinality rows.
+# ---------------------------------------------------------------------------
+
+_SAFE_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTES},
+{_LSH_PAIR_CTES},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+r AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component, d.doc_id) AS rep,
+         CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS clustered
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+s AS (SELECT r.*, {{split_case}} AS split FROM r)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(clustered) AS BIGINT) AS n_clustered,
+       COUNT(DISTINCT CASE WHEN clustered = 1 THEN rep END) AS n_clusters
+FROM s GROUP BY 1
+"""
+
+
+def _safe_split_oracle() -> str:
+    from d3d_etl_spark.functions.sampling import sql_hash_split
+
+    return _SAFE_SPLIT_ORACLE.format(
+        split_case=sql_hash_split("rep", _SAFE_SPLIT_WEIGHTS)
+    )
+
+
+@register("z_corpus_safe_split", _safe_split_oracle(), tags=("dedup", "sampling"))
+def z_corpus_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-keyed train/val/test split: no near-duplicate pair
+    ever crosses a split boundary. Beyond-reference LLM-pipeline operator."""
+    from d3d_etl_spark.functions.sampling import hash_split
+    from d3d_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(lsh_gated_pairs_base(shingle_base(docs)))
+    r = docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+        F.when(F.col("node").isNotNull(), 1).otherwise(0).alias("clustered"),
+    )
+    return (
+        r.withColumn("split", hash_split(F.col("rep"), _SAFE_SPLIT_WEIGHTS))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("clustered").cast("long").alias("n_clustered"),
+            F.countDistinct(
+                F.when(F.col("clustered") == 1, F.col("rep"))
+            ).alias("n_clusters"),
+        )
+    )

@@ -390,3 +390,47 @@ def test_kmeans_iteration_improves_assignment(spark):
     m1 = pdf.loc[pdf["iter"] == 1, "sim"].mean()
     m2 = pdf.loc[pdf["iter"] == 2, "sim"].mean()
     assert m2 >= m1 - 1e-6, (m1, m2)
+
+
+def test_safe_split_blocks_leakage(spark):
+    """The cluster-keyed split must put BOTH ends of every near-dup pair in
+    the same split (zero leakage), while the naive per-doc hash split
+    demonstrably leaks on the same corpus — the failure mode the operator
+    exists to prevent. Split weights must also land near 80/10/10."""
+    from d3d_etl_spark.functions.sampling import hash_split
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.dedup import connected_components
+    from d3d_etl_spark.queries.dedup import (
+        _SAFE_SPLIT_WEIGHTS,
+        lsh_gated_pairs_base,
+        shingle_base,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    pairs = lsh_gated_pairs_base(shingle_base(docs)).localCheckpoint()
+    assert pairs.count() > 0, "corpus has no near-dup pairs to protect"
+    comp = connected_components(pairs).toPandas()
+    rep = dict(zip(comp["node"], comp["component"]))
+
+    def split_of(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        return {
+            r["k"]: r["s"]
+            for r in df.select(
+                "k", hash_split(F.col("k"), _SAFE_SPLIT_WEIGHTS).alias("s")
+            ).collect()
+        }
+
+    pp = pairs.toPandas()
+    doc_ids = sorted(set(pp["doc_a"]) | set(pp["doc_b"]))
+    naive = split_of(doc_ids)
+    safe = split_of(sorted({rep.get(d, d) for d in doc_ids}))
+    cross_safe = sum(
+        safe[rep.get(a, a)] != safe[rep.get(b, b)]
+        for a, b in zip(pp["doc_a"], pp["doc_b"])
+    )
+    cross_naive = sum(
+        naive[a] != naive[b] for a, b in zip(pp["doc_a"], pp["doc_b"])
+    )
+    assert cross_safe == 0
+    assert cross_naive > 0, "corpus too clean to demonstrate the leak"
