@@ -115,3 +115,32 @@ def hashed_features(
             .alias("x_q"),
         )
     )
+
+
+def lr_corpus_inputs(docs: DataFrame, n_features: int):
+    """Shared (features, labels) construction for the LR surface — the ONE
+    definition of the eligibility rule (docs with >= 1 token) and the label
+    encoding (y_q = X_SCALE iff lang = 'en'), used by the oracled step
+    query, the trainer loop, and the streaming-parity test alike. Both
+    frames come back localCheckpointed: each is read by multiple branches
+    of every consumer."""
+    from d3d_etl_spark.functions.text import tokens
+
+    tok = tokens(F.col("text"))
+    xq = hashed_features(
+        docs.select("doc_id", tok.alias("toks")), F.col("toks"), n_features
+    ).localCheckpoint()
+    labels = (
+        docs.select(
+            "doc_id",
+            F.size(tok).alias("nd"),
+            F.when(F.col("lang") == "en", F.lit(X_SCALE))
+            .otherwise(0)
+            .cast("long")
+            .alias("y_q"),
+        )
+        .where(F.col("nd") > 0)
+        .select("doc_id", "y_q")
+        .localCheckpoint()
+    )
+    return xq, labels

@@ -26,6 +26,17 @@ from d3d_etl_spark.functions.vectors import cosine
 SIM_SCALE = 1_000_000  # embedding fixed-point scale for exact centroid sums
 
 
+def _np_round6_half_away(x):
+    """numpy round-HALF-AWAY at 6dp — np.round is banker's (half-even)
+    while Spark F.round and DuckDB ROUND are half-away-from-zero, so the
+    GEMM paths must not use np.round directly: an exact 6dp half-tie would
+    round differently from the oracle and flip a >= tau cut (vanishingly
+    rare on float dots, but a hash hazard the HOF paths don't have)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def cosine_topk(
     emb: DataFrame, query: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -59,18 +70,23 @@ def label_centroids(emb: DataFrame, label_col: str, vec_col: str = "embedding") 
 
 def assign_nearest_centroid(
     emb: DataFrame, centroids: DataFrame, label_col: str, id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", restrict_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine (rounded 6dp,
     label-asc tiebreak). Centroids are tiny -> broadcast; the per-vector
-    work is a positional join + exact-shaped reduction."""
+    work is a positional join + exact-shaped reduction.
+
+    `restrict_cols`: extra key columns present on BOTH `emb` and
+    `centroids` that restrict each vector's candidate set to centroids
+    sharing those keys (the re-split guard assigns within a PARENT cluster
+    this way). Output carries them alongside (id, assigned_label, sim)."""
     from pyspark.sql import Window
 
-    comps = emb.select(id_col, F.posexplode(vec_col).alias("pos", "x")).select(
-        id_col, "pos", F.col("x").cast("double").alias("x")
-    )
-    joined = comps.join(F.broadcast(centroids), "pos")
-    scores = joined.groupBy(id_col, label_col).agg(
+    comps = emb.select(
+        id_col, *restrict_cols, F.posexplode(vec_col).alias("pos", "x")
+    ).select(id_col, *restrict_cols, "pos", F.col("x").cast("double").alias("x"))
+    joined = comps.join(F.broadcast(centroids), [*restrict_cols, "pos"])
+    scores = joined.groupBy(id_col, *restrict_cols, label_col).agg(
         F.sum(F.col("x") * F.col("c")).alias("dot"),
         F.sum(F.col("x") * F.col("x")).alias("nx2"),
         F.sum(F.col("c") * F.col("c")).alias("nc2"),
@@ -80,10 +96,15 @@ def assign_nearest_centroid(
     sim = F.round(F.col("dot") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6)
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(label_col))
     return (
-        scores.select(id_col, F.col(label_col), sim.alias("sim"))
+        scores.select(id_col, *restrict_cols, F.col(label_col), sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
-        .select(id_col, F.col(label_col).alias("assigned_label"), F.col("sim").alias("sim"))
+        .select(
+            id_col,
+            *restrict_cols,
+            F.col(label_col).alias("assigned_label"),
+            F.col("sim").alias("sim"),
+        )
     )
 
 
@@ -163,7 +184,7 @@ def blocked_near_pairs(
         B, _ = _mat(lb, "b_vec")
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        sims = np.round((A @ B.T) / np.outer(na, nb), 6)
+        sims = _np_round6_half_away((A @ B.T) / np.outer(na, nb))
         ia, jb = np.nonzero(sims >= threshold)
         if ia.size == 0:
             return out_schema.empty_table()
@@ -310,7 +331,7 @@ def ann_gated_near_pairs(
         c = tbl.column("vec").combine_chunks()
         A = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
         norms = np.sqrt(np.einsum("ij,ij->i", A, A))
-        sims = np.round((A @ A.T) / np.outer(norms, norms), 6)
+        sims = _np_round6_half_away((A @ A.T) / np.outer(norms, norms))
         iu, ju = np.triu_indices(len(norms), k=1)
         keep = sims[iu, ju] >= threshold
         if not keep.any():
@@ -513,21 +534,28 @@ def resplit_oversized_clusters(
     Iterates up to `max_levels` (each level multiplies the label by sub_k,
     so labels stay collision-free longs). A cluster of near-identical
     vectors is NOT separable by content — by design: those rows genuinely
-    are each other's near-dup candidates, and the level loop stops rather
-    than scattering them. Output: same rows, `label_col` refined.
+    are each other's near-dup candidates, and the loop detects the
+    no-progress level (oversized size multiset unchanged) and stops rather
+    than paying every remaining level for zero effect. Output: same rows,
+    `label_col` refined; rows whose embedding is NULL/empty cannot be
+    content-assigned and keep their (scaled) parent label.
 
     Scale shape per level: one size agg (cluster-cardinality rows,
-    broadcast), one centroid agg over only the oversized rows, one
-    restricted-assignment join keyed (pos, parent) — never touches rows in
-    compliant clusters."""
-    from pyspark.sql import Window
-
+    broadcast + driver progress check), one centroid agg over only the
+    oversized rows, one restricted assignment (assign_nearest_centroid
+    keyed on the parent) — never touches rows in compliant clusters."""
     out = clustered
+    prev_over_sizes: list[int] | None = None
     for _ in range(max_levels):
         sizes = out.groupBy(label_col).agg(F.count("*").alias("_csz"))
-        big = sizes.where(F.col("_csz") > max_size).select(label_col)
-        if big.isEmpty():
+        over_sizes = sorted(
+            r._csz for r in sizes.where(F.col("_csz") > max_size).collect()
+        )
+        # converged, or stuck (content-inseparable clusters): stop
+        if not over_sizes or over_sizes == prev_over_sizes:
             break
+        prev_over_sizes = over_sizes
+        big = sizes.where(F.col("_csz") > max_size).select(label_col)
         flagged = out.join(
             F.broadcast(big.withColumn("_big", F.lit(1))), label_col, "left"
         )
@@ -545,30 +573,23 @@ def resplit_oversized_clusters(
         cents = comps.groupBy(label_col, "_sub", "pos").agg(
             (F.sum("xs").cast("double") / F.count("*") / SIM_SCALE).alias("c")
         )
-        # restricted assignment: candidates are the PARENT's sub-centroids only
-        vcomps = over.select(
-            id_col, label_col, F.posexplode(vec_col).alias("pos", "x")
-        ).select(id_col, label_col, "pos", F.col("x").cast("double").alias("x"))
-        scores = (
-            vcomps.join(F.broadcast(cents), [label_col, "pos"])
-            .groupBy(id_col, label_col, "_sub")
-            .agg(
-                F.sum(F.col("x") * F.col("c")).alias("dot"),
-                F.sum(F.col("x") * F.col("x")).alias("nx2"),
-                F.sum(F.col("c") * F.col("c")).alias("nc2"),
-            )
+        # restricted assignment: candidates are the PARENT's sub-centroids
+        # only (assign_nearest_centroid restrict_cols)
+        best = assign_nearest_centroid(
+            over, cents, "_sub", id_col=id_col, vec_col=vec_col,
+            restrict_cols=(label_col,),
+        ).select(
+            id_col,
+            (F.col(label_col) * sub_k + F.col("assigned_label")).alias("_new"),
         )
-        sim = F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("nc2")), 6)
-        w = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("_sub"))
-        best = (
-            scores.select(id_col, label_col, "_sub", sim.alias("_s"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where("_rn = 1")
-            .select(id_col, (F.col(label_col) * sub_k + F.col("_sub")).alias("_new"))
-        )
-        refined = over.join(best.hint("shuffle_hash"), id_col).select(
+        # LEFT join + coalesce: a NULL/empty-embedding row produces no
+        # components and no assignment — it keeps its parent label instead
+        # of silently vanishing from the output
+        refined = over.join(best.hint("shuffle_hash"), id_col, "left").select(
             *[
-                F.col("_new").alias(label_col) if c == label_col else F.col(c)
+                F.coalesce(F.col("_new"), F.col(label_col) * sub_k).alias(label_col)
+                if c == label_col
+                else F.col(c)
                 for c in over.columns
             ]
         )
@@ -600,8 +621,17 @@ def within_cluster_near_pairs_gemm(
     one task per cluster, exactly right at real scale where k >> cores
     (the sizing rule bounds each task's c^2 GEMM); below that the HOF
     engine's salt knob spreads better. Carry columns must be numeric
-    (shipped as float64 through Arrow)."""
+    (shipped as float64 through Arrow), and ids must be integral — the HOF
+    engine accepts any orderable id type, this one fails fast instead of
+    silently NULL-casting."""
     import pyarrow as pa
+
+    id_type = dict(clustered.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"GEMM pair engine requires an integral {id_col} (got {id_type}); "
+            "use within_cluster_near_pairs for non-integral ids"
+        )
 
     tagged = clustered.select(
         F.col(id_col).cast("long").alias("vid"),
@@ -624,7 +654,7 @@ def within_cluster_near_pairs_gemm(
         c = tbl.column("vec").combine_chunks()
         A = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
         norms = np.sqrt(np.einsum("ij,ij->i", A, A))
-        sims = np.round((A @ A.T) / np.outer(norms, norms), 6)
+        sims = _np_round6_half_away((A @ A.T) / np.outer(norms, norms))
         iu, ju = np.triu_indices(len(norms), k=1)
         keep = sims[iu, ju] >= tau
         if not keep.any():

@@ -927,7 +927,6 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     (one assignment pass feeds both pair-join sides and the final output);
     `drops` is the pair-bounded loser set."""
     from d3d_etl_spark.functions.strings import md5_int
-    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeded = emb.withColumn(

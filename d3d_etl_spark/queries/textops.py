@@ -1008,30 +1008,14 @@ def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One oracled GD step of the hashed-BoW logistic quality classifier
     (label: lang = 'en'). Beyond-reference LLM-pipeline operator."""
     from d3d_etl_spark.functions.strings import md5_int
-    from d3d_etl_spark.operators.classifier import (
-        X_SCALE,
-        hashed_features,
-        lr_gradient_step,
-    )
+    from d3d_etl_spark.operators.classifier import lr_corpus_inputs, lr_gradient_step
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    # one explode feeds features; labels restricted to docs with features.
-    # The barrier matters: lr_gradient_step reads xq in BOTH its margin and
-    # gradient branches — uncheckpointed, the tokenize/explode/groupBy
-    # subtree would run twice (the z_corpus_lr_train / z_corpus_dsir pattern)
-    xq = hashed_features(
-        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
-    ).localCheckpoint()
-    labels = (
-        docs.select(
-            "doc_id",
-            F.size(tok).alias("nd"),
-            F.when(F.col("lang") == "en", F.lit(X_SCALE)).otherwise(0).cast("long").alias("y_q"),
-        )
-        .where(F.col("nd") > 0)
-        .select("doc_id", "y_q")
-    )
+    # shared eligibility/label/feature construction (ONE definition for the
+    # step query, the trainer loop, and the streaming-parity test) — comes
+    # back checkpointed: lr_gradient_step reads xq in BOTH its margin and
+    # gradient branches
+    xq, labels = lr_corpus_inputs(docs, _LR_FEATURES)
     w0 = spark.range(_LR_FEATURES).select(
         F.col("id").alias("j"),
         (
@@ -1068,31 +1052,10 @@ def z_corpus_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-step against an independent numpy mirror (and for strict loss
     descent) in tests/test_corpus_ops_r4.py. Output: (feature, w) after
     the final step, rounded 8dp."""
-    from d3d_etl_spark.functions.text import tokens as tok_fn
-    from d3d_etl_spark.operators.classifier import (
-        X_SCALE,
-        hashed_features,
-        lr_gradient_step,
-    )
+    from d3d_etl_spark.operators.classifier import lr_corpus_inputs, lr_gradient_step
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = tok_fn(F.col("text"))
-    xq = hashed_features(
-        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
-    ).localCheckpoint()
-    labels = (
-        docs.select(
-            "doc_id",
-            F.size(tok).alias("nd"),
-            F.when(F.col("lang") == "en", F.lit(X_SCALE))
-            .otherwise(0)
-            .cast("long")
-            .alias("y_q"),
-        )
-        .where(F.col("nd") > 0)
-        .select("doc_id", "y_q")
-        .localCheckpoint()
-    )
+    xq, labels = lr_corpus_inputs(docs, _LR_FEATURES)
     w = spark.range(_LR_FEATURES).select(F.col("id").alias("j"), F.lit(0.0).alias("w"))
     for _ in range(_LR_TRAIN_STEPS):
         w = lr_gradient_step(xq, labels, w, _LR_RATE).select("j", "w").localCheckpoint()

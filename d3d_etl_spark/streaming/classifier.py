@@ -12,11 +12,13 @@ per-row column math — tokenize, hash each token, index the weight array,
 one fold, one sigmoid. No state store, no watermark, no shuffle; the
 stream scales with source parallelism alone.
 
-Margin algebra: the batch trainer's margin is sum_j (c_j / nd) * w_j over
-per-doc feature counts; per-row that is (1/nd) * sum_tokens w[h(token)] —
-the same number without materializing the count table, off by only the
-batch side's 1e-6 feature quantization (|delta| <= n_features * 5e-7 *
-max|w|, asserted in the parity test).
+Margin algebra: the batch trainer's margin is sum_j (x_qj/1e6) * (w_qj/1e6)
+over quantized per-doc feature values AND quantized weights; per-row here
+it is (1/nd) * sum_tokens w[h(token)] with full-precision w — the same
+number without materializing the count table, off by two quantization
+terms: the feature one (|delta| <= n_features * 5e-7 * max|w|) and the
+weight one (sum_j x_j * |w_j - w_qj/1e6| <= 5e-7, since the x_j sum to 1).
+The parity test asserts against the combined bound.
 """
 
 from __future__ import annotations

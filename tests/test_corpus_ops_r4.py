@@ -284,30 +284,16 @@ def test_lr_trainer_loss_descends_and_matches_numpy(spark):
 
     import numpy as np
 
-    from d3d_etl_spark.functions.text import tokens as tok_fn
     from d3d_etl_spark.io import load_table
     from d3d_etl_spark.operators.classifier import (
         X_SCALE,
-        hashed_features,
+        lr_corpus_inputs,
         lr_gradient_step,
     )
     from d3d_etl_spark.queries.textops import _LR_FEATURES, _LR_RATE
 
     docs = load_table(spark, TEST_SF_DIR, "documents")
-    tok = tok_fn(F.col("text"))
-    xq = hashed_features(
-        docs.select("doc_id", tok.alias("toks")), F.col("toks"), _LR_FEATURES
-    ).localCheckpoint()
-    labels = (
-        docs.select(
-            "doc_id",
-            F.size(tok).alias("nd"),
-            F.when(F.col("lang") == "en", F.lit(X_SCALE)).otherwise(0).cast("long").alias("y_q"),
-        )
-        .where(F.col("nd") > 0)
-        .select("doc_id", "y_q")
-        .localCheckpoint()
-    )
+    xq, labels = lr_corpus_inputs(docs, _LR_FEATURES)
 
     # dense numpy mirror
     xp = xq.toPandas()
@@ -375,10 +361,13 @@ def test_dsir_selection_enriches_target(spark):
 
 
 def test_kmeans_iteration_improves_assignment(spark):
-    """Lloyd monotonicity: iteration 2's mean assignment similarity is at
-    least iteration 1's (recomputing centroids from the assignment cannot
-    hurt the mean cosine objective, modulo round-6), and every vector is
-    assigned exactly once per iteration."""
+    """Regression pin, not a theorem: with RAW-mean centroids and a cosine
+    objective, an update step is not mathematically guaranteed to raise the
+    mean assignment cosine (the cosine-optimal direction is the mean of
+    NORMALIZED vectors, so heterogeneous norms can move it either way) —
+    but on this corpus it rises clearly (0.21 -> 0.25), and losing that
+    would signal a real behavior change in label_centroids / assignment.
+    Also pins one assignment per vector per iteration."""
     from d3d_etl_spark.queries.registry import REGISTRY
 
     pdf = REGISTRY["z_sim_kmeans_iter"].fn(spark, TEST_SF_DIR).toPandas()

@@ -331,10 +331,10 @@ def test_semdedup_plan_cluster_local(spark, sf_dir):
     assert s.n_broadcast_joins >= 1, "drop-set flag join must broadcast"
     # source-level: both SemDeDup-family queries route through the shared
     # stage helper, which routes through the within-cluster operator
-    # either engine of the cluster-local pair operator (GEMM on the default
-    # path, HOF as the parity anchor — equivalence pinned in test_operators)
-    assert "within_cluster_near_pairs" in inspect.getsource(ss._semdedup_parts)
-    assert "within_cluster_near_pairs_gemm" in inspect.getsource(ss._semdedup_parts)
+    # the GEMM engine of the cluster-local pair operator is the default
+    # path (HOF is the parity anchor — equivalence pinned in test_operators);
+    # the call must be the gemm variant specifically, not a substring match
+    assert "within_cluster_near_pairs_gemm(" in inspect.getsource(ss._semdedup_parts)
     for fn in (ss.z_sim_semdedup, ss.z_sim_d4):
         assert "_semdedup_parts" in inspect.getsource(fn)
 
