@@ -1160,3 +1160,77 @@ def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
     )
     return row(asgn1, 1).unionByName(row(asgn2, 2))
+
+
+# ---------------------------------------------------------------------------
+# z_sim_contrastive — contrastive training-pair mining for embedding-model
+# fine-tuning: positives are within-cluster near-duplicate pairs (cosine >=
+# tau, both orientations — each member anchors once), and each anchor gets
+# the HARDEST in-cluster negative: the most-similar same-cluster vector
+# that is NOT a positive (max sim < tau, id-asc tiebreak) — the standard
+# hard-negative mining recipe, deterministic. Anchors whose cluster offers
+# no sub-tau vector emit no row (nothing to contrast against).
+# Scale shape: the candidate set is the SemDeDup cluster-local pair stage
+# (sum c_i^2 work, GEMM engine), so positives and hard negatives come from
+# ONE pass over the same gated candidates; at production scale the
+# negative pool widens to ANN-probe candidates — same machinery
+# (ann_gated_near_pairs).
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_ORACLE = f"""
+WITH {_SEMDEDUP_CTES.replace("drops AS (", "_drops_unused AS (")},
+allp AS (
+  SELECT id_a, id_b, ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) AS sim FROM p
+),
+sym AS (
+  SELECT id_a AS anchor, id_b AS other, sim FROM allp
+  UNION ALL
+  SELECT id_b, id_a, sim FROM allp
+),
+pos AS (SELECT anchor, other AS positive, sim AS pos_sim FROM sym WHERE sim >= {_SEMDEDUP_TAU}),
+neg AS (
+  SELECT anchor, other AS negative, sim AS neg_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor ORDER BY sim DESC, other
+         ) AS rn
+  FROM sym WHERE sim < {_SEMDEDUP_TAU}
+)
+SELECT p.anchor, p.positive, p.pos_sim, n.negative, n.neg_sim
+FROM pos p JOIN neg n ON p.anchor = n.anchor AND n.rn = 1
+"""
+
+
+@register("z_sim_contrastive", _CONTRASTIVE_ORACLE, tags=("similarity", "training"))
+def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets: near-dup positives + hardest
+    sub-tau in-cluster negatives. Beyond-reference LLM-pipeline operator
+    (embedding-model training-pair mining)."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
+
+    clustered, _ = _semdedup_parts(spark, sf_dir)
+    # one unthresholded cluster-local pass feeds positives AND negatives
+    allp = within_cluster_near_pairs_gemm(clustered, -1.0).localCheckpoint()
+    sym = allp.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "pair_sim"
+    ).unionByName(
+        allp.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("other"), "pair_sim"
+        )
+    )
+    pos = sym.where(F.col("pair_sim") >= _SEMDEDUP_TAU).select(
+        "anchor", F.col("other").alias("positive"), F.col("pair_sim").alias("pos_sim")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("pair_sim"), F.asc("other"))
+    neg = (
+        sym.where(F.col("pair_sim") < _SEMDEDUP_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "anchor",
+            F.col("other").alias("negative"),
+            F.col("pair_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor")

@@ -423,3 +423,33 @@ def test_safe_split_blocks_leakage(spark):
     )
     assert cross_safe == 0
     assert cross_naive > 0, "corpus too clean to demonstrate the leak"
+
+
+def test_contrastive_triplet_semantics(spark):
+    """Triplet contract: pos_sim >= tau > neg_sim for every row; the
+    negative is the HARDEST one (no same-cluster sub-tau vector is more
+    similar to the anchor); every anchor of a positive pair with an
+    available negative appears."""
+    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from d3d_etl_spark.queries.simsearch import _SEMDEDUP_TAU, _semdedup_parts
+
+    pdf = REGISTRY["z_sim_contrastive"].fn(spark, TEST_SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["pos_sim"] >= _SEMDEDUP_TAU).all()
+    assert (pdf["neg_sim"] < _SEMDEDUP_TAU).all()
+
+    clustered, _ = _semdedup_parts(spark, TEST_SF_DIR)
+    allp = within_cluster_near_pairs_gemm(clustered, -1.0).toPandas()
+    best_neg: dict = {}
+    anchors_with_pos = set()
+    for a, b, s in zip(allp["id_a"], allp["id_b"], allp["pair_sim"]):
+        for x, y in ((a, b), (b, a)):
+            if s >= _SEMDEDUP_TAU:
+                anchors_with_pos.add(x)
+            elif s > best_neg.get(x, (-2.0, None))[0]:
+                best_neg[x] = (s, y)
+    for r in pdf.itertuples():
+        assert best_neg[r.anchor][0] == r.neg_sim, r.anchor
+    expected_anchors = {a for a in anchors_with_pos if a in best_neg}
+    assert set(pdf["anchor"]) == expected_anchors
