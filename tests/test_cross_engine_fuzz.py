@@ -166,3 +166,109 @@ def test_normalize_division_twin(spark):
         _assert_equal(*_both(spark, normalize_division, sql_normalize_division))
     finally:
         _STRINGS = saved
+
+
+# --- integer-keyed twins (the round-4 selection formulas) -------------------
+
+_INTS = (
+    [0, 1, 2, 15, 16, 17, 31, 32, 499, 500, 10**6, 2**31 - 1, 2**40 + 7]
+    + [_R.randint(0, 2**50) for _ in range(80)]
+)
+
+
+def _both_ints(spark, spark_col_fn, sql_expr_fn):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(_INTS)], "id long, k long")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", spark_col_fn(F.col("k")).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (id BIGINT, k BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(_INTS)))
+        want = {
+            row[0]: row[1]
+            for row in con.execute(f"SELECT id, {sql_expr_fn('k')} FROM t").fetchall()
+        }
+    finally:
+        con.close()
+    return got, want
+
+
+def test_hash_split_twin(spark):
+    """hash_split vs sql_hash_split on random bigint keys with the
+    safe-split weights — the threshold arithmetic and arm order must agree
+    exactly (a one-off would silently reroute documents between splits)."""
+    from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
+    from d3d_etl_spark.queries.dedup import _SAFE_SPLIT_WEIGHTS
+
+    got, want = _both_ints(
+        spark,
+        lambda c: hash_split(c, _SAFE_SPLIT_WEIGHTS),
+        lambda e: sql_hash_split(e, _SAFE_SPLIT_WEIGHTS),
+    )
+    _assert_equal(got, want)
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_serpentine_shard_twin(spark):
+    """The serpentine dealing expression (z_corpus_shard_balance) on random
+    ranks: Spark integer-div CASE vs the DuckDB // CASE, bit-for-bit."""
+    from d3d_etl_spark.queries.textops import _SHARDS
+
+    got, want = _both_ints(
+        spark,
+        lambda c: F.expr(
+            f"CASE WHEN (k div {_SHARDS}) % 2 = 0 THEN k % {_SHARDS} "
+            f"ELSE {_SHARDS} - 1 - (k % {_SHARDS}) END"
+        ).cast("long"),
+        lambda e: (
+            f"CASE WHEN ({e} // {_SHARDS}) % 2 = 0 THEN {e} % {_SHARDS} "
+            f"ELSE {_SHARDS} - 1 - ({e} % {_SHARDS}) END"
+        ),
+    )
+    _assert_equal(got, want)
+    assert set(got.values()) <= set(range(_SHARDS))
+
+
+def test_dsir_gumbel_twin(spark):
+    """The quantized Gumbel perturbation (z_corpus_dsir) on random doc ids:
+    two nested LN on identical doubles inside a ROUND — both engines must
+    produce the identical integer for every key."""
+    from d3d_etl_spark.functions.strings import md5_int, sql_md5_int
+    from d3d_etl_spark.queries.curation import _DSIR_Q, _DSIR_U_MOD
+
+    def spark_g(c):
+        u = (
+            md5_int(F.concat(F.lit("dsir:"), c.cast("string"))) % _DSIR_U_MOD + 0.5
+        ) / float(_DSIR_U_MOD)
+        return F.round(_DSIR_Q * (-F.log(-F.log(u)))).cast("long")
+
+    def sql_g(e):
+        h = sql_md5_int(f"'dsir:' || CAST({e} AS VARCHAR)")
+        return (
+            f"CAST(ROUND({_DSIR_Q} * (-LN(-LN(({h} % {_DSIR_U_MOD} + 0.5)"
+            f" / {_DSIR_U_MOD}.0)))) AS BIGINT)"
+        )
+
+    got, want = _both_ints(spark, spark_g, sql_g)
+    _assert_equal(got, want)
+
+
+def test_lr_sigmoid_quantization_twin(spark):
+    """The LR probability quantization round(1e6 * sigmoid(m)) over a sweep
+    of exact margins m = k/1e6 - 25 (covering saturated tails and the
+    steep center): exp() of identical doubles inside a ROUND must quantize
+    identically on both engines."""
+    got, want = _both_ints(
+        spark,
+        lambda c: F.round(
+            1_000_000
+            / (F.lit(1.0) + F.exp(-((c % 50_000_000).cast("double") / 1e6 - 25.0)))
+        ).cast("long"),
+        lambda e: (
+            f"CAST(ROUND(1000000 / (1.0 + EXP(-(CAST({e} % 50000000 AS DOUBLE)"
+            f" / 1000000.0 - 25.0)))) AS BIGINT)"
+        ),
+    )
+    _assert_equal(got, want)
