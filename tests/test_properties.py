@@ -229,3 +229,38 @@ def test_serpentine_rank_two_level_equals_naive(spark):
             .collect()
         }
         assert two_level == naive, trial
+
+
+def test_queries_invariant_to_shuffle_partitioning(spark):
+    """Whole-query repartition invariance: the determinism contract says
+    results are identical under ANY partitioning (exact-integer sums,
+    quantization-before-aggregation, total-order windows). Run the most
+    partition-sensitive queries — distributed prefix sums, two-level global
+    rank, MinHash banding, fold-order cosine sims, integer-quantized
+    gradients — under 3 and 32 shuffle partitions and compare the full
+    result sets value-for-value."""
+    from d3d_etl_spark import queries as qmod
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from tests.conftest import TEST_SF_DIR
+
+    qmod.load_all()
+    names = [
+        "corpus_chunk_pack",
+        "z_corpus_shard_balance",
+        "z_sim_semdedup",
+        "dedup_minhash_lsh",
+        "z_corpus_lr_step",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            for name in names:
+                pdf = REGISTRY[name].fn(spark, TEST_SF_DIR).toPandas()
+                pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+                results.setdefault(name, []).append(pdf)
+        for name, (a, b) in results.items():
+            assert a.equals(b), f"{name} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
