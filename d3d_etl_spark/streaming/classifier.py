@@ -67,3 +67,39 @@ def streaming_quality_scores(
         score.alias("score"),
         F.coalesce(score >= 0.5, F.lit(False)).alias("accept"),
     )
+
+
+def streaming_dsir_weights(
+    doc_stream: DataFrame, log_ratio: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Streaming twin of z_corpus_dsir's scoring half: importance-weight
+    documents ARRIVING as a stream against a log-ratio table FIT in batch
+    (the (target || raw) bucket statistics are corpus state; the per-doc
+    weight is pure per-row math). `log_ratio` is (j, t_q) — B integer rows,
+    collected to an array literal like the classifier weights. Per row:
+    bigram-shingle the text, hash each shingle, sum the indexed t_q —
+    the batch side's EXACT integer weight (counts enter multiplicatively
+    through repetition of the same j), so parity with z_corpus_dsir's lw_q
+    is exact, not approximate. Stateless; zero shuffle."""
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+
+    rows = {r["j"]: int(r["t_q"]) for r in log_ratio.collect()}
+    if sorted(rows) != list(range(n_buckets)):
+        raise ValueError(
+            f"log-ratio table must cover buckets 0..{n_buckets - 1} exactly; "
+            f"got {len(rows)} rows"
+        )
+    t_arr = F.array(*[F.lit(rows[j]).cast("long") for j in range(n_buckets)])
+    sh = word_shingles(tokens(F.col("text")), 2)
+    per_sh = F.transform(
+        sh, lambda s: F.element_at(t_arr, (md5_int(s) % n_buckets + 1).cast("int"))
+    )
+    lw = F.when(
+        F.size(sh) > 0,
+        F.aggregate(per_sh, F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    return doc_stream.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        lw.alias("lw_q"),
+    )

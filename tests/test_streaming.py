@@ -728,3 +728,80 @@ def test_streaming_classifier_scores_match_batch(spark, sf_dir, tmp_path):
     for doc_id, r in got.items():
         if r["n_tokens"] == 0:
             assert r["score"] is None and r["accept"] is False
+
+
+def test_streaming_dsir_weights_match_batch(spark, sf_dir, tmp_path):
+    """The streaming DSIR scorer must reproduce the batch query's EXACT
+    integer importance weights: fit the log-ratio table in batch (completed
+    to all B buckets with the smoothed default for never-observed ones),
+    stream the documents, and compare lw_q per doc_id — integer equality,
+    no tolerance."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+    from d3d_etl_spark.queries.curation import _DSIR_B, _DSIR_Q, z_corpus_dsir
+    from d3d_etl_spark.streaming.classifier import streaming_dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # batch fit (mirrors the query's stats stage), completed over range(B)
+    sh = word_shingles(tokens(F.col("text")), 2)
+    feat = (
+        docs.select("doc_id", "lang", F.explode(sh).alias("s"))
+        .withColumn("j", md5_int(F.col("s")) % _DSIR_B)
+        .groupBy("doc_id", "lang", "j")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    rawc = feat.groupBy("j").agg(F.sum("c").alias("c"))
+    tgtc = feat.where(F.col("lang") == "en").groupBy("j").agg(F.sum("c").alias("ct"))
+    tots = rawc.agg(F.sum("c").alias("tr")).crossJoin(
+        feat.where(F.col("lang") == "en").agg(F.sum("c").alias("tt"))
+    )
+    t_q = F.round(
+        _DSIR_Q
+        * (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + _DSIR_B)
+            )
+            - F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("tr") + _DSIR_B))
+        )
+    ).cast("long")
+    table = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").alias("j"))
+        .join(rawc, "j", "left")
+        .join(tgtc, "j", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("j", t_q.alias("t_q"))
+    )
+
+    staged = os.path.join(str(tmp_path), "dsir_stream")
+    docs.select("doc_id", "text").write.parquet(staged)
+    src = spark.readStream.schema("doc_id long, text string").parquet(staged)
+    q = (
+        streaming_dsir_weights(src, table, _DSIR_B)
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    assert len(got) == docs.count()
+
+    batch = {r["doc_id"]: r["lw_q"] for r in z_corpus_dsir(spark, sf_dir).collect()}
+    assert batch, "batch produced no weights"
+    for doc_id, lw in batch.items():
+        assert got[doc_id]["lw_q"] == lw, doc_id  # exact integer parity
+    # docs without bigrams score NULL (same eligibility as batch exclusion)
+    for doc_id, r in got.items():
+        if doc_id not in batch:
+            assert r["n_shingles"] == 0 and r["lw_q"] is None
