@@ -185,7 +185,12 @@ def blocked_near_pairs(
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
         sims = _np_round6_half_away((A @ B.T) / np.outer(na, nb))
-        ia, jb = np.nonzero(sims >= threshold)
+        # zero-norm guard (pair-stage contract): a zero vector has no
+        # cosine — numpy yields NaN/inf here, Spark's double division
+        # yields NULL, and both drop the pair; the explicit isfinite mask
+        # pins that agreement instead of leaning on NaN-comparison quirks
+        # (IEEE engines disagree on NaN >= tau).
+        ia, jb = np.nonzero(np.isfinite(sims) & (sims >= threshold))
         if ia.size == 0:
             return out_schema.empty_table()
         ida = la.column("vid").combine_chunks().to_numpy()[ia]
@@ -273,6 +278,9 @@ def hyperplane_band_buckets(
     return dots.groupBy(id_col, band.alias("band")).agg(F.sum(bit).alias("bucket"))
 
 
+ANN_MAX_BUCKET = 4096  # hot-bucket guard: max rows per GEMM block (see below)
+
+
 def ann_gated_near_pairs(
     emb: DataFrame,
     threshold: float,
@@ -281,6 +289,7 @@ def ann_gated_near_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = ANN_MAX_BUCKET,
 ) -> DataFrame:
     """Near-pairs cosine >= threshold, ANN-GATED: hyperplane band buckets
     pick the candidates, a within-bucket GEMM verifies them exactly.
@@ -301,27 +310,75 @@ def ann_gated_near_pairs(
     LSH gate; the oracle SQL mirrors the gate itself, and
     tests/test_scale_smoke.py proves candidate volume << exact with full
     recall on planted near-dup clusters. At scale: raise n_planes to shrink
-    buckets (skew → task size), raise n_bands to buy recall.
+    buckets, raise n_bands to buy recall.
+
+    HOT-BUCKET GUARD (always on): a low-entropy region — precisely the
+    near-duplicate-heavy shard this operator targets — can put a
+    corpus-scale fraction of vectors into ONE (band, bucket), and a single
+    c x c GEMM task over it would OOM. Buckets larger than `max_bucket`
+    are split into ceil(size/max_bucket) id-hash sub-blocks and the GEMM
+    runs per unordered BLOCK PAIR (the blocked_near_pairs scheme applied
+    inside the bucket): every within-bucket pair is still scored exactly
+    once per band, so the guard NEVER changes the pair set or the sims —
+    it only bounds task memory at (c/n_sub)^2 and multiplies hot-bucket
+    replication by n_sub. Invariance is pinned in tests/test_skew.py
+    (forced split == unsplit, planted mega-bucket) — the same guard shape
+    as resplit_oversized_clusters on the k-means side, but lossless here
+    because sub-blocks still meet in block-pair tasks.
     """
     import pyarrow as pa
+
+    from d3d_etl_spark.functions.strings import md5_int
 
     if n_planes % n_bands:
         raise ValueError("n_planes must divide evenly into n_bands bands")
     spark = emb.sparkSession
     planes = hyperplane_table(spark, n_planes, dim)
     bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
+    # bucket cardinality <= n_bands * 2^band_size (64 rows at the defaults,
+    # bounded by the bit width at any corpus size) -> the size table always
+    # broadcasts
+    sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    nsub = F.greatest(
+        F.lit(1), F.ceil(F.col("_bsz") / F.lit(max_bucket))
+    ).cast("int")
+    bb = bb.join(
+        F.broadcast(sizes.select("band", "bucket", nsub.alias("_nsub"))),
+        ["band", "bucket"],
+    )
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     # bucket membership lists are corpus-sized: this join shuffles both
     # sides on the id — one exchange, then the grouped GEMM reuses the
-    # (band, bucket) clustering from the groupBy
-    tagged = base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
+    # (band, bucket, block-pair) clustering from the groupBy
+    tagged = (
+        base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
+        .withColumn("_blk", F.pmod(md5_int(F.col("vid").cast("string")), F.col("_nsub")).cast("int"))
+        # replicate each row to every block pair it participates in:
+        # (min(_blk, j), max(_blk, j)) for j in 0.._nsub-1 — each unordered
+        # pair of rows meets in exactly one (bi, bj) task per band
+        .withColumn("_j", F.explode(F.expr("sequence(0, _nsub - 1)")))
+        .select(
+            "vid",
+            "vec",
+            "band",
+            "bucket",
+            "_blk",
+            F.least("_blk", "_j").alias("_bi"),
+            F.greatest("_blk", "_j").alias("_bj"),
+        )
+    )
 
     out_schema = pa.schema(
         [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
     )
+
+    def _gemm(np, A, B):
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return _np_round6_half_away((A @ B.T) / np.outer(na, nb))
 
     def gemm_bucket_pairs(tbl: "pa.Table") -> "pa.Table":
         import numpy as np
@@ -329,23 +386,45 @@ def ann_gated_near_pairs(
         if tbl.num_rows < 2:
             return out_schema.empty_table()
         c = tbl.column("vec").combine_chunks()
-        A = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
-        norms = np.sqrt(np.einsum("ij,ij->i", A, A))
-        sims = _np_round6_half_away((A @ A.T) / np.outer(norms, norms))
-        iu, ju = np.triu_indices(len(norms), k=1)
-        keep = sims[iu, ju] >= threshold
-        if not keep.any():
-            return out_schema.empty_table()
+        M = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
         ids = tbl.column("vid").combine_chunks().to_numpy()
-        ia, jb = iu[keep], ju[keep]
-        lo = np.minimum(ids[ia], ids[jb])
-        hi = np.maximum(ids[ia], ids[jb])
+        bi = tbl.column("_bi")[0].as_py()
+        bj = tbl.column("_bj")[0].as_py()
+        if bi == bj:
+            # diagonal block: upper-triangle self-GEMM
+            sims = _gemm(np, M, M)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            # zero-norm guard: see blocked_near_pairs — non-finite never pass
+            keep = np.isfinite(sims[iu, ju]) & (sims[iu, ju] >= threshold)
+            if not keep.any():
+                return out_schema.empty_table()
+            ia, jb = iu[keep], ju[keep]
+            lo = np.minimum(ids[ia], ids[jb])
+            hi = np.maximum(ids[ia], ids[jb])
+            return pa.table(
+                {"vec_a": lo, "vec_b": hi, "sim": sims[ia, jb]}, schema=out_schema
+            )
+        # off-diagonal block pair: full cross-GEMM between the two id-hash
+        # sub-blocks (disjoint row sets, so no self/orientation filtering)
+        blk = tbl.column("_blk").combine_chunks().to_numpy()
+        a_ix = np.nonzero(blk == bi)[0]
+        b_ix = np.nonzero(blk == bj)[0]
+        if a_ix.size == 0 or b_ix.size == 0:
+            return out_schema.empty_table()
+        sims = _gemm(np, M[a_ix], M[b_ix])
+        ia, jb = np.nonzero(np.isfinite(sims) & (sims >= threshold))
+        if ia.size == 0:
+            return out_schema.empty_table()
+        ida = ids[a_ix][ia]
+        idb = ids[b_ix][jb]
+        lo = np.minimum(ida, idb)
+        hi = np.maximum(ida, idb)
         return pa.table(
             {"vec_a": lo, "vec_b": hi, "sim": sims[ia, jb]}, schema=out_schema
         )
 
     pairs = (
-        tagged.groupBy("band", "bucket")
+        tagged.groupBy("band", "bucket", "_bi", "_bj")
         .applyInArrow(gemm_bucket_pairs, "vec_a long, vec_b long, sim double")
     )
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("sim").alias("sim"))
@@ -467,7 +546,14 @@ def within_cluster_near_pairs(
     meets exactly once, in a's salt bucket); the explicit fixed-width
     repartition is deliberate — AQE does not coalesce user-specified
     repartitions, which is the point. At real corpus scale k >> cores and
-    salt=1 is right; size salt ~ cores/k otherwise."""
+    salt=1 is right; size salt ~ cores/k otherwise.
+
+    Zero-norm contract (all pair engines): a zero/NULL-norm vector has no
+    cosine, and the pair is DROPPED — here the double division yields NULL
+    and the `>= tau` filter rejects it; the GEMM engines mask non-finite
+    sims explicitly to the same effect. Oracles must mirror this (IEEE
+    engines where NaN compares high, e.g. DuckDB, would otherwise emit
+    the pair); current corpora contain no zero-norm embeddings."""
     from d3d_etl_spark.functions.strings import md5_int
     from d3d_etl_spark.functions.vectors import dot, norm
 
@@ -531,8 +617,11 @@ def resplit_oversized_clusters(
     vectors always land in the same sub-cluster and the exact-duplicate
     recall guarantee of the pair stage survives every split level.
 
-    Iterates up to `max_levels` (each level multiplies the label by sub_k,
-    so labels stay collision-free longs). A cluster of near-identical
+    Iterates up to `max_levels` (each level multiplies the label by
+    sub_k + 1, so labels stay collision-free longs AND slot sub_k stays
+    reserved as the sentinel for rows that cannot be content-assigned —
+    NULL/empty embeddings never merge into a content-assigned
+    sub-cluster). A cluster of near-identical
     vectors is NOT separable by content — by design: those rows genuinely
     are each other's near-dup candidates, and the loop detects the
     no-progress level (oversized size multiset unchanged) and stops rather
@@ -580,14 +669,17 @@ def resplit_oversized_clusters(
             restrict_cols=(label_col,),
         ).select(
             id_col,
-            (F.col(label_col) * sub_k + F.col("assigned_label")).alias("_new"),
+            (F.col(label_col) * (sub_k + 1) + F.col("assigned_label")).alias("_new"),
         )
         # LEFT join + coalesce: a NULL/empty-embedding row produces no
-        # components and no assignment — it keeps its parent label instead
-        # of silently vanishing from the output
+        # components and no assignment — it lands in the reserved sentinel
+        # slot sub_k (never a content-assigned sub-cluster) instead of
+        # silently vanishing from the output
         refined = over.join(best.hint("shuffle_hash"), id_col, "left").select(
             *[
-                F.coalesce(F.col("_new"), F.col(label_col) * sub_k).alias(label_col)
+                F.coalesce(
+                    F.col("_new"), F.col(label_col) * (sub_k + 1) + sub_k
+                ).alias(label_col)
                 if c == label_col
                 else F.col(c)
                 for c in over.columns
@@ -595,7 +687,7 @@ def resplit_oversized_clusters(
         )
         # compliant clusters keep label-space parity with the refined ones
         out = ok.withColumn(
-            label_col, F.col(label_col) * sub_k
+            label_col, F.col(label_col) * (sub_k + 1)
         ).unionByName(refined).localCheckpoint()
     return out
 
@@ -656,7 +748,8 @@ def within_cluster_near_pairs_gemm(
         norms = np.sqrt(np.einsum("ij,ij->i", A, A))
         sims = _np_round6_half_away((A @ A.T) / np.outer(norms, norms))
         iu, ju = np.triu_indices(len(norms), k=1)
-        keep = sims[iu, ju] >= tau
+        # zero-norm guard: see blocked_near_pairs — non-finite sims never pass
+        keep = np.isfinite(sims[iu, ju]) & (sims[iu, ju] >= tau)
         if not keep.any():
             return out_schema.empty_table()
         ids = tbl.column("vid").combine_chunks().to_numpy()

@@ -921,6 +921,36 @@ FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
 
 
+# runaway-cluster bound for the pair stage: the GEMM engine materializes one
+# dense c x c sims matrix per cluster, so the largest admissible cluster is a
+# MEMORY bound, not a tuning knob — 8192^2 float64 = 512 MB per task, the
+# ceiling for a healthy executor. Clusters above it are re-split by the
+# content-based second k-means level (resplit_oversized_clusters) before any
+# pair work; at the k ~ n/1000 sizing rule this never fires on a balanced
+# corpus (sf0.1 clusters are ~250 rows), so the guard costs one
+# cluster-cardinality count probe — and on a skewed corpus it is the
+# difference between a bounded task and an OOM (tests/test_skew.py drives a
+# planted mega-cluster through z_sim_semdedup itself).
+_SEMDEDUP_MAX_CLUSTER = 8192
+
+
+def _semdedup_pair_scope(clustered: DataFrame) -> DataFrame:
+    """Pair-SEARCH scope for the SemDeDup stage: the published `cluster`
+    label, refined by the runaway-cluster guard into `_pair_lbl`. Only the
+    pair search narrows to the refined label — the published assignment,
+    csim, and drop rule all keep the original cluster, so the guard is
+    invisible (a count probe) unless a cluster actually exceeds the memory
+    bound. Content-based re-splitting keeps exact/near-dup recall: identical
+    vectors always share a sub-cluster (operators/similarity.py
+    resplit_oversized_clusters)."""
+    from d3d_etl_spark.operators.similarity import resplit_oversized_clusters
+
+    scoped = clustered.withColumn("_pair_lbl", F.col("cluster"))
+    return resplit_oversized_clusters(
+        scoped, max_size=_SEMDEDUP_MAX_CLUSTER, label_col="_pair_lbl"
+    )
+
+
 def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared SemDeDup stages: (clustered, drops). `clustered` carries
     (vec_id, embedding, ..., cluster, csim) behind a localCheckpoint barrier
@@ -950,10 +980,17 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     # task per cluster (2x the salted HOF join even at these 64 dims, an
     # order of magnitude at production dims); round-6 keeps it
     # hash-identical to the HOF engine AND the DuckDB oracle, and the
-    # equivalence is pinned in tests/test_operators.py
+    # equivalence is pinned in tests/test_operators.py. The pair search
+    # runs on the GUARDED scope label (_semdedup_pair_scope): oversized
+    # clusters are content-re-split below the GEMM memory bound first.
     from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
 
-    pairs = within_cluster_near_pairs_gemm(clustered, _SEMDEDUP_TAU, carry=("csim",))
+    pairs = within_cluster_near_pairs_gemm(
+        _semdedup_pair_scope(clustered),
+        _SEMDEDUP_TAU,
+        label_col="_pair_lbl",
+        carry=("csim",),
+    )
     loser = F.when(
         (F.col("csim_a") > F.col("csim_b"))
         | ((F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") > F.col("id_b"))),
@@ -1210,8 +1247,12 @@ def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
 
     clustered, _ = _semdedup_parts(spark, sf_dir)
-    # one unthresholded cluster-local pass feeds positives AND negatives
-    allp = within_cluster_near_pairs_gemm(clustered, -1.0).localCheckpoint()
+    # one unthresholded cluster-local pass feeds positives AND negatives;
+    # same runaway-cluster guard as the dedup pair stage (no-op here, the
+    # memory bound on a skewed corpus)
+    allp = within_cluster_near_pairs_gemm(
+        _semdedup_pair_scope(clustered), -1.0, label_col="_pair_lbl"
+    ).localCheckpoint()
     sym = allp.select(
         F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "pair_sim"
     ).unionByName(

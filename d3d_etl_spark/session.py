@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.maxResultSize", "2g")
+        # a loaded single host (driver harness + pytest sharing 32 cores)
+        # can stall a broadcast build past the 300 s default and produce a
+        # spurious awaitResult failure on a correct query (observed on the
+        # widest join tree, z_war_park, under round-4 judging contention);
+        # env-overridable so the driver can tighten it on a quiet cluster
+        .config(
+            "spark.sql.broadcastTimeout",
+            os.environ.get("SPARK_GRAFT_BROADCAST_TIMEOUT", "1200"),
+        )
         .config("spark.ui.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert at the scan (io.load_table).

@@ -36,11 +36,14 @@ def _weight_literals(weights: DataFrame, n_features: int) -> Column:
     Fails fast on a short or gappy table: a silent gap would make
     element_at return NULL for the missing index and NULL out every
     affected document's margin fold."""
-    rows = {r["j"]: float(r["w"]) for r in weights.collect()}
-    if sorted(rows) != list(range(n_features)):
+    collected = weights.collect()
+    rows = {r["j"]: float(r["w"]) for r in collected}
+    # compare against the ROW count, not just the key set: duplicate-j rows
+    # would otherwise pass coverage with a collect-order-dependent winner
+    if len(collected) != n_features or sorted(rows) != list(range(n_features)):
         raise ValueError(
-            f"weight table must cover features 0..{n_features - 1} exactly; "
-            f"got {len(rows)} rows"
+            f"weight table must cover features 0..{n_features - 1} exactly "
+            f"once; got {len(collected)} rows over {len(rows)} distinct j"
         )
     return F.array(*[F.lit(rows[j]) for j in range(n_features)])
 
@@ -83,11 +86,13 @@ def streaming_dsir_weights(
     is exact, not approximate. Stateless; zero shuffle."""
     from d3d_etl_spark.functions.text import tokens, word_shingles
 
-    rows = {r["j"]: int(r["t_q"]) for r in log_ratio.collect()}
-    if sorted(rows) != list(range(n_buckets)):
+    collected = log_ratio.collect()
+    rows = {r["j"]: int(r["t_q"]) for r in collected}
+    # row-count check too: duplicate-j rows must raise, not last-write-win
+    if len(collected) != n_buckets or sorted(rows) != list(range(n_buckets)):
         raise ValueError(
-            f"log-ratio table must cover buckets 0..{n_buckets - 1} exactly; "
-            f"got {len(rows)} rows"
+            f"log-ratio table must cover buckets 0..{n_buckets - 1} exactly "
+            f"once; got {len(collected)} rows over {len(rows)} distinct j"
         )
     t_arr = F.array(*[F.lit(rows[j]).cast("long") for j in range(n_buckets)])
     sh = word_shingles(tokens(F.col("text")), 2)
