@@ -823,16 +823,73 @@ def z_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ROUNDS = 5
 
 
-@register("z_corpus_bpe_train", None, tags=("textops", "tokenizer"))
+def _bpe_train_oracle(rounds: int) -> str:
+    """The full BPE training trajectory as one chained-CTE DuckDB oracle
+    (round-4 VERDICT item #6, BPE half). The blocker was the left-to-right
+    merge FOLD — SQL has no per-row sequential fold — but plain `replace`
+    IS a left-to-right non-overlapping scan, which is exactly the fold's
+    semantics under the right encoding: symbols joined by DOUBLE tabs
+    (tokens are whitespace-split, so symbol text can never contain a tab),
+    merge pattern `\\t p1 \\t\\t p2 \\t` -> `\\t p1p2 \\t`. Each match
+    consumes one tab of each outer boundary and leaves one, so adjacent
+    merges in a chain ("aaaa" -> ["aa","aa"]) still fire, while a
+    boundary-aligned pattern can never match a symbol prefix/suffix
+    ("ba","a" is safe from (a,a)). Each round: pair counts over the
+    symbol strings, 1-row argmax (count desc, pair asc), merge applied by
+    replace — `rounds` copies of the block, threaded like the LR unroll."""
+    ctes = [
+        f"""wrd AS (SELECT unnest({sql_tokens('lower(text)')}) AS w FROM documents),
+wcw AS (SELECT w, COUNT(*) AS c FROM wrd GROUP BY 1),
+wc0 AS (
+  SELECT c,
+         repeat(chr(9), 2) ||
+         array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+                         repeat(chr(9), 2)) ||
+         repeat(chr(9), 2) AS sym
+  FROM wcw
+)"""
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""pc{k} AS (
+  SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT c,
+           unnest(list_transform(range(1, len(ss)),
+                                 i -> struct_pack(p1 := ss[i], p2 := ss[i + 1]))) AS pr
+    FROM (SELECT c, list_filter(string_split(sym, chr(9)), s -> s != '') AS ss FROM wc{k})
+    WHERE len(ss) >= 2
+  ) GROUP BY 1, 2
+),
+m{k} AS (SELECT p1, p2, cnt FROM pc{k} ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1),
+wc{k + 1} AS (
+  SELECT wc.c,
+         replace(wc.sym,
+                 chr(9) || m.p1 || chr(9) || chr(9) || m.p2 || chr(9),
+                 chr(9) || m.p1 || m.p2 || chr(9)) AS sym
+  FROM wc{k} wc CROSS JOIN m{k} m
+)"""
+        )
+    body = ",\n".join(ctes)
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_idx, p1, p2, cnt FROM m{k}"
+        for k in range(rounds)
+    )
+    return f"WITH {body}\n{tail}"
+
+
+@register(
+    "z_corpus_bpe_train", _bpe_train_oracle(_BPE_TRAIN_ROUNDS), tags=("textops", "tokenizer")
+)
 def z_corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five rounds of actual BPE training over the corpus word-count table
     (operators/bpe.py): each round re-aggregates pair counts over word
     TYPES, driver-fetches the argmax, and applies the merge as a per-row
-    left-to-right fold. Rows-only by design — the round-over-round greedy
-    argmax is driver control flow, like connected_components and the
-    k-means loop — but the trainer itself is pinned EXACTLY against a
-    pure-python BPE reference in tests/test_operators.py, and the round-1
-    statistic is fully oracled as z_corpus_bpe_pairs."""
+    left-to-right fold. The round-over-round greedy argmax is driver
+    control flow, like connected_components and the k-means loop — but
+    since round 5 the WHOLE trajectory is oracled (_bpe_train_oracle's
+    replace-encoding unroll), on top of the exact pin against a
+    pure-python BPE reference in tests/test_operators.py and the oracled
+    round-1 statistic z_corpus_bpe_pairs."""
     from d3d_etl_spark.operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1042,16 +1099,78 @@ def z_corpus_lr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_TRAIN_STEPS = 3
 
 
-@register("z_corpus_lr_train", None, tags=("textops", "classifier"))
+def _lr_train_oracle(steps: int) -> str:
+    """The FULL trainer trajectory as one chained-CTE DuckDB oracle: the
+    integer-quantization contract (weights re-quantized to 1e-6 at every
+    step boundary, exact integer margin and gradient sums, exp() only on
+    identical doubles) makes each unrolled step bit-reproducible, so the
+    driver-loop trainer is SQL-expressible after all — the loop is just
+    `steps` copies of the z_corpus_lr_step CTE block threaded through the
+    weight table. Converts a rows-only registration into a fully oracled
+    row (round-4 VERDICT item #6)."""
+    ctes = [
+        f"""toks AS (SELECT doc_id, lang, {_TOK} AS w FROM documents),
+ex AS (
+  SELECT doc_id, len(w) AS nd, unnest(w) AS tok FROM toks WHERE len(w) > 0
+),
+xc AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_LR_FEATURES} AS j,
+         nd, COUNT(*) AS c
+  FROM ex GROUP BY 1, 2, 3
+),
+x AS (SELECT doc_id, j, CAST(ROUND(1000000.0 * c / nd) AS BIGINT) AS x_q FROM xc),
+y AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_q
+  FROM toks WHERE len(w) > 0
+),
+n AS (SELECT COUNT(*) AS n_docs FROM y),
+w0 AS (SELECT r.range AS j, 0.0 AS w FROM range({_LR_FEATURES}) r)"""
+    ]
+    for s in range(steps):
+        ctes.append(
+            f"""wq{s} AS (
+  SELECT j, w, CAST(ROUND(w * 1000000.0) AS BIGINT) AS w_q FROM w{s}
+),
+m{s} AS (
+  SELECT x.doc_id,
+         CAST(SUM(x.x_q * wq{s}.w_q) AS DOUBLE) / 1000000000000.0 AS m
+  FROM x JOIN wq{s} ON x.j = wq{s}.j GROUP BY 1
+),
+p{s} AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 / (1.0 + EXP(-m))) AS BIGINT) AS p_q
+  FROM m{s}
+),
+g{s} AS (
+  SELECT x.j, SUM((p{s}.p_q - y.y_q) * x.x_q) AS g_int
+  FROM x JOIN p{s} ON x.doc_id = p{s}.doc_id JOIN y ON x.doc_id = y.doc_id
+  GROUP BY 1
+),
+w{s + 1} AS (
+  SELECT wq{s}.j,
+         wq{s}.w - {_LR_RATE} * CAST(COALESCE(g{s}.g_int, 0) AS DOUBLE)
+                 / 1000000000000.0 / n.n_docs AS w
+  FROM wq{s} LEFT JOIN g{s} ON wq{s}.j = g{s}.j CROSS JOIN n
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT j AS feature, ROUND(w, 8) AS w FROM w{steps}"
+    )
+
+
+@register("z_corpus_lr_train", _lr_train_oracle(_LR_TRAIN_STEPS), tags=("textops", "classifier"))
 def z_corpus_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three full-batch GD steps of the hashed-BoW logistic quality
     classifier (operators/classifier.py lr_gradient_step iterated from the
-    zero vector). Rows-only by design — the step loop is driver control
-    flow, exactly like z_corpus_bpe_train — but each step is the oracled
-    z_corpus_lr_step computation and the iterated trainer is pinned
-    per-step against an independent numpy mirror (and for strict loss
-    descent) in tests/test_corpus_ops_r4.py. Output: (feature, w) after
-    the final step, rounded 8dp."""
+    zero vector). The step loop is driver control flow, but since round 5
+    the WHOLE trajectory is oracled — the chained-CTE unroll in
+    _lr_train_oracle mirrors every step exactly (the integer-quantization
+    contract makes the unroll bit-reproducible). Also pinned per-step
+    against an independent numpy mirror (and for strict loss descent) in
+    tests/test_corpus_ops_r4.py. Output: (feature, w) after the final
+    step, rounded 8dp."""
     from d3d_etl_spark.operators.classifier import lr_corpus_inputs, lr_gradient_step
 
     docs = load_table(spark, sf_dir, "documents")

@@ -48,13 +48,12 @@ def test_supplementary_tier_is_z_prefixed():
 def test_rows_only_queries_are_supplementary():
     """Rows-only (oracle-less) queries live in the z_ tier and each has a
     documented reason: the three FSM-containing pipelines (value evidence =
-    the oracled domain_* family over the materialized parse) and the two
-    iterative driver-loop trainers (value evidence = exact parity vs a
-    pure-python/numpy reference in tests/test_operators.py /
-    tests/test_corpus_ops_r4.py; the per-round/per-step computation is
-    separately oracled as z_corpus_bpe_pairs / z_corpus_lr_step)."""
+    the oracled domain_* family over the materialized parse). The two
+    driver-loop trainers graduated to fully-oracled in round 5 — their
+    whole trajectories unroll as chained DuckDB CTEs (textops.py
+    _lr_train_oracle / _bpe_train_oracle) on top of the existing
+    python/numpy-reference pins."""
     rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
     assert rows_only == [
-        "z_corpus_bpe_train", "z_corpus_lr_train",
         "z_fsm_funnel", "z_pbp_dag", "z_pbp_war",
     ]
