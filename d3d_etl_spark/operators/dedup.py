@@ -193,20 +193,74 @@ def band_keys_from_shingle_array(
     )
 
 
-def lsh_candidates(band_df: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing at least one band bucket."""
+LSH_MAX_BUCKET = 4096  # hot-bucket guard: max docs per self-join block
+
+
+def lsh_candidates(band_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one band bucket.
+
+    HOT-BUCKET GUARD (always on — the text twin of ann_gated_near_pairs'
+    guard): a boilerplate-heavy shard puts a corpus-scale fraction of docs
+    into ONE (band_idx, band_key), and the self-join then computes that
+    bucket's c^2 candidate rows in a single task. Buckets above
+    `max_bucket` are split into ceil(c/max_bucket) id-hash sub-blocks and
+    the join runs per block PAIR — a-side rows carry (blk, j >= blk),
+    b-side rows (i <= blk, blk), so block pair (i, j) joins exactly
+    block i x block j and every unordered doc pair meets exactly once per
+    band (normalized by least/greatest before the distinct). The candidate
+    SET is provably unchanged (pinned in tests/test_skew.py); only the
+    worst task shrinks from c^2 to (c/n_sub)^2. The hot set itself is
+    bounded by n_band_rows/max_bucket entries -> always broadcastable.
+    Cost when no bucket is hot: one count aggregate over the band table
+    (the probe), an empty broadcast, and degenerate (0,0) block keys.
+    """
+    from d3d_etl_spark.functions.strings import md5_int
+
     # Materialize before the self-join: the band table is tiny (n_bands rows
     # per doc) but its lineage is the full 16-min signature groupBy over the
     # shingle table — without a barrier Catalyst recomputes that pass on BOTH
     # join sides (same HOF/CSE trap dedup_simhash_pairs documents; measured
     # ~2x the pair-stage cost at sf0.1).
     band_df = band_df.localCheckpoint()
-    a = band_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
-    b = band_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
+    hot = (
+        band_df.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") > max_bucket)
+        .select(
+            "band_idx",
+            "band_key",
+            F.ceil(F.col("_bsz") / F.lit(max_bucket)).cast("int").alias("_nsub"),
+        )
+    )
+    tagged = (
+        band_df.join(F.broadcast(hot), ["band_idx", "band_key"], "left")
+        .withColumn("_nsub", F.coalesce(F.col("_nsub"), F.lit(1)))
+        .withColumn(
+            "_blk", F.pmod(md5_int(F.col("doc").cast("string")), F.col("_nsub")).cast("int")
+        )
+    )
+    a = tagged.select(
+        F.col("doc").alias("doc_a"),
+        "band_idx",
+        "band_key",
+        F.col("_blk").alias("_bi"),
+        F.explode(F.expr("sequence(_blk, _nsub - 1)")).alias("_bj"),
+    )
+    b = tagged.select(
+        F.col("doc").alias("doc_b"),
+        "band_idx",
+        "band_key",
+        F.explode(F.expr("sequence(0, _blk)")).alias("_bi"),
+        F.col("_blk").alias("_bj"),
+    )
+    pairs = a.join(b, ["band_idx", "band_key", "_bi", "_bj"]).where(
+        F.col("doc_a") != F.col("doc_b")
+    )
     return (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
 

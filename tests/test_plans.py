@@ -75,7 +75,10 @@ def test_complex_pipelines_no_sortmerge(spark, sf_dir):
     """Dimension/candidate joins in the sketch pipelines must broadcast —
     a SortMergeJoin here means a small side lost its broadcast and the
     fact table started shuffling for it."""
-    for name, max_shuffles in (("dedup_minhash_lsh", 4), ("fuzzy_match_family", 3)):
+    # dedup_minhash_lsh budget is 5 since round 5: +1 for the hot-bucket
+    # guard's count probe over the (tiny) band table — the price of
+    # bounding the worst self-join task on a boilerplate-heavy corpus
+    for name, max_shuffles in (("dedup_minhash_lsh", 5), ("fuzzy_match_family", 3)):
         df = REGISTRY[name].fn(spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_sortmerge_joins == 0, f"{name} grew a sort-merge join"

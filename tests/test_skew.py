@@ -162,6 +162,60 @@ def test_ann_hot_bucket_guard(spark):
     assert len({k for k in split}) > 0
 
 
+def test_text_lsh_hot_bucket_guard(spark):
+    """Text twin of the ANN guard: a planted boilerplate corpus (300 docs
+    sharing one shingle set -> every band bucket is hot) must produce the
+    IDENTICAL candidate set whether or not the sub-block split engages —
+    the guard only re-shards the self-join's worst task."""
+    from d3d_etl_spark.operators.dedup import lsh_candidates
+    from d3d_etl_spark.queries.dedup import _N_HASHES, _ROWS_PER_BAND
+    from d3d_etl_spark.operators.dedup import lsh_band_keys
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(50)]
+    boiler = " ".join(["the same boilerplate sentence again and again"] * 5)
+    rows = [(i, boiler) for i in range(300)]
+    rows += [
+        (1000 + i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+    from d3d_etl_spark.queries.dedup import _SHINGLE_N
+
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), _SHINGLE_N))
+        ).alias("shingle"),
+    )
+    bands = lsh_band_keys(
+        shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND
+    ).localCheckpoint()
+
+    # premise: at least one bucket far exceeds the forced cap
+    top = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]
+        .m
+    )
+    cap = 64
+    assert top > 2 * cap, top
+
+    unsplit = {
+        (r.doc_a, r.doc_b) for r in lsh_candidates(bands, max_bucket=10**9).collect()
+    }
+    split = {
+        (r.doc_a, r.doc_b) for r in lsh_candidates(bands, max_bucket=cap).collect()
+    }
+    assert split == unsplit
+    # the boilerplate block really is all-pairs-candidate (recall intact)
+    assert (0, 1) in split and (0, 299) in split
+
+
 def test_ann_hot_bucket_block_bound(spark):
     """The guard's arithmetic on a hot bucket: ceil(size/max_bucket)
     id-hash sub-blocks, so no GEMM side exceeds ~max_bucket rows (hash
