@@ -216,6 +216,53 @@ def test_text_lsh_hot_bucket_guard(spark):
     assert (0, 1) in split and (0, 299) in split
 
 
+def test_fsm_mega_game_parity(spark):
+    """One mega-game (a single contest with ~100x the plays of its
+    neighbours — inherently ONE sequential FSM walk) among normal games:
+    the partitioned multi-game runner must stay bit-identical to the
+    grouped per-game map under that imbalance, including arrow batches
+    straddling the mega-game, and normal games must not be dragged into
+    the mega-game's partition beyond hash placement."""
+    from d3d_etl_spark.operators.fsm import run_grouped_fsm
+    from d3d_etl_spark.pbp.parser import add_events, add_metadata
+    from d3d_etl_spark.pbp.state import (
+        BASE_STATE_SCHEMA,
+        base_state_fsm,
+        base_state_map_iter,
+    )
+    from d3d_etl_spark.pbp.synth import RAW_SCHEMA, generate_games
+
+    rows = generate_games(20, seed=13)
+    # forge the mega-game: replicate game 0's plays 100x under one new
+    # contest_id with strictly increasing play order
+    base_game = [r for r in rows if r[2] == rows[0][2]]
+    mega = []
+    seq = 0
+    for rep in range(100):
+        for r in base_game:
+            r2 = list(r)
+            r2[2] = 999_999  # contest_id
+            r2[6] = seq  # source_seq keeps global order strictly increasing
+            seq += 1
+            mega.append(tuple(r2))
+    raw = spark.createDataFrame(rows + mega, RAW_SCHEMA)
+    cols = add_events(add_metadata(raw)).select(
+        "contest_id", "play_id", "inning", "half", "play_text"
+    )
+    grouped = run_grouped_fsm(
+        cols, ["contest_id"], ["play_id"], base_state_fsm, BASE_STATE_SCHEMA
+    )
+    arranged = cols.repartition(8, "contest_id").sortWithinPartitions(
+        "contest_id", "play_id"
+    )
+    part = arranged.mapInPandas(base_state_map_iter, BASE_STATE_SCHEMA)
+    got = sorted(map(tuple, part.collect()))
+    want = sorted(map(tuple, grouped.collect()))
+    assert got == want
+    n_mega = sum(1 for t in got if t[0] == 999_999)
+    assert n_mega == 100 * sum(1 for t in want if t[0] == rows[0][2])
+
+
 def test_ann_hot_bucket_block_bound(spark):
     """The guard's arithmetic on a hot bucket: ceil(size/max_bucket)
     id-hash sub-blocks, so no GEMM side exceeds ~max_bucket rows (hash
