@@ -354,7 +354,12 @@ FROM scored sc CROSS JOIN thr
 """
 
 
-@register("z_corpus_dsir_threshold", _DSIR_THRESHOLD_ORACLE, tags=("corpus", "sampling"))
+@register(
+    "z_corpus_dsir_threshold",
+    _DSIR_THRESHOLD_ORACLE,
+    tags=("corpus", "sampling"),
+    bench=True,
+)
 def z_corpus_dsir_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection at corpus-fraction K: exact distributed quantile
     threshold over the integer scores (two-level prefix counts), selection

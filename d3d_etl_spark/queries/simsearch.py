@@ -1355,7 +1355,12 @@ FROM pos p JOIN neg n ON p.anchor = n.anchor AND n.rn = 1
 """
 
 
-@register("z_sim_contrastive_ann", _CONTRASTIVE_ANN_ORACLE, tags=("similarity", "training"))
+@register(
+    "z_sim_contrastive_ann",
+    _CONTRASTIVE_ANN_ORACLE,
+    tags=("similarity", "training"),
+    bench=True,
+)
 def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, positive, negative) triplets over the ANN band-bucket
     candidate pool: near-dup positives + hardest sub-tau GATED negatives —
@@ -1387,3 +1392,225 @@ def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor", F.col("other").alias("negative"), F.col("sim").alias("neg_sim"))
     )
     return pos.join(neg, "anchor")
+
+
+# ---------------------------------------------------------------------------
+# z_sim_pq — product quantization + ADC search (Jégou et al. 2011; the
+# FAISS PQ shape; operators/pq.py): per-subspace hash-seeded codebooks,
+# every vector encoded to M small codes, then the fixed query scored
+# against the CODE table via a broadcast (M x ks) integer distance table —
+# M integer adds per vector, raw floats never read at query time. The
+# compression economics (dim floats -> M codes per vector) is what makes
+# billion-scale ANN storable; determinism is total (exact integer
+# squared-L2 everywhere past the quantized codebooks, ties on code/id).
+# Output: every vector with its code signature, ADC distance to the query,
+# and a top-K selection flag — assignment, compression, and search all
+# inside the hash.
+# ---------------------------------------------------------------------------
+
+# 16 sub-quantizers x 16 codes = 64-bit codes: 16x compression over the
+# raw float32 vectors. Recall@25 vs exact quantized-L2 is bit-budget-bound
+# on this (unclustered) corpus — measured 9/25 at 32 bits, 12/25 at
+# 64 bits, 16-17/25 at 128 bits, and codebook REFINEMENT does not move it
+# (verified: 3 extra Lloyd iterations change recall by <=2) — so the knob
+# that matters at scale is (m, ks), pinned in tests/test_pq_r5.py.
+_PQ_M = 16       # sub-quantizers (64-dim -> 16 x 4-dim subspaces)
+_PQ_KS = 16      # codes per subspace
+_PQ_DSUB = _DIM // _PQ_M
+_PQ_KSEL = 25    # published top-K flag
+
+_PQ_CTES = f"""es AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) // {_PQ_DSUB} AS sub,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xs
+  FROM embeddings
+),
+seeded AS (
+  SELECT vec_id, sub, pos, xs,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(sub AS VARCHAR)), 1, 8))::BIGINT % {_PQ_KS} AS code
+  FROM es
+),
+cb AS (
+  SELECT sub, code, pos,
+         CAST(ROUND(CAST(SUM(xs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_q
+  FROM seeded GROUP BY 1, 2, 3
+),
+dists AS (
+  SELECT es.vec_id, es.sub, cb.code,
+         SUM((es.xs - cb.c_q) * (es.xs - cb.c_q)) AS dist
+  FROM es JOIN cb ON es.sub = cb.sub AND es.pos = cb.pos
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qsv AS (SELECT sub, pos, xs AS q_xs FROM es WHERE vec_id = {_QUERY_ID}),
+adc AS (
+  SELECT cb.sub, cb.code,
+         SUM((qsv.q_xs - cb.c_q) * (qsv.q_xs - cb.c_q)) AS d
+  FROM cb JOIN qsv ON cb.sub = qsv.sub AND cb.pos = qsv.pos
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT e2.vec_id, CAST(SUM(a.d) AS BIGINT) AS adist
+  FROM enc e2 JOIN adc a ON e2.sub = a.sub AND e2.code = a.code
+  GROUP BY 1
+),
+sig AS (
+  SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS code_sig
+  FROM enc GROUP BY 1
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES},
+r AS (SELECT vec_id, adist, ROW_NUMBER() OVER (ORDER BY adist, vec_id) AS rn FROM sc)
+SELECT r.vec_id, sig.code_sig, r.adist,
+       CAST(CASE WHEN r.rn <= {_PQ_KSEL} THEN 1 ELSE 0 END AS INTEGER) AS sel
+FROM r JOIN sig ON r.vec_id = sig.vec_id
+"""
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """(codes, adc, emb): shared PQ stages — codebooks built, corpus
+    encoded (checkpointed: scoring and the signature both read it), the
+    fixed query's ADC table."""
+    from d3d_etl_spark.operators.pq import (
+        pq_adc_table,
+        pq_codebooks,
+        pq_encode,
+        pq_subspace_comps,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, _DIM, _PQ_M, _PQ_KS).localCheckpoint()
+    codes = pq_encode(emb, cb, _DIM, _PQ_M).localCheckpoint()
+    qc = pq_subspace_comps(
+        emb.where(F.col("vec_id") == _QUERY_ID), _DIM, _PQ_M
+    ).select("sub", "pos", F.col("xs").alias("qs"))
+    adc = pq_adc_table(cb, qc)
+    return codes, adc, emb
+
+
+@register("z_sim_pq", _PQ_ORACLE, tags=("similarity",))
+def z_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compress + ADC search: per-vector code signature, exact-integer
+    asymmetric distance to the fixed query, top-K flag. Beyond-reference
+    LLM-pipeline operator (billion-scale ANN storage shape)."""
+    from d3d_etl_spark.operators.pq import pq_adc_scores
+
+    codes, adc, _ = _pq_parts(spark, sf_dir)
+    scores = pq_adc_scores(codes, adc)
+    sig = codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            "-",
+        ).alias("code_sig")
+    )
+    topk = (
+        scores.orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(_PQ_KSEL)
+        .select("vec_id", F.lit(1).alias("_sel"))
+    )
+    return (
+        scores.join(sig, "vec_id")
+        .join(F.broadcast(topk), "vec_id", "left")
+        .select(
+            "vec_id",
+            "code_sig",
+            "adist",
+            F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_sim_ivfpq — the composed FAISS IVF-PQ search: the IVF coarse stage
+# prunes to nprobe cells (partition pruning at scale — store codes
+# partitioned by the coarse label), then ADC scores ONLY those cells'
+# CODES. Candidate set = probe-cell membership minus the query itself;
+# published with the coarse label, the exact-integer ADC distance, and the
+# top-k flag. Storage read at query time: nprobe/k of the corpus, M bytes
+# per vector.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH {_PQ_CTES},
+comps AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY label, pos
+),
+qv AS (SELECT pos, x AS qx FROM comps WHERE vec_id = {_QUERY_ID}),
+probe AS (
+  SELECT label FROM (
+    SELECT c.label,
+           ROUND(SUM(q.qx * c.c) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+    FROM cents c JOIN qv q ON c.pos = q.pos
+    GROUP BY c.label
+  ) ORDER BY sim DESC, label LIMIT {_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.label FROM embeddings e
+  WHERE e.label IN (SELECT label FROM probe) AND e.vec_id != {_QUERY_ID}
+),
+csc AS (
+  SELECT sc.vec_id, sc.adist FROM sc JOIN cand ON sc.vec_id = cand.vec_id
+)
+SELECT c.vec_id, cand.label, c.adist,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY c.adist, c.vec_id) <= {_ANN_K}
+            THEN 1 ELSE 0 END AS INTEGER) AS sel
+FROM csc c JOIN cand ON c.vec_id = cand.vec_id
+"""
+
+
+@register("z_sim_ivfpq", _IVFPQ_ORACLE, tags=("similarity",))
+def z_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse probe (nprobe cells) -> ADC over those cells' codes
+    only. Beyond-reference LLM-pipeline operator (the FAISS billion-scale
+    search composition)."""
+    from d3d_etl_spark.operators.pq import pq_adc_scores
+    from d3d_etl_spark.operators.similarity import ivf_probe_labels, label_centroids
+
+    codes, adc, emb = _pq_parts(spark, sf_dir)
+    cents = label_centroids(emb, "label")
+    query = emb.where(F.col("vec_id") == _QUERY_ID).select(F.col("embedding").alias("q_vec"))
+    probe = ivf_probe_labels(cents, query, "label", _NPROBE)
+    cand = (
+        emb.join(F.broadcast(probe), "label", "left_semi")
+        .where(F.col("vec_id") != _QUERY_ID)
+        .select("vec_id", "label")
+    )
+    scores = pq_adc_scores(
+        codes.join(cand.select("vec_id"), "vec_id", "left_semi"), adc
+    ).localCheckpoint()  # feeds the top-k AND the published rows
+    # partial TakeOrdered + broadcast flag — never a global window over the
+    # candidate set (nprobe/k of the corpus at scale)
+    topk = (
+        scores.orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(_ANN_K)
+        .select("vec_id", F.lit(1).alias("_sel"))
+    )
+    return (
+        scores.join(cand, "vec_id")
+        .join(F.broadcast(topk), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "adist",
+            F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
+        )
+    )
