@@ -185,3 +185,32 @@ def test_normalize_division_idempotent(spark):
     assert [r["d"] for r in once.collect()] == [w for _, w in cases]
     twice = once.select(normalize_division(F.col("d")).alias("d"))
     assert [r["d"] for r in twice.collect()] == [w for _, w in cases]
+
+
+def test_word_shingles_fast_path_parity(spark):
+    """The n=2/n=3 zip_with fast paths must be bit-identical to the general
+    transform+slice form on real and hostile token arrays (empty docs,
+    single tokens, repeated whitespace, unicode, exact-n docs)."""
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+
+    rows = [
+        (1, ""), (2, "one"), (3, "a  b"), (4, "x y z"), (5, " lead trail "),
+        (6, "héllo wörld ünïcode test"), (7, "a b c d e f g"), (8, "a b"),
+        (9, "a b c"), (10, "\ttab\nsplit  mix\t "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        tok = tokens(F.col("text"))
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
+        general = F.when(
+            F.size(tok) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        bad = (
+            docs.select(word_shingles(tok, n).alias("a"), general.alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert bad == 0
