@@ -1179,3 +1179,90 @@ def z_corpus_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_LR_TRAIN_STEPS):
         w = lr_gradient_step(xq, labels, w, _LR_RATE).select("j", "w").localCheckpoint()
     return w.select(F.col("j").alias("feature"), F.round("w", 8).alias("w"))
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_countmin — count-min sketch heavy hitters (Cormode & Muthu 2005):
+# the mergeable fixed-size frequency summary for token streams. D
+# independent md5-derived hash rows x W counters; every token's count adds
+# into one counter per row, and an estimate reads the MINIMUM of its D
+# counters — deterministically >= the true count (collisions only ever
+# inflate), within eN/W with probability 1-(1/2)^D. Published: the top-20
+# tokens by true count with true count AND sketch estimate side by side,
+# so the overestimate contract itself is inside the driver hash. Rounds
+# out the sketch family (HLL++/GK in agg_approx_bounds, minhash/simhash in
+# dedup): CM is the one that answers point frequency queries.
+# Scale shape: the counter table is D*W rows REGARDLESS of corpus size
+# (broadcast; mergeable across shards by plain addition — pinned in
+# tests/test_countmin_r5.py); the corpus aggregates once to (token, count)
+# and once more into the counters; estimates for the published set are a
+# broadcast join against the counter table. No driver funnel beyond the
+# top-k TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_CM_D = 4       # hash rows
+_CM_W = 64      # counters per row
+_CM_TOPK = 20
+
+_CM_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens('lower(text)')}) AS tok FROM documents
+),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_c FROM tok GROUP BY 1),
+hashed AS (
+  SELECT tok, true_c, d.range AS d,
+         {_sql_md5_int("CAST(d.range AS VARCHAR) || ':' || tok")} % {_CM_W} AS w
+  FROM tc CROSS JOIN range({_CM_D}) d
+),
+counters AS (
+  SELECT d, w, CAST(SUM(true_c) AS BIGINT) AS cnt FROM hashed GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, true_c FROM tc ORDER BY true_c DESC, tok LIMIT {_CM_TOPK}
+),
+est AS (
+  SELECT h.tok, MIN(c.cnt) AS est_c
+  FROM hashed h JOIN counters c ON h.d = c.d AND h.w = c.w
+  WHERE h.tok IN (SELECT tok FROM top)
+  GROUP BY 1
+)
+SELECT t.tok, t.true_c, CAST(e.est_c AS BIGINT) AS est_c
+FROM top t JOIN est e ON t.tok = e.tok
+"""
+
+
+@register("z_corpus_countmin", _CM_ORACLE, tags=("textops", "sketch"))
+def z_corpus_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: top-20 tokens with
+    true count and sketch estimate (est >= true always, the CM
+    overestimate contract). Beyond-reference LLM-pipeline operator."""
+    from d3d_etl_spark.functions.strings import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("true_c"))
+        # feeds counters, the top-k, and the estimate probe
+        .localCheckpoint()
+    )
+    hashed = tc.select(
+        "tok",
+        "true_c",
+        F.explode(F.array(*[F.lit(d) for d in range(_CM_D)])).alias("d"),
+    ).withColumn(
+        "w",
+        F.pmod(
+            md5_int(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("tok"))),
+            F.lit(_CM_W),
+        ),
+    )
+    counters = hashed.groupBy("d", "w").agg(F.sum("true_c").alias("cnt"))
+    top = tc.orderBy(F.desc("true_c"), F.asc("tok")).limit(_CM_TOPK)
+    est = (
+        hashed.join(F.broadcast(top.select("tok")), "tok", "left_semi")
+        .join(F.broadcast(counters), ["d", "w"])
+        .groupBy("tok")
+        .agg(F.min("cnt").cast("long").alias("est_c"))
+    )
+    return top.join(est, "tok").select("tok", "true_c", "est_c")
