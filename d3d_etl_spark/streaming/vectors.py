@@ -124,3 +124,83 @@ def streaming_ann_probe(
         .select("vec_id", "old_id", sim.alias("sim"))
         .where(F.col("sim") >= min_sim)
     )
+
+
+def streaming_pq_scores(
+    vec_stream: DataFrame,
+    codebook_rows: DataFrame,
+    adc_rows: DataFrame,
+    m: int,
+    ks: int,
+    dsub: int,
+) -> DataFrame:
+    """PQ-encode + ADC-score vectors ARRIVING as a stream against persisted
+    batch state — the streaming twin of z_sim_pq's encode/score stages.
+
+    `codebook_rows` is the persisted (sub, code, pos, c_q) table and
+    `adc_rows` the persisted per-query (sub, code, d) distance table; both
+    are DIMENSION-sized (m*ks*dsub and m*ks rows at any corpus scale), the
+    canonical broadcast-as-literal case — collected ONCE at query
+    construction. Per row everything is column math: fixed-point the
+    vector, per-subspace argmin over ks candidate integer distances
+    (tie-break code asc via lexicographic struct min — the batch engine's
+    (dist, code) ordering), then M integer table adds for the ADC
+    distance. EXACT integer parity with batch pq_encode/pq_adc_scores is
+    pinned in tests/test_pq_r5.py. Stateless; zero shuffle; no watermark.
+    """
+    from d3d_etl_spark.operators.similarity import SIM_SCALE
+
+    collected = codebook_rows.collect()
+    cb: dict[tuple[int, int], dict[int, int]] = {}
+    for r in collected:
+        cb.setdefault((r["sub"], r["code"]), {})[r["pos"]] = int(r["c_q"])
+    if len(collected) != m * ks * dsub or any(
+        sorted(v) != list(range(s * dsub, (s + 1) * dsub))
+        for (s, _), v in cb.items()
+    ):
+        raise ValueError(
+            f"codebook must cover {m}x{ks} codes x {dsub} positions exactly; "
+            f"got {len(collected)} rows"
+        )
+    adc_collected = adc_rows.collect()
+    adc = {(r["sub"], r["code"]): int(r["d"]) for r in adc_collected}
+    if len(adc_collected) != m * ks or sorted(adc) != [
+        (s, c) for s in range(m) for c in range(ks)
+    ]:
+        raise ValueError(
+            f"ADC table must cover {m}x{ks} codes exactly; got {len(adc_collected)} rows"
+        )
+
+    xs = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * SIM_SCALE).cast("long"),
+    )
+    code_cols = []
+    adist = F.lit(0).cast("long")
+    for sub in range(m):
+        sub_xs = F.slice(xs, sub * dsub + 1, dsub)
+        cands = []
+        for code in range(ks):
+            lit_arr = F.array(
+                *[
+                    F.lit(cb[(sub, code)][p]).cast("long")
+                    for p in range(sub * dsub, (sub + 1) * dsub)
+                ]
+            )
+            dist = F.aggregate(
+                F.zip_with(sub_xs, lit_arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(dist.alias("dist"), F.lit(code).alias("code")))
+        best = F.array_min(F.array(*cands))
+        code_col = best["code"]
+        code_cols.append(code_col)
+        adc_arr = F.array(
+            *[F.lit(adc[(sub, c)]).cast("long") for c in range(ks)]
+        )
+        adist = adist + F.element_at(adc_arr, code_col + 1)
+    sig = F.concat_ws("-", *[c.cast("string") for c in code_cols])
+    return vec_stream.select(
+        "vec_id", sig.alias("code_sig"), adist.alias("adist")
+    )

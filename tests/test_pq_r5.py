@@ -116,3 +116,50 @@ def test_ivfpq_candidates_are_probe_cells(spark, sf_dir):
     pq = z_sim_pq(spark, sf_dir).toPandas().set_index("vec_id")
     merged = out.set_index("vec_id").join(pq[["adist"]], rsuffix="_pq")
     assert (merged.adist == merged.adist_pq).all()
+
+
+def test_streaming_pq_twin_exact_parity(spark, sf_dir, tmp_path):
+    """The streaming PQ twin (encode + ADC against codebook/table
+    literals) run as an ACTUAL stream must produce the batch engine's
+    exact integer codes and distances for every arriving vector."""
+    import os
+
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.pq import pq_codebooks
+    from d3d_etl_spark.queries.simsearch import (
+        _DIM,
+        _PQ_DSUB,
+        _PQ_KS,
+        _PQ_M,
+        _pq_parts,
+        z_sim_pq,
+    )
+    from d3d_etl_spark.streaming.vectors import streaming_pq_scores
+
+    _, adc, emb = _pq_parts(spark, sf_dir)
+    cb = pq_codebooks(emb, _DIM, _PQ_M, _PQ_KS)
+    adc = adc.localCheckpoint()
+
+    staged = os.path.join(str(tmp_path), "emb")
+    emb.select("vec_id", "embedding").write.parquet(staged)
+    stream_src = spark.readStream.schema(
+        emb.select("vec_id", "embedding").schema
+    ).parquet(staged)
+    out = streaming_pq_scores(stream_src, cb, adc, _PQ_M, _PQ_KS, _PQ_DSUB)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pq_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.code_sig, r.adist)
+        for r in spark.sql("select * from pq_twin").collect()
+    }
+    want = {
+        r.vec_id: (r.code_sig, r.adist)
+        for r in z_sim_pq(spark, sf_dir).select("vec_id", "code_sig", "adist").collect()
+    }
+    assert got == want
