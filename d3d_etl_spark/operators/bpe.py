@@ -120,3 +120,28 @@ def train_bpe(
             apply_merge(F.col("symbols"), p1, p2).alias("symbols"), "c"
         ).localCheckpoint()
     return merges
+
+
+def encode_with_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """Apply an ordered merge list to a (word, count) table -> the encoded
+    (symbols, c) table. This is BPE ENCODING (the inference half of the
+    trainer): each rule applies as the same left-to-right fold the trainer
+    used, in rule order — exactly how a trained tokenizer segments text.
+
+    Scale shape: the corpus collapses once to the vocab-sized word-count
+    table; each rule is one map-only pass over word TYPES (checkpointed so
+    rule k+1's lineage does not replay rules 1..k). Applying a
+    production-sized rule list (30-50k merges) batches naturally: the fold
+    is per-row, so rules chunk into however many passes fit codegen."""
+    wc = word_symbol_counts(words, word_col, count_col).localCheckpoint()
+    for rule in merges:
+        p1, p2 = rule[0], rule[1]
+        wc = wc.select(
+            apply_merge(F.col("symbols"), p1, p2).alias("symbols"), "c"
+        ).localCheckpoint()
+    return wc
