@@ -43,20 +43,22 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     under the size >= n guard, so zip_with never pads). General n keeps
     the transform form."""
     if n == 2:
+        # concat_ws, not concat: a NULL token must be SKIPPED (the general
+        # branch's concat_ws semantics), never NULL the whole shingle
         body = F.zip_with(
             F.slice(tok, 1, F.size(tok) - 1),
             F.slice(tok, 2, F.size(tok) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
     elif n == 3:
         body = F.zip_with(
             F.zip_with(
                 F.slice(tok, 1, F.size(tok) - 2),
                 F.slice(tok, 2, F.size(tok) - 2),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
             F.slice(tok, 3, F.size(tok) - 2),
-            lambda ab, c: F.concat(ab, F.lit(" "), c),
+            lambda ab, c: F.concat_ws(" ", ab, c),
         )
     else:
         idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))

@@ -101,12 +101,17 @@ def train_bpe(
     n_merges: int,
     word_col: str = "w",
     count_col: str = "c",
-) -> list[tuple[str, str, int]]:
+    return_table: bool = False,
+) -> list[tuple[str, str, int]] | tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn `n_merges` BPE merge rules from a (word, count) table.
 
-    Returns the ordered merge list [(p1, p2, count_at_merge_time), ...].
-    Stops early when no pair remains. Each round checkpoints the re-merged
-    symbol table so lineage stays one round deep.
+    Returns the ordered merge list [(p1, p2, count_at_merge_time), ...];
+    with `return_table` also the final fully-merged (symbols, c) table —
+    the trainer materializes it anyway (checkpointed per round), so an
+    encode pass over the SAME corpus should consume it instead of
+    re-running every merge (z_corpus_bpe_encode does). Stops early when no
+    pair remains. Each round checkpoints the re-merged symbol table so
+    lineage stays one round deep.
     """
     wc = word_symbol_counts(words, word_col, count_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
@@ -119,6 +124,8 @@ def train_bpe(
         wc = wc.select(
             apply_merge(F.col("symbols"), p1, p2).alias("symbols"), "c"
         ).localCheckpoint()
+    if return_table:
+        return merges, wc
     return merges
 
 

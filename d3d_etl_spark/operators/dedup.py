@@ -253,8 +253,13 @@ def lsh_candidates(band_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
         F.explode(F.expr("sequence(0, _blk)")).alias("_bi"),
         F.col("_blk").alias("_bj"),
     )
+    # diagonal blocks hold both orientations of every within-block pair —
+    # keep only doc_a < doc_b there (halves the dominant non-hot path's
+    # pre-distinct rows); off-diagonal blocks have disjoint doc sets and
+    # exactly ONE orientation per pair, so both orders must survive and
+    # least/greatest normalizes them
     pairs = a.join(b, ["band_idx", "band_key", "_bi", "_bj"]).where(
-        F.col("doc_a") != F.col("doc_b")
+        (F.col("_bi") != F.col("_bj")) | (F.col("doc_a") < F.col("doc_b"))
     )
     return (
         pairs.select(

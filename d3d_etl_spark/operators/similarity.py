@@ -334,7 +334,12 @@ def ann_gated_near_pairs(
         raise ValueError("n_planes must divide evenly into n_bands bands")
     spark = emb.sparkSession
     planes = hyperplane_table(spark, n_planes, dim)
-    bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
+    # barrier before the size probe: bb's lineage is the corpus x planes
+    # join + groupBy — without it that pass executes on BOTH the probe side
+    # and the main tagged side (the lsh_candidates lineage-recompute trap)
+    bb = hyperplane_band_buckets(
+        emb, planes, n_planes // n_bands, id_col, vec_col
+    ).localCheckpoint()
     # bucket cardinality <= n_bands * 2^band_size (64 rows at the defaults,
     # bounded by the bit width at any corpus size) -> the size table always
     # broadcasts

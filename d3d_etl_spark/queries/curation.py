@@ -157,8 +157,10 @@ _DSIR_K = 100      # resample size
 _DSIR_Q = 10_000   # log-ratio / gumbel quantum (1e-4)
 _DSIR_U_MOD = 1_000_000
 
-_DSIR_ORACLE = f"""
-WITH toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
+# ONE definition of the scoring SQL (features -> log-ratio -> exact integer
+# weight -> deterministic Gumbel) shared by BOTH selection oracles — the
+# two variants must never drift in their scoring half.
+_DSIR_SCORE_CTES = f"""toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
 s AS (SELECT doc_id, lang, unnest(sh) AS s FROM toks WHERE len(sh) > 0),
 feat AS (
   SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_DSIR_B} AS j,
@@ -182,18 +184,21 @@ lw AS (
   SELECT f.doc_id, CAST(SUM(f.c * t.t_q) AS BIGINT) AS lw_q
   FROM feat f JOIN t ON f.j = t.j GROUP BY 1
 ),
-gum AS (
-  SELECT doc_id,
+scored AS (
+  SELECT l.doc_id, l.lw_q,
          CAST(ROUND({_DSIR_Q} * (-LN(-LN(
-           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           (('0x' || substr(md5('dsir:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
             % {_DSIR_U_MOD} + 0.5) / {_DSIR_U_MOD}.0
          )))) AS BIGINT) AS g_q
-  FROM lw
-),
+  FROM lw l
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_SCORE_CTES},
 r AS (
-  SELECT l.doc_id, l.lw_q, gum.g_q,
-         ROW_NUMBER() OVER (ORDER BY l.lw_q + gum.g_q DESC, l.doc_id) AS rn
-  FROM lw l JOIN gum ON l.doc_id = gum.doc_id
+  SELECT doc_id, lw_q, g_q,
+         ROW_NUMBER() OVER (ORDER BY lw_q + g_q DESC, doc_id) AS rn
+  FROM scored
 )
 SELECT doc_id, lw_q, g_q,
        CAST(CASE WHEN rn <= {_DSIR_K} THEN 1 ELSE 0 END AS INTEGER) AS sel
@@ -307,38 +312,7 @@ _DSIR_FRAC_NUM, _DSIR_FRAC_DEN = 1, 5  # select 20% of eligible docs
 _DSIR_BKT = 4096  # score-range coarse bucket (power of 2: exact float div)
 
 _DSIR_THRESHOLD_ORACLE = f"""
-WITH toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
-s AS (SELECT doc_id, lang, unnest(sh) AS s FROM toks WHERE len(sh) > 0),
-feat AS (
-  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_DSIR_B} AS j,
-         COUNT(*) AS c
-  FROM s GROUP BY 1, 2, 3
-),
-rawc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat GROUP BY 1),
-tgtc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat WHERE lang = 'en' GROUP BY 1),
-tots AS (
-  SELECT (SELECT SUM(c) FROM rawc) AS tr, (SELECT SUM(c) FROM tgtc) AS tt
-),
-t AS (
-  SELECT r.j,
-         CAST(ROUND({_DSIR_Q} * (
-           LN((COALESCE(tg.c, 0) + 1.0) / (tots.tt + {_DSIR_B}))
-           - LN((r.c + 1.0) / (tots.tr + {_DSIR_B}))
-         )) AS BIGINT) AS t_q
-  FROM rawc r LEFT JOIN tgtc tg ON r.j = tg.j CROSS JOIN tots
-),
-lw AS (
-  SELECT f.doc_id, CAST(SUM(f.c * t.t_q) AS BIGINT) AS lw_q
-  FROM feat f JOIN t ON f.j = t.j GROUP BY 1
-),
-scored AS (
-  SELECT l.doc_id, l.lw_q,
-         CAST(ROUND({_DSIR_Q} * (-LN(-LN(
-           (('0x' || substr(md5('dsir:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
-            % {_DSIR_U_MOD} + 0.5) / {_DSIR_U_MOD}.0
-         )))) AS BIGINT) AS g_q
-  FROM lw l
-),
+WITH {_DSIR_SCORE_CTES},
 kk AS (
   SELECT CAST(CEIL(COUNT(*) * {_DSIR_FRAC_NUM}.0 / {_DSIR_FRAC_DEN}) AS BIGINT) AS k
   FROM scored

@@ -423,8 +423,11 @@ _GATE_PLANES = 16
 _GATE_BANDS = 4
 _GATE_R = _GATE_PLANES // _GATE_BANDS
 
-_SIM_CANON_ORACLE = f"""
-WITH RECURSIVE planes AS (
+# ONE definition of the hyperplane band-bucket gate SQL (planes -> band
+# buckets -> candidate pairs), mirroring ann_gated_near_pairs — shared by
+# every oracle that rides the gate (sim_near_dedup's canon arm,
+# z_sim_contrastive_ann) so the gate contract cannot drift between them.
+_GATE_CTES = f"""planes AS (
   SELECT p.range AS plane, d.range AS pos,
          (('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
   FROM range({_GATE_PLANES}) p, range({_DIM}) d
@@ -449,7 +452,10 @@ cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
+)"""
+
+_SIM_CANON_ORACLE = f"""
+WITH RECURSIVE {_GATE_CTES},
 s AS (
   SELECT c.vec_a, c.vec_b,
          SUM(ea.x * eb.x) AS dot, SUM(ea.x * ea.x) AS na2, SUM(eb.x * eb.x) AS nb2
@@ -942,7 +948,20 @@ def _semdedup_pair_scope(clustered: DataFrame) -> DataFrame:
     invisible (a count probe) unless a cluster actually exceeds the memory
     bound. Content-based re-splitting keeps exact/near-dup recall: identical
     vectors always share a sub-cluster (operators/similarity.py
-    resplit_oversized_clusters)."""
+    resplit_oversized_clusters).
+
+    ORACLE CONTRACT (explicit, not an accident): the registered DuckDB
+    oracles model the UNGUARDED pair grain — the paper's semantics, pair
+    search over the full cluster. When the guard fires (a cluster above
+    _SEMDEDUP_MAX_CLUSTER), the engine INTENTIONALLY diverges: pairs
+    straddling a sub-cluster boundary are not scored, trading bounded task
+    memory for tail recall exactly as the SemDeDup cluster restriction
+    itself already trades k-means-boundary recall for sum-c^2 work. The
+    driver corpora never trip the bound (pinned no-op in
+    tests/test_skew.py), so oracle parity holds everywhere it is checked;
+    the guarded regime is verified by the planted-skew smoke (recall on
+    planted dups, bounded scope) rather than by SQL, which cannot express
+    the iterative content re-split."""
     from d3d_etl_spark.operators.similarity import resplit_oversized_clusters
 
     scoped = clustered.withColumn("_pair_lbl", F.col("cluster"))
@@ -1301,32 +1320,7 @@ def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CONTRASTIVE_ANN_ORACLE = f"""
-WITH planes AS (
-  SELECT p.range AS plane, d.range AS pos,
-         (('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
-  FROM range({_GATE_PLANES}) p, range({_DIM}) d
-),
-e0 AS (
-  SELECT vec_id,
-         CAST(unnest(embedding) AS DOUBLE) AS x,
-         unnest(range(len(embedding))) AS pos
-  FROM embeddings
-),
-pdots AS (
-  SELECT c.vec_id, pl.plane, SUM(c.x * pl.w) AS dot
-  FROM e0 c JOIN planes pl ON c.pos = pl.pos
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT vec_id, plane // {_GATE_R} AS band,
-         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (plane % {_GATE_R}) ELSE 0 END) AS BIGINT) AS bucket
-  FROM pdots GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
+WITH {_GATE_CTES},
 s AS (
   SELECT c.vec_a, c.vec_b,
          ROUND(SUM(ea.x * eb.x)

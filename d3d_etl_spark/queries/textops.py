@@ -1306,18 +1306,20 @@ def z_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_slots counts symbol positions across word types and total_cnt the
     corpus-frequency-weighted occurrences. Beyond-reference LLM-pipeline
     operator (tokenizer inference)."""
-    from d3d_etl_spark.operators.bpe import encode_with_merges, train_bpe
+    from d3d_etl_spark.operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        # feeds the trainer loop AND the encode pass
         .localCheckpoint()
     )
-    merges = train_bpe(words, _BPE_TRAIN_ROUNDS)
-    enc = encode_with_merges(words, merges)
+    # the trainer materializes the fully-merged table per round — consume
+    # it (return_table) instead of re-running all 5 merge passes;
+    # encode_with_merges stays the standalone inference op for rule lists
+    # loaded from storage
+    _merges, enc = train_bpe(words, _BPE_TRAIN_ROUNDS, return_table=True)
     return enc.select(F.explode("symbols").alias("symbol"), "c").groupBy("symbol").agg(
         F.count("*").cast("long").alias("n_slots"),
         F.sum("c").cast("long").alias("total_cnt"),
