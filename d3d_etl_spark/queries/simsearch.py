@@ -1608,3 +1608,94 @@ def z_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# z_sim_power_iter — leading principal component by distributed power
+# iteration (operators/pca.py), fully oracled: exact-integer centered Gram
+# matrix (per-partition BLAS partials, dim^2 shuffle rows — never the
+# n*d^2 join explosion), two exact-integer power steps from an md5-seeded
+# vector with integer-max renormalization, then every vector's exact
+# integer projection on the learned direction. The published projections
+# are the 1-D embedding summary curation uses for dominant-direction
+# analysis / curriculum ordering; the whole trajectory (mean, Gram, both
+# iterates, projections) is inside the hash because any change to any
+# stage changes every projection. Oracle: the same unroll with the Gram
+# matrix as a vec_id self-join (fine at oracle scale; the engine side
+# keeps the partial-aggregation shape).
+# ---------------------------------------------------------------------------
+
+# 4 iterations: each costs two dimension-sized joins, and convergence rate
+# is (lambda2/lambda1)^k — on the ISOTROPIC synthetic corpus (the hardest
+# case, near-flat Marchenko-Pastur spectrum) 4 steps reach ~86% of the
+# leading eigenvalue (measured: 2->78%, 4->86%, 12->92%); a real embedding
+# corpus with a dominant direction converges in a handful of steps.
+_POWER_ITERS = 4
+
+
+def _power_oracle(iters: int) -> str:
+    """The full power-iteration trajectory unrolled as chained CTEs (the
+    LR/BPE-trainer pattern): mean -> centered -> Gram (vec_id self-join at
+    oracle scale) -> `iters` exact-integer matvec+renormalize steps ->
+    projections."""
+    head = f"""e AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xs,
+         CAST(unnest(range(len(embedding))) AS INTEGER) AS pos
+  FROM embeddings
+),
+mu AS (
+  SELECT pos, CAST(ROUND(CAST(SUM(xs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM e GROUP BY 1
+),
+cc AS (SELECT e.vec_id, e.pos, e.xs - mu.mu AS c FROM e JOIN mu ON e.pos = mu.pos),
+g AS (
+  SELECT a.pos AS p, b.pos AS q, SUM(a.c * b.c) AS v
+  FROM cc a JOIN cc b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT CAST(r.range AS INTEGER) AS pos,
+         ('0x' || substr(md5('pc:' || CAST(r.range AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS v_q
+  FROM range({_DIM}) r
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""w{k} AS (SELECT g.p AS pos, SUM(g.v * v{k - 1}.v_q) AS w FROM g JOIN v{k - 1} ON g.q = v{k - 1}.pos GROUP BY 1),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS (
+  SELECT pos,
+         CAST(ROUND(CAST(w AS DOUBLE) * 1000000 / CAST(m AS DOUBLE)) AS BIGINT) AS v_q
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+    body = ",\n".join([head, *steps])
+    return (
+        f"WITH {body}\n"
+        f"SELECT cc.vec_id, CAST(SUM(cc.c * v{iters}.v_q) AS BIGINT) AS proj_q\n"
+        f"FROM cc JOIN v{iters} ON cc.pos = v{iters}.pos\n"
+        f"GROUP BY 1"
+    )
+
+
+_POWER_ORACLE = _power_oracle(_POWER_ITERS)
+
+
+@register("z_sim_power_iter", _POWER_ORACLE, tags=("similarity", "analysis"))
+def z_sim_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-PC projections by exact-integer distributed power iteration:
+    (vec_id, proj_q) for every vector. Beyond-reference LLM-pipeline
+    operator (embedding whitening / dominant-direction analysis)."""
+    from d3d_etl_spark.operators.pca import (
+        gram_matrix_int,
+        mean_vector_q,
+        power_iterate,
+        project_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu_q = mean_vector_q(emb)
+    gram = gram_matrix_int(emb, mu_q)
+    v = power_iterate(gram, _DIM, _POWER_ITERS)
+    return project_q(emb, mu_q, v)
