@@ -342,3 +342,157 @@ def mixing_doc_grain(docs: DataFrame, salt: str = "mix", materialize: bool = Tru
 def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mixing_profile(mixing_doc_grain(docs))
+
+
+# ---------------------------------------------------------------------------
+# z_sample_stratified_exact — EXACT-size stratified sampling: "give me
+# exactly K documents, apportioned across strata proportionally" — the
+# eval-set construction primitive rate-based sampling (sample_splits'
+# stratified arm) cannot provide, because Bernoulli thresholds only hit
+# the stratum sizes in expectation.
+#   1. Hamilton / largest-remainder apportionment of K over the strata —
+#      exact integer arithmetic on the stratum-cardinality table
+#      (floor(K*n_l/N) + 1 for the `leftover` largest remainders,
+#      remainder-desc / lang-asc tiebreak);
+#   2. within each stratum, the K_l selected docs are the SMALLEST K_l
+#      md5 scores — selection threshold computed exactly and distributed
+#      with the z_corpus_dsir_threshold machinery (distinct-score counts,
+#      coarse range buckets, per-stratum bucket offsets, bucket-local
+#      running counts): no per-stratum sort, no TakeOrdered, no driver
+#      funnel, skew-proof when one stratum dominates the corpus;
+#   3. score ties at the threshold are all kept (md5 ties at 2^-32 —
+#      deterministic superset semantics, same contract as DSIR).
+# Published: every doc with its stratum quota and selection flag, so the
+# apportionment itself sits inside the hash.
+# ---------------------------------------------------------------------------
+
+_STRATX_K = 100
+_STRATX_BKT = 1 << 26  # score range 2^32 -> <= 64 coarse buckets per stratum
+
+_STRATX_ORACLE = f"""
+WITH sc AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS s
+  FROM documents
+),
+counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM sc GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n FROM counts),
+base AS (
+  SELECT lang, n_l,
+         ({_STRATX_K} * n_l) // n AS b,
+         ({_STRATX_K} * n_l) % n AS rem
+  FROM counts CROSS JOIN tot
+),
+lo AS (SELECT {_STRATX_K} - CAST(SUM(b) AS BIGINT) AS leftover FROM base),
+rr AS (
+  SELECT lang, n_l, b,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r
+  FROM base
+),
+quota AS (
+  SELECT lang, n_l,
+         CAST(b + CASE WHEN r <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM rr CROSS JOIN lo
+),
+cnt AS (SELECT lang, s, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+cum AS (
+  SELECT lang, s, SUM(c) OVER (PARTITION BY lang ORDER BY s ASC) AS cle
+  FROM cnt
+),
+thr AS (
+  SELECT cum.lang, MIN(s) AS t
+  FROM cum JOIN quota ON cum.lang = quota.lang
+  WHERE quota.quota > 0 AND cum.cle >= quota.quota
+  GROUP BY 1
+)
+SELECT sc.doc_id, sc.lang, q.quota,
+       CAST(CASE WHEN thr.t IS NOT NULL AND sc.s <= thr.t THEN 1 ELSE 0 END AS INTEGER) AS sel
+FROM sc
+JOIN quota q ON sc.lang = q.lang
+LEFT JOIN thr ON sc.lang = thr.lang
+"""
+
+
+@register("z_sample_stratified_exact", _STRATX_ORACLE, tags=("sampling",))
+def z_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K stratified sample: Hamilton apportionment over strata +
+    per-stratum exact distributed score thresholds. Beyond-reference
+    LLM-pipeline operator (eval-set construction)."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.functions.strings import md5_int
+    from d3d_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        "doc_id",
+        "lang",
+        md5_int(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))).alias("s"),
+    ).localCheckpoint()  # feeds counts, the threshold machinery, and output
+
+    counts = sc.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.expr(f"({_STRATX_K} * n_l) div n").alias("b"),
+        F.expr(f"({_STRATX_K} * n_l) % n").alias("rem"),
+    )
+    lo = base.agg((F.lit(_STRATX_K) - F.sum("b")).alias("leftover"))
+    # stratum-cardinality window: rows = number of strata, never the corpus
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    quota = (
+        base.withColumn("r", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "lang",
+            "n_l",
+            (
+                F.col("b")
+                + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    ).localCheckpoint()
+
+    cnt = (
+        sc.groupBy("lang", "s")
+        .agg(F.count("*").alias("c"))
+        .withColumn("bkt", F.expr(f"s div {_STRATX_BKT}"))
+    )
+    per_b = cnt.groupBy("lang", "bkt").agg(F.sum("c").alias("bc"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_b.select(
+        "lang", "bkt", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy(F.asc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.join(F.broadcast(offsets), ["lang", "bkt"]).select(
+        "lang", "s", (F.col("off") + F.sum("c").over(w_in)).alias("cle")
+    )
+    thr = (
+        cum.join(F.broadcast(quota), "lang")
+        .where((F.col("quota") > 0) & (F.col("cle") >= F.col("quota")))
+        .groupBy("lang")
+        .agg(F.min("s").alias("t"))
+    )
+    return (
+        sc.join(F.broadcast(quota.select("lang", "quota")), "lang")
+        .join(F.broadcast(thr), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "quota",
+            (F.col("t").isNotNull() & (F.col("s") <= F.col("t")))
+            .cast("int")
+            .alias("sel"),
+        )
+    )

@@ -82,3 +82,39 @@ def test_dsir_threshold_ties_all_kept(spark):
     )
     assert sorted(sel.doc_id) == [0, 1, 2]
     assert int(sel.score.min()) == 5
+
+
+def test_stratified_exact_allocation(spark, sf_dir):
+    """Hamilton apportionment contract: quotas sum to exactly K, each
+    stratum's quota is within 1 of its exact proportional share, and the
+    selected count per stratum equals its quota (no md5 ties on these
+    corpora)."""
+    from d3d_etl_spark.queries.sampling import _STRATX_K, z_sample_stratified_exact
+
+    out = z_sample_stratified_exact(spark, sf_dir).toPandas()
+    quotas = out.groupby("lang").quota.first()
+    assert int(quotas.sum()) == _STRATX_K
+    n = len(out)
+    for lang, q in quotas.items():
+        share = _STRATX_K * (out.lang == lang).sum() / n
+        assert abs(q - share) < 1, (lang, q, share)
+    sel_counts = out.loc[out.sel == 1].groupby("lang").size()
+    for lang, q in quotas.items():
+        assert sel_counts.get(lang, 0) == q, (lang, sel_counts.get(lang, 0), q)
+    assert int(out.sel.sum()) == _STRATX_K
+
+
+def test_stratified_exact_never_funnels_driver(spark, sf_dir):
+    """Same no-driver-funnel discipline as the DSIR threshold path: no
+    TakeOrdered / CollectLimit / GlobalLimit anywhere (the only windows
+    run per-stratum over bucket-grain or stratum-grain rows)."""
+    from d3d_etl_spark.queries.sampling import z_sample_stratified_exact
+
+    plan = (
+        z_sample_stratified_exact(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("TakeOrdered", "CollectLimit", "GlobalLimit"):
+        assert bad not in plan, bad
