@@ -1296,7 +1296,7 @@ def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pair_sim").alias("neg_sim"),
         )
     )
-    return pos.join(neg, "anchor")
+    return pos.join(neg.hint("shuffle_hash"), "anchor")
 
 
 # ---------------------------------------------------------------------------
@@ -1385,7 +1385,9 @@ def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("anchor", F.col("other").alias("negative"), F.col("sim").alias("neg_sim"))
     )
-    return pos.join(neg, "anchor")
+    # candidate-grain x candidate-grain on a unique-ish key: sort-free
+    # shuffled-hash, the SMJ's sorts buy nothing (repo-wide pattern)
+    return pos.join(neg.hint("shuffle_hash"), "anchor")
 
 
 # ---------------------------------------------------------------------------
