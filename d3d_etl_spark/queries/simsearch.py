@@ -1701,3 +1701,64 @@ def z_sim_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = gram_matrix_int(emb, mu_q)
     v = power_iterate(gram, _DIM, _POWER_ITERS)
     return project_q(emb, mu_q, v)
+
+
+# ---------------------------------------------------------------------------
+# z_sim_pipeline — the embedding-side flagship composition (the vector twin
+# of corpus_pipeline's dedup -> split -> pack): SemDeDup the corpus, then
+# INDEX THE SURVIVORS — PQ codes + IVF cell assignment — and publish
+# per-cell index statistics. This is the shape a production vector store
+# build takes: dedup before indexing (duplicates poison both the codebook
+# budget and the probe distribution), codes stored per coarse cell.
+# Every stage is an already-oracled operator (the semdedup CTEs, the PQ
+# CTEs, the label cells); the composition shares one scan and hashes
+# end-to-end. Scale shape: the stages' own notes apply; the final rollup
+# is cell-cardinality rows.
+# ---------------------------------------------------------------------------
+
+_SIM_PIPE_ORACLE = f"""
+WITH {_SEMDEDUP_CTES},
+{_PQ_CTES},
+kept AS (
+  SELECT a.vec_id FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+cells AS (SELECT vec_id, label FROM embeddings)
+SELECT c.label,
+       CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - COUNT(k.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(DISTINCT CASE WHEN k.vec_id IS NOT NULL THEN s.code_sig END) AS BIGINT) AS n_code_sigs
+FROM cells c
+LEFT JOIN kept k ON c.vec_id = k.vec_id
+JOIN sig s ON c.vec_id = s.vec_id
+GROUP BY c.label
+"""
+
+
+@register("z_sim_pipeline", _SIM_PIPE_ORACLE, tags=("similarity", "pipeline"), bench=True)
+def z_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pipeline end-to-end: SemDeDup -> survivor PQ codes ->
+    per-IVF-cell index profile (kept/dropped counts, distinct code
+    signatures). Beyond-reference LLM-pipeline composition."""
+    clustered, drops = _semdedup_parts(spark, sf_dir)
+    codes, _, emb = _pq_parts(spark, sf_dir)
+    sig = codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            "-",
+        ).alias("code_sig")
+    )
+    flagged = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left")
+        .join(sig.hint("shuffle_hash"), "vec_id")
+    )
+    kept = F.col("_d").isNull()
+    return flagged.groupBy("label").agg(
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
+        F.count_distinct(F.when(kept, F.col("code_sig"))).cast("long").alias("n_code_sigs"),
+    )
