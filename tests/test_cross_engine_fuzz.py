@@ -272,3 +272,112 @@ def test_lr_sigmoid_quantization_twin(spark):
         ),
     )
     _assert_equal(got, want)
+
+
+def test_quantile_threshold_selection_twin(spark):
+    """The round-5 corpus-fraction selection rule (z_corpus_dsir_threshold /
+    z_sample_stratified_exact): on RANDOM integer scores with planted ties,
+    the Spark two-level prefix-count threshold and DuckDB's cumulative
+    quantile select the IDENTICAL doc set — including the all-ties-kept
+    contract at the boundary."""
+    from pyspark.sql import Window
+
+    rng = random.Random(0xBEEF)
+    rows = [
+        (i, rng.choice([rng.randint(-(10**9), 10**9), rng.randint(-5, 5)]))
+        for i in range(400)
+    ]  # the second branch plants heavy ties
+    k = 80
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    cnt = (
+        df.groupBy("score")
+        .agg(F.count("*").alias("c"))
+        .withColumn("b", F.floor(F.col("score") / 4096.0).cast("long"))
+    )
+    per_b = cnt.groupBy("b").agg(F.sum("c").alias("bc"))
+    w_above = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_b.select("b", F.coalesce(F.sum("bc").over(w_above), F.lit(0)).alias("off"))
+    w_in = (
+        Window.partitionBy("b").orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.join(F.broadcast(offsets), "b").select(
+        "score", (F.col("off") + F.sum("c").over(w_in)).alias("cge")
+    )
+    thr = cum.where(F.col("cge") >= k).agg(F.max("score").alias("t"))
+    got = {
+        r.doc_id
+        for r in df.crossJoin(F.broadcast(thr)).where(F.col("score") >= F.col("t")).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (doc_id BIGINT, score BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = {
+            r[0]
+            for r in con.execute(f"""
+                WITH cnt AS (SELECT score, COUNT(*) AS c FROM t GROUP BY 1),
+                cum AS (SELECT score, SUM(c) OVER (ORDER BY score DESC) AS cge FROM cnt),
+                thr AS (SELECT MAX(score) AS x FROM cum WHERE cge >= {k})
+                SELECT doc_id FROM t CROSS JOIN thr WHERE score >= thr.x
+            """).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+    assert len(got) >= k  # ties-kept superset contract
+
+
+def test_hamilton_apportionment_twin(spark):
+    """Largest-remainder apportionment (z_sample_stratified_exact): random
+    stratum sizes -> identical quotas on both engines, summing exactly to
+    K, each within 1 of the exact proportional share."""
+    from pyspark.sql import Window
+
+    rng = random.Random(0xFEED)
+    for trial in range(5):
+        sizes = [(f"s{i}", rng.randint(1, 1000)) for i in range(rng.randint(2, 12))]
+        k = rng.randint(1, sum(n for _, n in sizes))
+        df = spark.createDataFrame(sizes, "lang string, n_l long")
+        tot = df.agg(F.sum("n_l").alias("n"))
+        base = df.crossJoin(F.broadcast(tot)).select(
+            "lang", "n_l",
+            F.expr(f"({k} * n_l) div n").alias("b"),
+            F.expr(f"({k} * n_l) % n").alias("rem"),
+        )
+        lo = base.agg((F.lit(k) - F.sum("b")).alias("leftover"))
+        w = Window.orderBy(F.desc("rem"), F.asc("lang"))
+        got = {
+            r.lang: r.q
+            for r in base.withColumn("r", F.row_number().over(w))
+            .crossJoin(F.broadcast(lo))
+            .select(
+                "lang",
+                (F.col("b") + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0))
+                .cast("long").alias("q"),
+            )
+            .collect()
+        }
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE c (lang VARCHAR, n_l BIGINT)")
+            con.executemany("INSERT INTO c VALUES (?, ?)", sizes)
+            want = dict(
+                con.execute(f"""
+                    WITH tot AS (SELECT SUM(n_l) AS n FROM c),
+                    base AS (SELECT lang, n_l, ({k} * n_l) // n AS b, ({k} * n_l) % n AS rem
+                             FROM c CROSS JOIN tot),
+                    lo AS (SELECT {k} - SUM(b) AS leftover FROM base),
+                    rr AS (SELECT lang, b, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS r FROM base)
+                    SELECT lang, b + CASE WHEN r <= lo.leftover THEN 1 ELSE 0 END
+                    FROM rr CROSS JOIN lo
+                """).fetchall()
+            )
+        finally:
+            con.close()
+        assert got == want, (trial, got, want)
+        assert sum(got.values()) == k
+        n = sum(x for _, x in sizes)
+        for lang, sz in sizes:
+            assert abs(got[lang] - k * sz / n) < 1, (lang, got[lang], k * sz / n)
