@@ -232,6 +232,18 @@ def lsh_candidates(band_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
             F.ceil(F.col("_bsz") / F.lit(max_bucket)).cast("int").alias("_nsub"),
         )
     )
+    # driver probe on the bounded hot set (<= n_band_rows/max_bucket rows):
+    # a clean corpus — the overwhelmingly common case — takes the original
+    # single-key self-join with zero per-row guard overhead
+    if not hot.limit(1).count():
+        a = band_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
+        b = band_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
+        return (
+            a.join(b, ["band_idx", "band_key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     tagged = (
         band_df.join(F.broadcast(hot), ["band_idx", "band_key"], "left")
         .withColumn("_nsub", F.coalesce(F.col("_nsub"), F.lit(1)))

@@ -332,24 +332,24 @@ def ann_gated_near_pairs(
 
     if n_planes % n_bands:
         raise ValueError("n_planes must divide evenly into n_bands bands")
+    from pyspark.sql import Window
+
     spark = emb.sparkSession
     planes = hyperplane_table(spark, n_planes, dim)
-    # barrier before the size probe: bb's lineage is the corpus x planes
-    # join + groupBy — without it that pass executes on BOTH the probe side
-    # and the main tagged side (the lsh_candidates lineage-recompute trap)
-    bb = hyperplane_band_buckets(
-        emb, planes, n_planes // n_bands, id_col, vec_col
-    ).localCheckpoint()
-    # bucket cardinality <= n_bands * 2^band_size (64 rows at the defaults,
-    # bounded by the bit width at any corpus size) -> the size table always
-    # broadcasts
-    sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    nsub = F.greatest(
-        F.lit(1), F.ceil(F.col("_bsz") / F.lit(max_bucket))
-    ).cast("int")
-    bb = bb.join(
-        F.broadcast(sizes.select("band", "bucket", nsub.alias("_nsub"))),
-        ["band", "bucket"],
+    bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
+    # hot-bucket detection as a WINDOW count over (band, bucket): stays
+    # inside the one plan (no checkpoint barrier, no separate probe job —
+    # measured cheaper than the agg+join-back form, which either recomputes
+    # the banding lineage on both sides or pays two extra jobs for a
+    # barrier+driver probe). One extra exchange of the n_bands-rows-per-id
+    # band table; _nsub is 1 everywhere on a clean corpus, so the explode
+    # emits exactly one row per input and the block keys are constant.
+    w_bkt = Window.partitionBy("band", "bucket")
+    bb = bb.withColumn(
+        "_nsub",
+        F.greatest(
+            F.lit(1), F.ceil(F.count("*").over(w_bkt) / F.lit(max_bucket))
+        ).cast("int"),
     )
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
@@ -360,7 +360,10 @@ def ann_gated_near_pairs(
     # (band, bucket, block-pair) clustering from the groupBy
     tagged = (
         base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
-        .withColumn("_blk", F.pmod(md5_int(F.col("vid").cast("string")), F.col("_nsub")).cast("int"))
+        .withColumn(
+            "_blk",
+            F.pmod(md5_int(F.col("vid").cast("string")), F.col("_nsub")).cast("int"),
+        )
         # replicate each row to every block pair it participates in:
         # (min(_blk, j), max(_blk, j)) for j in 0.._nsub-1 — each unordered
         # pair of rows meets in exactly one (bi, bj) task per band
