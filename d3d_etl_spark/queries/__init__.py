@@ -27,4 +27,5 @@ def load_all() -> None:
         value,
         war_chain,
         windows,
+        zorder,
     )

@@ -1,0 +1,69 @@
+"""Z-order clustering pins (z_io_zorder): the rectangle property that
+makes Morton bucketing skip on BOTH dimensions, quantified against
+time-only bucketing on the real events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_zorder_rectangles_skip_both_dimensions(spark, sf_dir):
+    """Each Morton-prefix bucket is a small rectangle in (time, user)
+    space: with 6 prefix bits (3 per dimension) a bucket spans ~1/8 of
+    each range. Time-only bucketing with the SAME bucket count spans the
+    FULL user range per bucket — z-order must cut the mean user-span at
+    least 4x while keeping time spans bounded, which is exactly the
+    min/max-stats pruning advantage."""
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.zorder import z_io_zorder
+
+    out = z_io_zorder(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id"
+    ).toPandas()
+    u_range = ev.user_id.max() - ev.user_id.min()
+    t_range = ev.us.max() - ev.us.min()
+    n_buckets = len(out)
+
+    # weighted mean spans over z-buckets
+    w = out.n_events / out.n_events.sum()
+    z_uspan = float(((out.max_user - out.min_user) * w).sum())
+    z_tspan = float(((out.max_us - out.min_us) * w).sum())
+
+    # time-only bucketing at the same bucket count
+    ev = ev.sort_values("us").reset_index(drop=True)
+    ev["tb"] = (ev.index * n_buckets // len(ev)).astype(int)
+    g = ev.groupby("tb").agg(
+        n=("us", "size"), umin=("user_id", "min"), umax=("user_id", "max"),
+        tmin=("us", "min"), tmax=("us", "max"),
+    )
+    tw = g.n / g.n.sum()
+    t_uspan = float(((g.umax - g.umin) * tw).sum())
+
+    # the headline: z-order buckets prune on user predicates, time buckets
+    # cannot (they span ~the full user range)
+    assert z_uspan <= t_uspan / 4, (z_uspan, t_uspan)
+    # and z-order's time spans stay bounded rectangles, not the full range
+    assert z_tspan <= 0.5 * t_range, (z_tspan, t_range)
+    # sanity: the bucketing actually partitioned the data
+    assert out.n_events.sum() == len(ev)
+    assert n_buckets > 8
+
+
+def test_morton_interleave_roundtrip(spark):
+    """Bit-exact Morton interleave: known coordinates produce the textbook
+    keys, and prefix buckets respect the quadtree structure."""
+    from d3d_etl_spark.queries.zorder import morton_interleave
+
+    rows = [(0, 0, 0), (1, 1, 0), (2, 0, 1), (3, 1, 1), (4, 0b11, 0b11), (5, 0xFFFF, 0xFFFF)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r.id: r.z
+        for r in df.select("id", morton_interleave(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    assert got[0] == 0
+    assert got[1] == 1          # x bit 0 -> position 0
+    assert got[2] == 2          # y bit 0 -> position 1
+    assert got[3] == 3
+    assert got[4] == 0b1111
+    assert got[5] == (1 << 32) - 1
