@@ -90,28 +90,67 @@ FROM z GROUP BY bucket
 """
 
 
+def with_zorder_bucket(
+    ev: DataFrame, us_col: Column, user_col: Column, out_col: str = "zbucket"
+) -> DataFrame:
+    """Input rows + the Morton-prefix bucket column — the clustering key
+    the write path partitions on (write_zordered below)."""
+    b = ev.agg(
+        F.min(us_col).alias("_zmin_us"),
+        F.max(us_col).alias("_zmax_us"),
+        F.min(user_col).alias("_zmin_u"),
+        F.max(user_col).alias("_zmax_u"),
+    )
+    g = ev.withColumn("_zus", us_col).withColumn("_zuid", user_col).crossJoin(
+        F.broadcast(b)
+    )
+    xg = F.expr(
+        f"((_zus - _zmin_us) * {_GRID_MAX}) div greatest(_zmax_us - _zmin_us, 1)"
+    )
+    yg = F.expr(
+        f"((_zuid - _zmin_u) * {_GRID_MAX}) div greatest(_zmax_u - _zmin_u, 1)"
+    )
+    z = morton_interleave(xg, yg)
+    return g.withColumn(
+        out_col, F.shiftright(z, 2 * _Z_BITS - _Z_BUCKET_BITS)
+    ).drop("_zus", "_zuid", "_zmin_us", "_zmax_us", "_zmin_u", "_zmax_u")
+
+
 def zorder_buckets(
     ev: DataFrame, us_col: Column, user_col: Column
 ) -> DataFrame:
     """(us, user_id, bucket): Morton-prefix bucket assignment for every
-    row — the clustering key a write path would range-partition on."""
-    b = ev.agg(
-        F.min(us_col).alias("min_us"),
-        F.max(us_col).alias("max_us"),
-        F.min(user_col).alias("min_u"),
-        F.max(user_col).alias("max_u"),
+    row — the stats grain z_io_zorder publishes."""
+    return with_zorder_bucket(
+        ev.select(us_col.alias("us"), user_col.alias("user_id")),
+        F.col("us"),
+        F.col("user_id"),
+        out_col="bucket",
     )
-    g = ev.select(us_col.alias("us"), user_col.alias("user_id")).crossJoin(
-        F.broadcast(b)
-    )
-    xg = F.expr(f"((us - min_us) * {_GRID_MAX}) div greatest(max_us - min_us, 1)")
-    yg = F.expr(f"((user_id - min_u) * {_GRID_MAX}) div greatest(max_u - min_u, 1)")
-    z = morton_interleave(xg, yg)
-    return g.select(
-        "us",
-        "user_id",
-        F.shiftright(z, 2 * _Z_BITS - _Z_BUCKET_BITS).alias("bucket"),
-    )
+
+
+def write_zordered(ev: DataFrame, path: str, us_col: Column, user_col: Column) -> None:
+    """Write rows partitioned by the Morton bucket: each partition
+    directory is a (time, user) rectangle, so its parquet/partition-level
+    min/max stats prune on EITHER dimension. `candidate_buckets` turns a
+    predicate + the z_io_zorder stats table into the partition filter —
+    the zone-map read path, proven end-to-end in tests/test_zorder_r5.py."""
+    with_zorder_bucket(ev, us_col, user_col).write.mode("overwrite").partitionBy(
+        "zbucket"
+    ).parquet(path)
+
+
+def candidate_buckets(stats, lo: int, hi: int, dim: str = "user") -> list[int]:
+    """Buckets whose [min, max] envelope intersects [lo, hi] on `dim`
+    ('user' or 'us') — the zone-map pruning decision, computed from the
+    bucket-cardinality stats table (<= 2^_Z_BUCKET_BITS rows)."""
+    mn, mx = (f"min_{dim}", f"max_{dim}")
+    return [
+        int(r["bucket"])
+        for r in stats.where(
+            (F.col(mx) >= F.lit(lo)) & (F.col(mn) <= F.lit(hi))
+        ).select("bucket").collect()
+    ]
 
 
 @register("z_io_zorder", _ZORDER_ORACLE, tags=("io", "layout"))
