@@ -1762,3 +1762,134 @@ def z_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
         F.count_distinct(F.when(kept, F.col("code_sig"))).cast("long").alias("n_code_sigs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z_graph_pagerank — PageRank over the near-duplicate graph: which
+# documents sit at the CENTER of duplication clusters (high-rank nodes are
+# the "canonical attractors" a dedup reviewer looks at first; rank also
+# orders cluster representatives better than min-id when clusters are
+# star-shaped). Beyond-CC graph analytics: an ITERATIVE fixed-point
+# algorithm with per-node state, fully oracled.
+# Arithmetic is EXACT INTEGERS END TO END — no rounding contract at all:
+# rank quantized to 1e9 units, damping 0.85 applied as (17 * x) div 20 and
+# the teleport term as (3 * SCALE) div (20 * N), neighbor contributions as
+# pr div deg — every engine computes identical longs at every step, so the
+# 3-iteration trajectory unrolls as chained CTEs like the LR/BPE/power
+# trainers. Edges are the ANN-gated near-dup pairs (the sim_near_dedup
+# candidate machinery, so the gate contract is shared); dangling mass
+# (isolated vectors) redistributes uniformly.
+# Scale shape: one edges table (gated, not all-pairs), degree = one agg,
+# each iteration = one join edges x ranks + one agg + two broadcast
+# scalars (dangling sum, N). The 100 TB shape of power iteration applied
+# to a sparse matrix.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    head = f"""{_GATE_CTES},
+s AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(SUM(ea.x * eb.x)
+               / (SQRT(SUM(ea.x * ea.x)) * SQRT(SUM(eb.x * eb.x))), 6) AS sim
+  FROM cand c
+  JOIN e0 ea ON ea.vec_id = c.vec_a
+  JOIN e0 eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM s WHERE sim >= {_DEDUP_T}
+  UNION ALL
+  SELECT vec_b, vec_a FROM s WHERE sim >= {_DEDUP_T}
+),
+nodes AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+pr0 AS (
+  SELECT vec_id, CAST({_PR_SCALE} // nn.n AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn
+)"""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f"""contrib{k} AS (
+  SELECT e.dst AS vec_id, CAST(SUM(p.pr // dg.d) AS BIGINT) AS s_in
+  FROM edges e
+  JOIN pr{k} p ON e.src = p.vec_id
+  JOIN deg dg ON e.src = dg.vec_id
+  GROUP BY 1
+),
+dang{k} AS (
+  SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dm
+  FROM pr{k} p LEFT JOIN deg dg ON p.vec_id = dg.vec_id
+  WHERE dg.vec_id IS NULL
+),
+pr{k + 1} AS (
+  SELECT p.vec_id,
+         CAST({3 * _PR_SCALE} // (20 * nn.n)
+              + (17 * (COALESCE(c.s_in, 0) + dang{k}.dm // nn.n)) // 20 AS BIGINT) AS pr
+  FROM pr{k} p
+  LEFT JOIN contrib{k} c ON p.vec_id = c.vec_id
+  CROSS JOIN nn CROSS JOIN dang{k}
+)"""
+        )
+    body = ",\n".join([f"WITH {head}", *steps]).replace("WITH " + head, head)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, pr AS pr_q FROM pr{iters}"
+    )
+
+
+_PAGERANK_ORACLE = _pagerank_oracle(_PR_ITERS)
+
+
+@register("z_graph_pagerank", _PAGERANK_ORACLE, tags=("similarity", "graph"))
+def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 exact-integer PageRank iterations over the ANN-gated near-dup
+    graph: (vec_id, pr_q) with pr in 1e-9 units. Beyond-reference
+    LLM-pipeline operator (duplication-cluster centrality)."""
+    from d3d_etl_spark.operators.similarity import ann_gated_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ann_gated_near_pairs(
+        emb, _DEDUP_T, _DIM, _GATE_PLANES, _GATE_BANDS
+    ).localCheckpoint()
+    edges = pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    ).localCheckpoint()
+    nodes = emb.select("vec_id")
+    nn = nodes.agg(F.count("*").cast("long").alias("n"))
+    deg = edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("d")
+    ).localCheckpoint()
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "vec_id", F.expr(f"{_PR_SCALE} div n").cast("long").alias("pr")
+    ).localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("vec_id", "src"), "src")
+            .join(deg.withColumnRenamed("vec_id", "src").hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.sum(F.expr("pr div d")).cast("long").alias("s_in"))
+        )
+        dang = (
+            pr.join(deg, "vec_id", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dm"))
+        )
+        pr = (
+            pr.join(contrib.hint("shuffle_hash"), "vec_id", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST({3 * _PR_SCALE}L div (20 * n) "
+                    f"+ (17 * (coalesce(s_in, 0) + dm div n)) div 20 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("vec_id", F.col("pr").alias("pr_q"))
