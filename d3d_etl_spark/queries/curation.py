@@ -158,40 +158,47 @@ _DSIR_Q = 10_000   # log-ratio / gumbel quantum (1e-4)
 _DSIR_U_MOD = 1_000_000
 
 # ONE definition of the scoring SQL (features -> log-ratio -> exact integer
-# weight -> deterministic Gumbel) shared by BOTH selection oracles — the
-# two variants must never drift in their scoring half.
-_DSIR_SCORE_CTES = f"""toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
-s AS (SELECT doc_id, lang, unnest(sh) AS s FROM toks WHERE len(sh) > 0),
-feat AS (
+# weight -> deterministic Gumbel) shared by EVERY selection oracle — the
+# variants must never drift in their scoring half. `prefix` namespaces the
+# CTEs so the block composes with other families that also define
+# toks/scored (the curation LM gate does).
+def _dsir_score_ctes(prefix: str = "") -> str:
+    p = prefix
+    return f"""{p}toks AS (SELECT doc_id, lang, {_DSIR_SH2} AS sh FROM documents),
+{p}s AS (SELECT doc_id, lang, unnest(sh) AS s FROM {p}toks WHERE len(sh) > 0),
+{p}feat AS (
   SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 8))::BIGINT % {_DSIR_B} AS j,
          COUNT(*) AS c
-  FROM s GROUP BY 1, 2, 3
+  FROM {p}s GROUP BY 1, 2, 3
 ),
-rawc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat GROUP BY 1),
-tgtc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM feat WHERE lang = 'en' GROUP BY 1),
-tots AS (
-  SELECT (SELECT SUM(c) FROM rawc) AS tr, (SELECT SUM(c) FROM tgtc) AS tt
+{p}rawc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM {p}feat GROUP BY 1),
+{p}tgtc AS (SELECT j, CAST(SUM(c) AS BIGINT) AS c FROM {p}feat WHERE lang = 'en' GROUP BY 1),
+{p}tots AS (
+  SELECT (SELECT SUM(c) FROM {p}rawc) AS tr, (SELECT SUM(c) FROM {p}tgtc) AS tt
 ),
-t AS (
+{p}t AS (
   SELECT r.j,
          CAST(ROUND({_DSIR_Q} * (
-           LN((COALESCE(tg.c, 0) + 1.0) / (tots.tt + {_DSIR_B}))
-           - LN((r.c + 1.0) / (tots.tr + {_DSIR_B}))
+           LN((COALESCE(tg.c, 0) + 1.0) / (tt.tt + {_DSIR_B}))
+           - LN((r.c + 1.0) / (tt.tr + {_DSIR_B}))
          )) AS BIGINT) AS t_q
-  FROM rawc r LEFT JOIN tgtc tg ON r.j = tg.j CROSS JOIN tots
+  FROM {p}rawc r LEFT JOIN {p}tgtc tg ON r.j = tg.j CROSS JOIN {p}tots tt
 ),
-lw AS (
+{p}lw AS (
   SELECT f.doc_id, CAST(SUM(f.c * t.t_q) AS BIGINT) AS lw_q
-  FROM feat f JOIN t ON f.j = t.j GROUP BY 1
+  FROM {p}feat f JOIN {p}t t ON f.j = t.j GROUP BY 1
 ),
-scored AS (
+{p}scored AS (
   SELECT l.doc_id, l.lw_q,
          CAST(ROUND({_DSIR_Q} * (-LN(-LN(
            (('0x' || substr(md5('dsir:' || CAST(l.doc_id AS VARCHAR)), 1, 8))::BIGINT
             % {_DSIR_U_MOD} + 0.5) / {_DSIR_U_MOD}.0
          )))) AS BIGINT) AS g_q
-  FROM lw l
+  FROM {p}lw l
 )"""
+
+
+_DSIR_SCORE_CTES = _dsir_score_ctes()
 
 _DSIR_ORACLE = f"""
 WITH {_DSIR_SCORE_CTES},
@@ -311,17 +318,24 @@ def z_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_FRAC_NUM, _DSIR_FRAC_DEN = 1, 5  # select 20% of eligible docs
 _DSIR_BKT = 4096  # score-range coarse bucket (power of 2: exact float div)
 
+def _dsir_threshold_ctes(prefix: str = "") -> str:
+    """The corpus-fraction threshold chain ({p}scored -> {p}thr), prefixed
+    like _dsir_score_ctes so it composes into multi-family oracles."""
+    p = prefix
+    return f"""{p}kk AS (
+  SELECT CAST(CEIL(COUNT(*) * {_DSIR_FRAC_NUM}.0 / {_DSIR_FRAC_DEN}) AS BIGINT) AS k
+  FROM {p}scored
+),
+{p}cnt AS (SELECT lw_q + g_q AS score, COUNT(*) AS c FROM {p}scored GROUP BY 1),
+{p}cum AS (
+  SELECT score, SUM(c) OVER (ORDER BY score DESC) AS cge FROM {p}cnt
+),
+{p}thr AS (SELECT MAX(score) AS t FROM {p}cum CROSS JOIN {p}kk WHERE cge >= {p}kk.k)"""
+
+
 _DSIR_THRESHOLD_ORACLE = f"""
 WITH {_DSIR_SCORE_CTES},
-kk AS (
-  SELECT CAST(CEIL(COUNT(*) * {_DSIR_FRAC_NUM}.0 / {_DSIR_FRAC_DEN}) AS BIGINT) AS k
-  FROM scored
-),
-cnt AS (SELECT lw_q + g_q AS score, COUNT(*) AS c FROM scored GROUP BY 1),
-cum AS (
-  SELECT score, SUM(c) OVER (ORDER BY score DESC) AS cge FROM cnt
-),
-thr AS (SELECT MAX(score) AS t FROM cum CROSS JOIN kk WHERE cge >= kk.k)
+{_dsir_threshold_ctes()}
 SELECT sc.doc_id, sc.lw_q, sc.g_q,
        CAST(CASE WHEN sc.lw_q + sc.g_q >= thr.t THEN 1 ELSE 0 END AS INTEGER) AS sel
 FROM scored sc CROSS JOIN thr
@@ -378,4 +392,120 @@ def z_corpus_dsir_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lw_q",
         "g_q",
         (F.col("lw_q") + F.col("g_q") >= F.col("t")).cast("int").alias("sel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_selection_agreement — HOW MUCH DO THE SELECTORS AGREE? The
+# curation-analysis query a data team runs before trusting any single
+# strategy: pairwise overlap (counts + Jaccard) between the three oracled
+# selection families — DSIR corpus-fraction threshold (target-likeness),
+# the bigram-LM quality gate (statistical fluency), and the duplicated-
+# span gate (boilerplate). Low agreement means the strategies prune
+# DIFFERENT pathologies and should compose (exactly what z_corpus_curation
+# chains); high agreement means one is redundant. Every selector reuses
+# its family's shared CTEs (prefix-namespaced where names would collide),
+# so the agreement matrix can never drift from the selectors it describes.
+# Scale shape: three doc-grain flag joins + one global aggregate;
+# everything upstream keeps its own query's shape.
+# ---------------------------------------------------------------------------
+
+_AGREE_ORACLE = f"""
+WITH {_LM_CTES},
+{_SPAN_CTES},
+{_dsir_score_ctes('d_')},
+{_dsir_threshold_ctes('d_')},
+spanfrac AS (
+  SELECT sp.doc_id,
+         CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac
+  FROM sp JOIN spc ON sp.sh = spc.sh
+  GROUP BY 1
+),
+flags AS (
+  SELECT d.doc_id,
+         CASE WHEN dsc.doc_id IS NOT NULL AND dsc.lw_q + dsc.g_q >= t.t
+              THEN 1 ELSE 0 END AS f_dsir,
+         CASE WHEN sc.doc_id IS NOT NULL
+                   AND CAST(sc.s_sum AS DOUBLE) / sc.n_bigrams / {_LM_Q} <= {_LM_REVIEW_T}
+              THEN 1 ELSE 0 END AS f_lm,
+         CASE WHEN COALESCE(sf.frac >= {_SPAN_TRIM_T}, FALSE) THEN 0 ELSE 1 END AS f_span
+  FROM documents d
+  LEFT JOIN d_scored dsc ON d.doc_id = dsc.doc_id
+  LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+  LEFT JOIN spanfrac sf ON d.doc_id = sf.doc_id
+  CROSS JOIN d_thr t
+),
+agg AS (
+  SELECT CAST(SUM(f_dsir) AS BIGINT) AS n_dsir,
+         CAST(SUM(f_lm) AS BIGINT) AS n_lm,
+         CAST(SUM(f_span) AS BIGINT) AS n_span,
+         CAST(SUM(f_dsir * f_lm) AS BIGINT) AS n_dl,
+         CAST(SUM(f_dsir * f_span) AS BIGINT) AS n_ds,
+         CAST(SUM(f_lm * f_span) AS BIGINT) AS n_ls
+  FROM flags
+)
+SELECT 'dsir' AS sel_a, 'lm' AS sel_b, n_dsir AS n_a, n_lm AS n_b, n_dl AS n_both,
+       ROUND(CAST(n_dl AS DOUBLE) / (n_dsir + n_lm - n_dl), 6) AS jaccard
+FROM agg
+UNION ALL
+SELECT 'dsir', 'span', n_dsir, n_span, n_ds,
+       ROUND(CAST(n_ds AS DOUBLE) / (n_dsir + n_span - n_ds), 6)
+FROM agg
+UNION ALL
+SELECT 'lm', 'span', n_lm, n_span, n_ls,
+       ROUND(CAST(n_ls AS DOUBLE) / (n_lm + n_span - n_ls), 6)
+FROM agg
+"""
+
+
+@register("z_corpus_selection_agreement", _AGREE_ORACLE, tags=("corpus", "analysis"))
+def z_corpus_selection_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement (counts + Jaccard) between the DSIR threshold,
+    LM-gate, and span-gate selections over the whole corpus.
+    Beyond-reference LLM-pipeline operator (curation strategy analysis)."""
+    from d3d_etl_spark.queries.textops import z_corpus_lm_score, z_corpus_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dsir = z_corpus_dsir_threshold(spark, sf_dir).select(
+        "doc_id", F.col("sel").alias("f_dsir")
+    )
+    lm = z_corpus_lm_score(spark, sf_dir).select(
+        "doc_id", (F.col("nll") <= _LM_REVIEW_T).cast("int").alias("f_lm")
+    )
+    span = z_corpus_span_dedup(spark, sf_dir).select(
+        "doc_id", (~F.col("would_trim")).cast("int").alias("f_span")
+    )
+    flags = (
+        docs.join(dsir, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(span, "doc_id", "left")
+        .select(
+            F.coalesce("f_dsir", F.lit(0)).alias("f_dsir"),
+            F.coalesce("f_lm", F.lit(0)).alias("f_lm"),
+            F.coalesce("f_span", F.lit(1)).alias("f_span"),
+        )
+    )
+    agg = flags.agg(
+        F.sum("f_dsir").cast("long").alias("n_dsir"),
+        F.sum("f_lm").cast("long").alias("n_lm"),
+        F.sum("f_span").cast("long").alias("n_span"),
+        F.sum(F.col("f_dsir") * F.col("f_lm")).cast("long").alias("n_dl"),
+        F.sum(F.col("f_dsir") * F.col("f_span")).cast("long").alias("n_ds"),
+        F.sum(F.col("f_lm") * F.col("f_span")).cast("long").alias("n_ls"),
+    )
+    jac = lambda both, a, b: F.round(  # noqa: E731
+        both.cast("double") / (a + b - both), 6
+    )
+    row = lambda name_a, name_b, a, b, both: agg.select(  # noqa: E731
+        F.lit(name_a).alias("sel_a"),
+        F.lit(name_b).alias("sel_b"),
+        F.col(a).alias("n_a"),
+        F.col(b).alias("n_b"),
+        F.col(both).alias("n_both"),
+        jac(F.col(both), F.col(a), F.col(b)).alias("jaccard"),
+    )
+    return (
+        row("dsir", "lm", "n_dsir", "n_lm", "n_dl")
+        .unionByName(row("dsir", "span", "n_dsir", "n_span", "n_ds"))
+        .unionByName(row("lm", "span", "n_lm", "n_span", "n_ls"))
     )
