@@ -1893,3 +1893,153 @@ def z_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return pr.select("vec_id", F.col("pr").alias("pr_q"))
+
+
+# ---------------------------------------------------------------------------
+# z_sim_pq_incremental — incremental PQ index maintenance + serving: the
+# PQ lifecycle's state-shaped daily path (the z_sim_incremental pattern
+# applied to the compressed index). Batch-1 state — the trained codebooks
+# and the old corpus's CODES — is persisted to parquet once per scale; the
+# measured query handles the new ingest batch (vec_id % 4 == 0) alone:
+#   1. encode new vectors against the STORED codebooks (map-only after
+#      a broadcast — no retrain; codebook drift is the documented
+#      periodic-retrain concern, exactly as in FAISS practice);
+#   2. candidates by CODE COLLISION (new and old share a sub-code in some
+#      subspace — PQ-codes-as-multi-index blocking, work proportional to
+#      collisions, never |new| x |old|);
+#   3. ADC-score only the candidates: per-new-vector (M x ks) integer
+#      distance table from the stored codebooks, M adds per candidate
+#      pair — the old corpus's floats are NEVER read (codes only).
+# The DuckDB oracle reads the SAME persisted state parquet, so the state
+# handoff sits inside the hash check. New vectors with no collision emit
+# no row (nothing servable from the index without a wider probe).
+# ---------------------------------------------------------------------------
+
+_PQ_CB_TPL = _os.path.join(_IVF_CACHE_DIR, "pq_cb_{tag}")
+_PQ_CODES_TPL = _os.path.join(_IVF_CACHE_DIR, "pq_codes_{tag}")
+_PQ_CB_GLOB = _os.path.join(_IVF_CACHE_DIR, "pq_cb_*", "*.parquet")
+_PQ_CODES_GLOB = _os.path.join(_IVF_CACHE_DIR, "pq_codes_*", "*.parquet")
+
+
+def pq_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, old_codes): the batch-1 PQ index, persisted per scale."""
+    from d3d_etl_spark.operators.pq import pq_codebooks, pq_encode
+
+    tag = _ivf_tag(sf_dir)
+    cb_path = _PQ_CB_TPL.format(tag=tag)
+    codes_path = _PQ_CODES_TPL.format(tag=tag)
+
+    def old_batch() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.where(F.col("vec_id") % _INC_MOD != 0)
+
+    def build_cb(tmp: str) -> None:
+        pq_codebooks(old_batch(), _DIM, _PQ_M, _PQ_KS).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    _ensure_ivf_state(cb_path, cb_path + ".done", _PQ_CB_TPL.format(tag="*"), build_cb)
+    cb = spark.read.parquet(cb_path)
+
+    def build_codes(tmp: str) -> None:
+        pq_encode(old_batch(), cb, _DIM, _PQ_M).select(
+            "vec_id", "sub", "code"
+        ).write.mode("overwrite").parquet(tmp)
+
+    _ensure_ivf_state(
+        codes_path, codes_path + ".done", _PQ_CODES_TPL.format(tag="*"), build_codes
+    )
+    return cb, spark.read.parquet(codes_path)
+
+
+_PQ_INC_ORACLE = f"""
+WITH cb AS (SELECT sub, code, pos, c_q FROM read_parquet('{_PQ_CB_GLOB}')),
+oldc AS (SELECT vec_id AS old_id, sub, code FROM read_parquet('{_PQ_CODES_GLOB}')),
+newe AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) // {_PQ_DSUB} AS sub,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xs
+  FROM embeddings WHERE vec_id % {_INC_MOD} = 0
+),
+dt AS (
+  SELECT n.vec_id, cb.sub, cb.code,
+         SUM((n.xs - cb.c_q) * (n.xs - cb.c_q)) AS d
+  FROM newe n JOIN cb ON n.sub = cb.sub AND n.pos = cb.pos
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+    FROM dt
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT DISTINCT e.vec_id, o.old_id
+  FROM enc e JOIN oldc o ON e.sub = o.sub AND e.code = o.code
+),
+scored AS (
+  SELECT c.vec_id, c.old_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+  FROM cand c
+  JOIN oldc o ON o.old_id = c.old_id
+  JOIN dt ON dt.vec_id = c.vec_id AND dt.sub = o.sub AND dt.code = o.code
+  GROUP BY 1, 2
+)
+SELECT vec_id, old_id AS nn_id, adist FROM (
+  SELECT vec_id, old_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adist, old_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("z_sim_pq_incremental", _PQ_INC_ORACLE, tags=("similarity", "incremental"))
+def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest indexed neighbor (by exact-integer ADC over stored codes)
+    for each new-batch vector: encode vs stored codebooks, code-collision
+    candidates, ADC scoring — old floats never read. Beyond-reference
+    LLM-pipeline operator (compressed-index maintenance + serving)."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.pq import pq_subspace_comps
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, old_codes = pq_index_state(spark, sf_dir)
+    old_codes = old_codes.select(
+        F.col("vec_id").alias("old_id"), "sub", "code"
+    ).localCheckpoint()  # candidates + scoring both read it
+
+    new = emb.where(F.col("vec_id") % _INC_MOD == 0)
+    qc = pq_subspace_comps(new, _DIM, _PQ_M)
+    # per-new-vector ADC table (|new| x M x ks integer rows) — feeds the
+    # new-code argmin AND candidate scoring
+    dt = (
+        qc.join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum((F.col("xs") - F.col("c_q")) * (F.col("xs") - F.col("c_q"))).alias("d")
+        )
+        .localCheckpoint()
+    )
+    w_enc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    enc = (
+        dt.withColumn("rn", F.row_number().over(w_enc))
+        .where("rn = 1")
+        .select("vec_id", "sub", "code")
+    )
+    cand = enc.join(old_codes.hint("shuffle_hash"), ["sub", "code"]).select(
+        "vec_id", "old_id"
+    ).distinct()
+    scored = (
+        cand.join(old_codes, "old_id")
+        .join(dt.hint("shuffle_hash"), ["vec_id", "sub", "code"])
+        .groupBy("vec_id", "old_id")
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w_top = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where("rn = 1")
+        .select("vec_id", F.col("old_id").alias("nn_id"), "adist")
+    )

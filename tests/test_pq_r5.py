@@ -163,3 +163,38 @@ def test_streaming_pq_twin_exact_parity(spark, sf_dir, tmp_path):
         for r in z_sim_pq(spark, sf_dir).select("vec_id", "code_sig", "adist").collect()
     }
     assert got == want
+
+
+def test_pq_incremental_state_discipline(spark, sf_dir):
+    """Incremental PQ serving: answers come from the STORED index — every
+    neighbor is an old-batch id, every query a new-batch id, coverage is
+    near-total (16 subspaces make zero-collision vanishing), and the plan
+    reads the old corpus's CODES parquet, with exactly one scan of the
+    raw embeddings (the new batch) — the old floats are never read."""
+    from d3d_etl_spark.queries.simsearch import _INC_MOD, z_sim_pq_incremental
+
+    df = z_sim_pq_incremental(spark, sf_dir)
+    out = df.toPandas()
+    assert (out.vec_id % _INC_MOD == 0).all()
+    assert (out.nn_id % _INC_MOD != 0).all()
+    # near-total coverage of the new batch
+    from d3d_etl_spark.io import load_table
+
+    n_new = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % _INC_MOD == 0)
+        .count()
+    )
+    assert len(out) >= 0.95 * n_new, (len(out), n_new)
+    assert out.vec_id.is_unique
+
+    # the stored-codes table is checkpointed (Scan ExistingRDD in-plan), so
+    # assert the persisted state exists on disk and the raw embeddings
+    # appear only for the new-batch scan
+    import glob
+
+    from d3d_etl_spark.queries.simsearch import _PQ_CODES_GLOB
+
+    assert glob.glob(_PQ_CODES_GLOB), _PQ_CODES_GLOB
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("embeddings.parquet") <= 2  # new-batch scan only
