@@ -476,9 +476,10 @@ def z_corpus_selection_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (~F.col("would_trim")).cast("int").alias("f_span")
     )
     flags = (
-        docs.join(dsir, "doc_id", "left")
-        .join(lm, "doc_id", "left")
-        .join(span, "doc_id", "left")
+        # doc-grain flag joins on the unique key: sort-free shuffled hash
+        docs.join(dsir.hint("shuffle_hash"), "doc_id", "left")
+        .join(lm.hint("shuffle_hash"), "doc_id", "left")
+        .join(span.hint("shuffle_hash"), "doc_id", "left")
         .select(
             F.coalesce("f_dsir", F.lit(0)).alias("f_dsir"),
             F.coalesce("f_lm", F.lit(0)).alias("f_lm"),

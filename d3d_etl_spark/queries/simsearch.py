@@ -1516,7 +1516,8 @@ def z_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.lit(1).alias("_sel"))
     )
     return (
-        scores.join(sig, "vec_id")
+        # unique-key corpus-corpus join: sort-free shuffled hash
+        scores.join(sig.hint("shuffle_hash"), "vec_id")
         .join(F.broadcast(topk), "vec_id", "left")
         .select(
             "vec_id",

@@ -344,3 +344,26 @@ def test_semdedup_plan_cluster_local(spark, sf_dir):
     # D4 adds only survivor-bounded windows on top — still no cartesian
     d4 = REGISTRY["z_sim_d4"].fn(spark, sf_dir)
     assert "CartesianProduct" not in summarize_plan(d4).text
+
+
+def test_round5_queries_no_shuffling_sortmerge(spark, sf_dir):
+    """The round-5 z_-tier additions keep the repo's join discipline:
+    dimension/codebook/state sides broadcast, unique-key corpus joins take
+    sort-free shuffled hash — no shuffling SortMergeJoin anywhere."""
+    for name in (
+        "z_sim_pq",
+        "z_sim_ivfpq",
+        "z_corpus_countmin",
+        "z_sample_stratified_exact",
+        "z_corpus_selection_agreement",
+        "z_sim_power_iter",
+        "z_io_zorder",
+        "z_graph_pagerank",
+        "z_sim_pq_incremental",
+        "z_corpus_dsir_threshold",
+        "z_sim_contrastive_ann",
+    ):
+        s = summarize_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert s.n_sortmerge_joins == 0 or s.n_exchanges == 0, (
+            f"{name} grew a shuffling SortMergeJoin"
+        )
