@@ -61,12 +61,32 @@ def gram_matrix_int(
     dim = len(mu_q)
     out_schema = pa.schema([("p", pa.int32()), ("q", pa.int32()), ("v", pa.int64())])
 
+    # int64 overflow budget for one emitted partial: centered components
+    # reach ~2 * SIM_SCALE, so each Gram term is <= ~4e12 and int64 wraps
+    # past ~2.3e6 accumulated rows. Emitting a partial at least every
+    # _GRAM_CHUNK_ROWS keeps each int64 partial 4x inside the budget at
+    # ANY partition size; the cross-partial sum then runs in decimal(38,0)
+    # — the Spark twin of DuckDB's HUGEINT promotion — so the corpus-wide
+    # Gram entries stay exact at the 100 TB shape this module claims.
+    chunk_rows = 500_000
+
     def partials(batches):
         import numpy as np
 
         mu = np.array(mu_q, dtype=np.int64)
+        p, q = np.meshgrid(
+            np.arange(dim, dtype=np.int32), np.arange(dim, dtype=np.int32), indexing="ij"
+        )
+
+        def emit(acc):
+            return pa.record_batch(
+                [pa.array(p.ravel(), pa.int32()), pa.array(q.ravel(), pa.int32()),
+                 pa.array(acc.ravel(), pa.int64())],
+                schema=out_schema,
+            )
+
         acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
+        rows_in_acc = 0
         for tbl in batches:
             if tbl.num_rows == 0:
                 continue
@@ -82,21 +102,19 @@ def gram_matrix_int(
                 - mu
             )
             acc += xs.T @ xs
-            seen = True
-        if not seen:
-            return
-        p, q = np.meshgrid(np.arange(dim, dtype=np.int32), np.arange(dim, dtype=np.int32), indexing="ij")
-        yield pa.record_batch(
-            [pa.array(p.ravel(), pa.int32()), pa.array(q.ravel(), pa.int32()),
-             pa.array(acc.ravel(), pa.int64())],
-            schema=out_schema,
-        )
+            rows_in_acc += len(xs)
+            if rows_in_acc >= chunk_rows:
+                yield emit(acc)
+                acc = np.zeros((dim, dim), dtype=np.int64)
+                rows_in_acc = 0
+        if rows_in_acc:
+            yield emit(acc)
 
     base = emb.select(F.col(vec_col).cast("array<double>").alias("vec"))
     return (
         base.mapInArrow(partials, "p int, q int, v long")
         .groupBy("p", "q")
-        .agg(F.sum("v").alias("v"))
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
     )
 
 

@@ -39,10 +39,11 @@ from d3d_etl_spark.queries.sampling import (
 )
 from d3d_etl_spark.queries.textops import (
     _LM_CTES,
-    _LM_Q,
     _LM_REVIEW_T,
     _SPAN_CTES,
-    _SPAN_TRIM_T,
+    _SPANFRAC_CTE,
+    sql_lm_pass,
+    sql_span_trim,
     z_corpus_lm_score,
     z_corpus_span_dedup,
 )
@@ -50,12 +51,7 @@ from d3d_etl_spark.queries.textops import (
 _CURATION_ORACLE = f"""
 WITH {_LM_CTES},
 {_SPAN_CTES},
-spanfrac AS (
-  SELECT sp.doc_id,
-         CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac
-  FROM sp JOIN spc ON sp.sh = spc.sh
-  GROUP BY 1
-),
+{_SPANFRAC_CTE},
 d AS (
   SELECT doc_id, lang, len(t.w) AS n_tok,
          {sql_hash_bucket("doc_id", "mix")} % {_MIX_U_MOD} AS u
@@ -65,8 +61,8 @@ surv AS (
   SELECT d.* FROM d
   JOIN scored sc ON d.doc_id = sc.doc_id
   LEFT JOIN spanfrac sf ON d.doc_id = sf.doc_id
-  WHERE CAST(sc.s_sum AS DOUBLE) / sc.n_bigrams / {_LM_Q} <= {_LM_REVIEW_T}
-    AND COALESCE(sf.frac >= {_SPAN_TRIM_T}, FALSE) = FALSE
+  WHERE {sql_lm_pass('sc')}
+    AND {sql_span_trim('sf')} = FALSE
 ),
 ls AS (
   SELECT lang, COUNT(*) AS n_surv,
@@ -415,20 +411,14 @@ WITH {_LM_CTES},
 {_SPAN_CTES},
 {_dsir_score_ctes('d_')},
 {_dsir_threshold_ctes('d_')},
-spanfrac AS (
-  SELECT sp.doc_id,
-         CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac
-  FROM sp JOIN spc ON sp.sh = spc.sh
-  GROUP BY 1
-),
+{_SPANFRAC_CTE},
 flags AS (
   SELECT d.doc_id,
          CASE WHEN dsc.doc_id IS NOT NULL AND dsc.lw_q + dsc.g_q >= t.t
               THEN 1 ELSE 0 END AS f_dsir,
-         CASE WHEN sc.doc_id IS NOT NULL
-                   AND CAST(sc.s_sum AS DOUBLE) / sc.n_bigrams / {_LM_Q} <= {_LM_REVIEW_T}
+         CASE WHEN sc.doc_id IS NOT NULL AND {sql_lm_pass('sc')}
               THEN 1 ELSE 0 END AS f_lm,
-         CASE WHEN COALESCE(sf.frac >= {_SPAN_TRIM_T}, FALSE) THEN 0 ELSE 1 END AS f_span
+         CASE WHEN {sql_span_trim('sf')} THEN 0 ELSE 1 END AS f_span
   FROM documents d
   LEFT JOIN d_scored dsc ON d.doc_id = dsc.doc_id
   LEFT JOIN scored sc ON d.doc_id = sc.doc_id

@@ -1415,12 +1415,17 @@ _PQ_KS = 16      # codes per subspace
 _PQ_DSUB = _DIM // _PQ_M
 _PQ_KSEL = 25    # published top-K flag
 
-_PQ_CTES = f"""es AS (
+def _pq_ctes(source: str = "embeddings") -> str:
+    """The PQ stage CTEs (es -> cb -> enc -> adc -> sc -> sig) over an
+    arbitrary row source — z_sim_pq trains/encodes the whole corpus;
+    z_sim_pipeline passes the SemDeDup-survivor subquery so the index is
+    genuinely built on deduplicated data."""
+    return f"""es AS (
   SELECT vec_id,
          CAST(unnest(range(len(embedding))) AS BIGINT) // {_PQ_DSUB} AS sub,
          CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xs
-  FROM embeddings
+  FROM {source}
 ),
 seeded AS (
   SELECT vec_id, sub, pos, xs,
@@ -1461,6 +1466,9 @@ sig AS (
   SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS code_sig
   FROM enc GROUP BY 1
 )"""
+
+
+_PQ_CTES = _pq_ctes()
 
 _PQ_ORACLE = f"""
 WITH {_PQ_CTES},
@@ -1617,8 +1625,8 @@ def z_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z_sim_power_iter — leading principal component by distributed power
 # iteration (operators/pca.py), fully oracled: exact-integer centered Gram
 # matrix (per-partition BLAS partials, dim^2 shuffle rows — never the
-# n*d^2 join explosion), two exact-integer power steps from an md5-seeded
-# vector with integer-max renormalization, then every vector's exact
+# n*d^2 join explosion), _POWER_ITERS exact-integer power steps from an
+# md5-seeded vector with integer-max renormalization, then every vector's exact
 # integer projection on the learned direction. The published projections
 # are the 1-D embedding summary curation uses for dominant-direction
 # analysis / curriculum ordering; the whole trajectory (mean, Gram, both
@@ -1717,21 +1725,24 @@ def z_sim_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is cell-cardinality rows.
 # ---------------------------------------------------------------------------
 
+# the PQ stage reads the SURVIVOR subquery — codebooks are trained and
+# codes built on deduplicated data, matching the stated rationale
+# (duplicates poison both the codebook budget and the probe distribution)
+_SIM_PIPE_SURV = (
+    "(SELECT e.* FROM embeddings e "
+    "LEFT JOIN drops d ON e.vec_id = d.vec_id WHERE d.vec_id IS NULL)"
+)
+
 _SIM_PIPE_ORACLE = f"""
 WITH {_SEMDEDUP_CTES},
-{_PQ_CTES},
-kept AS (
-  SELECT a.vec_id FROM asgn a LEFT JOIN drops d ON a.vec_id = d.vec_id
-  WHERE d.vec_id IS NULL
-),
+{_pq_ctes(_SIM_PIPE_SURV)},
 cells AS (SELECT vec_id, label FROM embeddings)
 SELECT c.label,
-       CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
-       CAST(COUNT(*) - COUNT(k.vec_id) AS BIGINT) AS n_dropped,
-       CAST(COUNT(DISTINCT CASE WHEN k.vec_id IS NOT NULL THEN s.code_sig END) AS BIGINT) AS n_code_sigs
+       CAST(COUNT(s.vec_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - COUNT(s.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(DISTINCT s.code_sig) AS BIGINT) AS n_code_sigs
 FROM cells c
-LEFT JOIN kept k ON c.vec_id = k.vec_id
-JOIN sig s ON c.vec_id = s.vec_id
+LEFT JOIN sig s ON c.vec_id = s.vec_id
 GROUP BY c.label
 """
 
@@ -1741,8 +1752,15 @@ def z_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pipeline end-to-end: SemDeDup -> survivor PQ codes ->
     per-IVF-cell index profile (kept/dropped counts, distinct code
     signatures). Beyond-reference LLM-pipeline composition."""
+    from d3d_etl_spark.operators.pq import pq_codebooks, pq_encode
+
     clustered, drops = _semdedup_parts(spark, sf_dir)
-    codes, _, emb = _pq_parts(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the index is built on the SURVIVORS: codebooks trained and codes
+    # encoded post-dedup (the drop set is pair-bounded -> broadcast anti)
+    surv = emb.join(F.broadcast(drops), "vec_id", "left_anti")
+    cb = pq_codebooks(surv, _DIM, _PQ_M, _PQ_KS).localCheckpoint()
+    codes = pq_encode(surv, cb, _DIM, _PQ_M)
     sig = codes.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -1752,16 +1770,14 @@ def z_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("code_sig")
     )
-    flagged = (
-        emb.select("vec_id", "label")
-        .join(F.broadcast(drops.withColumn("_d", F.lit(1))), "vec_id", "left")
-        .join(sig.hint("shuffle_hash"), "vec_id")
+    flagged = emb.select("vec_id", "label").join(
+        sig.hint("shuffle_hash"), "vec_id", "left"
     )
-    kept = F.col("_d").isNull()
+    kept = F.col("code_sig").isNotNull()
     return flagged.groupBy("label").agg(
         F.sum(kept.cast("int")).cast("long").alias("n_kept"),
         F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
-        F.count_distinct(F.when(kept, F.col("code_sig"))).cast("long").alias("n_code_sigs"),
+        F.count_distinct("code_sig").cast("long").alias("n_code_sigs"),
     )
 
 
@@ -1837,7 +1853,7 @@ pr{k + 1} AS (
   CROSS JOIN nn CROSS JOIN dang{k}
 )"""
         )
-    body = ",\n".join([f"WITH {head}", *steps]).replace("WITH " + head, head)
+    body = ",\n".join([head, *steps])
     return (
         f"WITH {body}\n"
         f"SELECT vec_id, pr AS pr_q FROM pr{iters}"

@@ -719,6 +719,29 @@ _SPAN_CTES = f"""sp AS (
 ),
 spc AS (SELECT sh, COUNT(*) AS c FROM sp GROUP BY 1)"""
 
+# ONE definition each of the doc-grain span fraction and the two gate
+# predicates — every oracle that gates on them (z_corpus_curation,
+# z_corpus_selection_agreement) composes these instead of re-inlining, so
+# a rule change cannot desynchronize the consumers.
+_SPANFRAC_CTE = """spanfrac AS (
+  SELECT sp.doc_id,
+         CAST(SUM(CASE WHEN spc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac
+  FROM sp JOIN spc ON sp.sh = spc.sh
+  GROUP BY 1
+)"""
+
+
+def sql_lm_pass(alias: str) -> str:
+    """The LM quality gate (docs at or under the review surprisal band),
+    over an _LM_CTES `scored` row aliased `alias`."""
+    return f"CAST({alias}.s_sum AS DOUBLE) / {alias}.n_bigrams / {_LM_Q} <= {_LM_REVIEW_T}"
+
+
+def sql_span_trim(alias: str) -> str:
+    """The duplicated-span trim rule over a `spanfrac` row aliased
+    `alias` (LEFT-joined: missing span stats never trim)."""
+    return f"COALESCE({alias}.frac >= {_SPAN_TRIM_T}, FALSE)"
+
 _SPAN_ORACLE = f"""
 WITH {_SPAN_CTES}
 SELECT sp.doc_id,

@@ -34,7 +34,7 @@ def test_gram_matrix_exact_vs_numpy(spark, sf_dir):
     for df in (emb, emb.repartition(13)):
         got = np.zeros_like(want)
         for r in gram_matrix_int(df, mu_q).collect():
-            got[r.p, r.q] = r.v
+            got[r.p, r.q] = int(r.v)
         assert (got == want).all()
 
 
@@ -56,7 +56,7 @@ def test_power_iteration_rayleigh_monotone(spark, sf_dir):
     gram = gram_matrix_int(emb, mu_q).localCheckpoint()
     C = np.zeros((_DIM, _DIM), dtype=np.float64)
     for r in gram.collect():
-        C[r.p, r.q] = r.v
+        C[r.p, r.q] = float(r.v)
 
     def rq(vec):
         v = np.array(vec, dtype=np.float64)

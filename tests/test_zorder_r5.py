@@ -89,9 +89,14 @@ def test_zorder_write_and_zone_map_pruning(spark, sf_dir, tmp_path):
     write_zordered(ev, path, F.unix_micros(F.col("ts")), F.col("user_id"))
 
     stats = z_io_zorder(spark, sf_dir)
-    lo, hi = 40, 45
+    # derive a non-vacuous mid-range user band from the data (sf0.001 has
+    # users 0-14, sf0.01 0-149 — a hardcoded band can silently select
+    # nothing and pass every equality trivially)
+    umax = int(ev.agg(F.max("user_id")).collect()[0][0])
+    lo, hi = max(1, int(0.3 * umax)), max(2, int(0.4 * umax))
     cands = candidate_buckets(stats, lo, hi, dim="user")
     total = stats.count()
+    assert cands, (lo, hi)
     assert len(cands) <= total / 4, (len(cands), total)
 
     back = spark.read.parquet(path)
@@ -99,8 +104,14 @@ def test_zorder_write_and_zone_map_pruning(spark, sf_dir, tmp_path):
         F.col("user_id").between(lo, hi)
     )
     full = back.where(F.col("user_id").between(lo, hi))
-    assert sorted(r.event_id for r in pruned.collect()) == sorted(
-        r.event_id for r in full.collect()
-    )
+    full_rows = sorted(r.event_id for r in full.collect())
+    assert full_rows, (lo, hi)  # the predicate actually selects data
+    assert sorted(r.event_id for r in pruned.collect()) == full_rows
+    # the predicate must be a PARTITION filter at the scan, not a
+    # post-scan Filter node — a post-filter would read every file and make
+    # the pin vacuous
+    import re
+
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "zbucket" in plan  # the partition filter reached the scan
+    m = re.search(r"PartitionFilters: \[[^\]]*zbucket[^\]]*\]", plan)
+    assert m, plan[:1500]
