@@ -277,3 +277,32 @@ def test_ann_hot_bucket_block_bound(spark):
     sizes = [r.c for r in df.groupBy("blk").agg(F.count("*").alias("c")).collect()]
     assert len(sizes) == n_sub
     assert max(sizes) <= 2 * max_bucket, sizes
+
+
+def test_semdedup_inseparable_mega_cluster(spark, tmp_path, monkeypatch):
+    """A mega-cluster of IDENTICAL vectors is content-INSEPARABLE: the
+    re-split guard must detect no progress and stop (documented behavior —
+    those rows genuinely are each other's near-dup candidates), and the
+    dedup itself must still be exactly right: identical vectors all pair
+    at sim 1.0 and the drop rule keeps only the minimum id."""
+    from d3d_etl_spark.queries import simsearch
+
+    base = [0.3] * 8
+    rows = [(i, list(base)) for i in range(300)]  # one inseparable blob
+    rows += [(1000 + i, [1.0 if d == 1 else 0.02 * i for d in range(8)]) for i in range(20)]
+    _write_embeddings(tmp_path, rows)
+    monkeypatch.setattr(simsearch, "_SEMDEDUP_MAX_CLUSTER", 100)
+    monkeypatch.setattr(simsearch, "_SEMDEDUP_TAU", 0.9999)
+
+    out = simsearch.z_sim_semdedup(spark, str(tmp_path)).toPandas()
+    assert len(out) == len(rows)
+    blob = out[out.vec_id < 1000]
+    # the inseparable blob dedups to exactly its min id
+    kept_blob = sorted(blob.loc[blob.kept == 1, "vec_id"])
+    assert kept_blob == [0], kept_blob
+    # and the guard terminated: the pair scope still holds the blob in ONE
+    # (oversized, inseparable) group rather than looping it away
+    clustered, _ = simsearch._semdedup_parts(spark, str(tmp_path))
+    scoped = simsearch._semdedup_pair_scope(clustered).toPandas()
+    blob_lbls = scoped.loc[scoped.vec_id < 1000, "_pair_lbl"].nunique()
+    assert blob_lbls == 1, blob_lbls
