@@ -63,3 +63,46 @@ def count_shuffles(df: DataFrame) -> int:
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     s = summarize_plan(df)
     return any(fragment in pf for pf in s.pushed_filters)
+
+
+_PASS_THROUGH_OPS = {"Sort", "WindowGroupLimit", "InputAdapter", "WholeStageCodegen"}
+
+
+def _op_name(line: str) -> str:
+    body = line.lstrip(" :+-")
+    body = re.sub(r"^\*?\(\d+\)\s*", "", body)  # codegen marker "*(3) "
+    return body.split(" ", 1)[0].split(",", 1)[0]
+
+
+def n_single_partition_windows(df: DataFrame) -> int:
+    """Count Window operators fed by an `Exchange SinglePartition` — the
+    move-every-row-to-one-task plan shape an unpartitioned window produces.
+    A SinglePartition exchange under a global aggregate is fine (one row
+    crosses it); under a Window it drags the whole input onto one task.
+    Walks the physical-plan tree string: for each SinglePartition exchange,
+    the nearest shallower ancestor (skipping Sort and codegen wrappers) is
+    the consumer."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*"))
+
+    hits = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = indent(ln)
+        for j in range(i - 1, -1, -1):
+            if not lines[j].strip():
+                continue
+            if indent(lines[j]) >= d:
+                continue
+            name = _op_name(lines[j])
+            if name in _PASS_THROUGH_OPS:
+                d = indent(lines[j])
+                continue
+            if name.startswith("Window"):
+                hits += 1
+            break
+    return hits

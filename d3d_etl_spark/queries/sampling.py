@@ -362,6 +362,13 @@ def z_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      funnel, skew-proof when one stratum dominates the corpus;
 #   3. score ties at the threshold are all kept (md5 ties at 2^-32 —
 #      deterministic superset semantics, same contract as DSIR).
+# Quotas are capped at the stratum size n_l (ADVICE r5): Hamilton can
+# only over-apportion when K > N (floor(K*n_l/N)+1 > n_l requires
+# K >= N), and in that regime every stratum should saturate — so the cap
+# alone is exact with no redistribution pass; the sample is exactly K
+# when K <= N and all min(K, N) rows otherwise. Without the cap an
+# oversized quota's threshold scan never reaches cle >= quota, the
+# threshold goes NULL, and the stratum silently selects ZERO rows.
 # Published: every doc with its stratum quota and selection flag, so the
 # apportionment itself sits inside the hash.
 # ---------------------------------------------------------------------------
@@ -391,7 +398,7 @@ rr AS (
 ),
 quota AS (
   SELECT lang, n_l,
-         CAST(b + CASE WHEN r <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+         CAST(LEAST(b + CASE WHEN r <= lo.leftover THEN 1 ELSE 0 END, n_l) AS BIGINT) AS quota
   FROM rr CROSS JOIN lo
 ),
 cnt AS (SELECT lang, s, COUNT(*) AS c FROM sc GROUP BY 1, 2),
@@ -447,9 +454,10 @@ def z_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_l",
-            (
+            F.least(
                 F.col("b")
-                + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+                + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0),
+                F.col("n_l"),
             )
             .cast("long")
             .alias("quota"),

@@ -859,7 +859,12 @@ def _bpe_ctes(rounds: int) -> str:
     boundary-aligned pattern can never match a symbol prefix/suffix
     ("ba","a" is safe from (a,a)). Each round: pair counts over the
     symbol strings, 1-row argmax (count desc, pair asc), merge applied by
-    replace — `rounds` copies of the block, threaded like the LR unroll."""
+    replace — `rounds` copies of the block, threaded like the LR unroll.
+    The unroll is TOTAL: when a round finds no remaining pair (degenerate
+    corpus, every word a single symbol), m{k} is empty — LEFT JOIN ON TRUE
+    + COALESCE to a never-matching pattern (triple tab; boundaries are
+    exactly double tabs) pass wc{k} through unchanged, matching
+    train_bpe's early-stop semantics."""
     ctes = [
         f"""wrd AS (SELECT unnest({sql_tokens('lower(text)')}) AS w FROM documents),
 wcw AS (SELECT w, COUNT(*) AS c FROM wrd GROUP BY 1),
@@ -887,9 +892,10 @@ m{k} AS (SELECT p1, p2, cnt FROM pc{k} ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT 1
 wc{k + 1} AS (
   SELECT wc.c,
          replace(wc.sym,
-                 chr(9) || m.p1 || chr(9) || chr(9) || m.p2 || chr(9),
-                 chr(9) || m.p1 || m.p2 || chr(9)) AS sym
-  FROM wc{k} wc CROSS JOIN m{k} m
+                 COALESCE(chr(9) || m.p1 || chr(9) || chr(9) || m.p2 || chr(9),
+                          repeat(chr(9), 3)),
+                 COALESCE(chr(9) || m.p1 || m.p2 || chr(9), '')) AS sym
+  FROM wc{k} wc LEFT JOIN m{k} m ON TRUE
 )"""
         )
     return ",\n".join(ctes)

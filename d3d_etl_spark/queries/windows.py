@@ -275,25 +275,37 @@ def keyed_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # rescale-to-target (W14)
+    # rescale-to-target (W14). The global scalars (total balance, group
+    # count) come from a 1-row agg broadcast back onto the rows — the A6
+    # shape (queries/aggregates.py global_ratio) — NOT an empty-partition
+    # Window, which would drag the whole table onto one task at 100×.
     supp = load_table(spark, sf_dir, "supplier")
     sbal_c = cents(F.col("s_acctbal"))
-    w_all = Window.partitionBy()
     grp_c = W.group_total(sbal_c, ["s_nationkey"])
-    global_c = F.sum(sbal_c).over(w_all)
-    n_groups = F.size(F.collect_set("s_nationkey").over(w_all))
-    rescale = supp.select(
-        F.lit("rescale").alias("part"),
-        F.col("s_suppkey").cast("long").alias("key"),
-        grp_null.alias("grp"),
-        ival_null.alias("ival"),
-        (
-            sbal_c.cast("double")
-            * (global_c.cast("double") / n_groups)
-            / grp_c.cast("double")
-            / 100.0
-        ).alias("val"),
-        sval_null.alias("sval"),
+    globals_1row = supp.agg(
+        F.sum(sbal_c).alias("global_c"),
+        F.countDistinct("s_nationkey").alias("n_groups"),
+    )
+    rescale = (
+        supp.select(
+            "s_suppkey",
+            sbal_c.alias("bal_c"),
+            grp_c.alias("grp_c"),
+        )
+        .crossJoin(F.broadcast(globals_1row))
+        .select(
+            F.lit("rescale").alias("part"),
+            F.col("s_suppkey").cast("long").alias("key"),
+            grp_null.alias("grp"),
+            ival_null.alias("ival"),
+            (
+                F.col("bal_c").cast("double")
+                * (F.col("global_c").cast("double") / F.col("n_groups"))
+                / F.col("grp_c").cast("double")
+                / 100.0
+            ).alias("val"),
+            sval_null.alias("sval"),
+        )
     )
     return first.unionByName(last).unionByName(zscore).unionByName(rescale)
 

@@ -154,21 +154,29 @@ def streaming_pq_scores(
     cb: dict[tuple[int, int], dict[int, int]] = {}
     for r in collected:
         cb.setdefault((r["sub"], r["code"]), {})[r["pos"]] = int(r["c_q"])
-    if len(collected) != m * ks * dsub or any(
+    # Hash-seeded pq_codebooks can legitimately leave (sub, code) clusters
+    # EMPTY on small/skewed corpora (no row for that code) — batch
+    # encode/ADC simply never assigns the missing code, so the twin must
+    # load such state too. Validate only what parity needs: every subspace
+    # has >=1 code, every PRESENT (sub, code) covers its dsub positions,
+    # and the ADC table keys exactly the present codes.
+    present: dict[int, list[int]] = {}
+    for (s, c) in sorted(cb):
+        present.setdefault(s, []).append(c)
+    if sorted(present) != list(range(m)) or any(
         sorted(v) != list(range(s * dsub, (s + 1) * dsub))
         for (s, _), v in cb.items()
     ):
         raise ValueError(
-            f"codebook must cover {m}x{ks} codes x {dsub} positions exactly; "
-            f"got {len(collected)} rows"
+            f"codebook must cover all {m} subspaces x {dsub} positions per "
+            f"present code; got {len(collected)} rows"
         )
     adc_collected = adc_rows.collect()
     adc = {(r["sub"], r["code"]): int(r["d"]) for r in adc_collected}
-    if len(adc_collected) != m * ks or sorted(adc) != [
-        (s, c) for s in range(m) for c in range(ks)
-    ]:
+    if sorted(adc) != sorted(cb):
         raise ValueError(
-            f"ADC table must cover {m}x{ks} codes exactly; got {len(adc_collected)} rows"
+            f"ADC table keys must match the codebook's present (sub, code) "
+            f"set; got {len(adc_collected)} rows vs {len(cb)} codebook codes"
         )
 
     xs = F.transform(
@@ -180,7 +188,11 @@ def streaming_pq_scores(
     for sub in range(m):
         sub_xs = F.slice(xs, sub * dsub + 1, dsub)
         cands = []
-        for code in range(ks):
+        # argmin over the PRESENT codes only — exactly the set the batch
+        # encode join can assign. The ADC value rides in the candidate
+        # struct (third field, never reached by the (dist, code) compare
+        # since codes are distinct) so missing codes need no placeholder.
+        for code in present[sub]:
             lit_arr = F.array(
                 *[
                     F.lit(cb[(sub, code)][p]).cast("long")
@@ -192,14 +204,16 @@ def streaming_pq_scores(
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
-            cands.append(F.struct(dist.alias("dist"), F.lit(code).alias("code")))
+            cands.append(
+                F.struct(
+                    dist.alias("dist"),
+                    F.lit(code).alias("code"),
+                    F.lit(adc[(sub, code)]).cast("long").alias("adc"),
+                )
+            )
         best = F.array_min(F.array(*cands))
-        code_col = best["code"]
-        code_cols.append(code_col)
-        adc_arr = F.array(
-            *[F.lit(adc[(sub, c)]).cast("long") for c in range(ks)]
-        )
-        adist = adist + F.element_at(adc_arr, code_col + 1)
+        code_cols.append(best["code"])
+        adist = adist + best["adc"]
     sig = F.concat_ws("-", *[c.cast("string") for c in code_cols])
     return vec_stream.select(
         "vec_id", sig.alias("code_sig"), adist.alias("adist")

@@ -118,3 +118,36 @@ def test_stratified_exact_never_funnels_driver(spark, sf_dir):
     )
     for bad in ("TakeOrdered", "CollectLimit", "GlobalLimit"):
         assert bad not in plan, bad
+
+
+def test_stratified_exact_k_exceeds_corpus(spark, tmp_path):
+    """ADVICE r5: when K (100) exceeds the corpus size, every stratum's
+    Hamilton quota is capped at n_l and ALL rows are selected — without
+    the cap an oversized quota's threshold never triggers and the stratum
+    silently selects zero rows. Engine and oracle agree on the capped
+    semantics."""
+    import os
+
+    import duckdb
+
+    from d3d_etl_spark.oracle import compare_frames
+    from d3d_etl_spark.queries.registry import REGISTRY
+    from d3d_etl_spark.queries.sampling import _STRATX_K, z_sample_stratified_exact
+
+    rows = [(i, f"doc {i}", "en" if i % 3 else "fr", "web", 5) for i in range(7)]
+    tiny = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert tiny.count() < _STRATX_K
+    tiny.coalesce(1).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    out = z_sample_stratified_exact(spark, str(tmp_path)).toPandas()
+    assert len(out) == 7 and int(out.sel.sum()) == 7, "cap must select the whole corpus"
+    assert dict(out.groupby("lang").quota.first()) == {"en": 4, "fr": 3}
+
+    con = duckdb.connect()
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    oracle_pdf = con.execute(REGISTRY["z_sample_stratified_exact"].oracle).fetchdf()
+    con.close()
+    assert not compare_frames(out, oracle_pdf)

@@ -367,3 +367,38 @@ def test_round5_queries_no_shuffling_sortmerge(spark, sf_dir):
         assert s.n_sortmerge_joins == 0 or s.n_exchanges == 0, (
             f"{name} grew a shuffling SortMergeJoin"
         )
+
+
+def test_no_single_partition_window(spark, sf_dir):
+    """Round-6 pin (VERDICT r5 #1): `keyed_window_family`'s rescale arm must
+    compute its global scalars as a 1-row agg + broadcast crossJoin, never an
+    empty-partition Window that drags the whole table onto one task. The
+    detector is self-checked against a deliberately bad plan first."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.plans.inspect import n_single_partition_windows
+
+    bad = spark.range(100).withColumn("t", F.sum("id").over(Window.partitionBy()))
+    assert n_single_partition_windows(bad) >= 1, "detector missed a global window"
+
+    df = REGISTRY["keyed_window_family"].fn(spark, sf_dir)
+    assert n_single_partition_windows(df) == 0, (
+        "keyed_window_family regained a single-partition Window"
+    )
+
+
+def test_no_empty_partitionby_in_package():
+    """Package-wide source pin: `Window.partitionBy()` with no columns is
+    banned — the A6 1-row-agg + broadcast shape replaces it. Global
+    `Window.orderBy` sites (bucket-/strata-grain, audited in VERDICT r5)
+    are out of this pin's scope."""
+    import pathlib
+    import re as _re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "d3d_etl_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if _re.search(r"\.partitionBy\(\s*\)", line):
+                offenders.append(f"{py}:{i}: {line.strip()}")
+    assert not offenders, "empty Window.partitionBy() found:\n" + "\n".join(offenders)

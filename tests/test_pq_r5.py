@@ -198,3 +198,66 @@ def test_pq_incremental_state_discipline(spark, sf_dir):
     assert glob.glob(_PQ_CODES_GLOB), _PQ_CODES_GLOB
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("embeddings.parquet") <= 2  # new-batch scan only
+
+
+def test_streaming_pq_twin_loads_sparse_codebook(spark, tmp_path):
+    """Hash-seeded pq_codebooks can leave (sub, code) clusters EMPTY on
+    small/skewed corpora; the batch encode join simply never assigns the
+    missing code. The streaming twin must load such state (ADVICE r5) and
+    still hit exact integer parity with batch encode + ADC."""
+    import os
+
+    from d3d_etl_spark.operators.pq import (
+        pq_adc_scores,
+        pq_adc_table,
+        pq_codebooks,
+        pq_encode,
+        pq_subspace_comps,
+    )
+    from d3d_etl_spark.streaming.vectors import streaming_pq_scores
+
+    dim, m, ks = 4, 2, 4
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 2), 1.0 / (i + 1), float(-i)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(emb, dim, m, ks).localCheckpoint()
+    n_codes = cb.select("sub", "code").distinct().count()
+    assert n_codes < m * ks, "fixture must actually exercise a sparse codebook"
+
+    query = spark.createDataFrame([(99, [0.5, 0.5, 0.5, 0.5])],
+                                  "vec_id long, embedding array<double>")
+    qc = pq_subspace_comps(query, dim, m).select("sub", "pos", F.col("xs").alias("qs"))
+    adc = pq_adc_table(cb, qc).localCheckpoint()
+
+    codes = pq_encode(emb, cb, dim, m)
+    sig = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(
+            "vec_id",
+            F.concat_ws("-", F.transform("sc", lambda s: s["code"].cast("string"))).alias("code_sig"),
+        )
+    )
+    want = {
+        (r.vec_id): (r.code_sig, r.adist)
+        for r in sig.join(pq_adc_scores(codes, adc), "vec_id").collect()
+    }
+
+    staged = os.path.join(str(tmp_path), "emb_sparse")
+    emb.write.parquet(staged)
+    stream_src = spark.readStream.schema(emb.schema).parquet(staged)
+    out = streaming_pq_scores(stream_src, cb, adc, m, ks, dim // m)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pq_twin_sparse")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.code_sig, r.adist)
+        for r in spark.sql("select * from pq_twin_sparse").collect()
+    }
+    assert got == want
