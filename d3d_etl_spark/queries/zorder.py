@@ -25,9 +25,12 @@ do the pruning for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from d3d_etl_spark.functions.money import cents
 from d3d_etl_spark.io import load_table
 from d3d_etl_spark.queries.registry import register
 
@@ -167,6 +170,99 @@ def z_io_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").cast("long").alias("min_user"),
         F.max("user_id").cast("long").alias("max_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z_io_zorder_read — the READ half of the z-order lever as a benched query
+# (round-5 VERDICT item #4): answer a user-range predicate THROUGH the
+# zone map against the written layout, with the pruning contract enforced
+# inside the query body (like z_bucketed_spine's zero-exchange raise).
+#
+# Layout + per-bucket stats are S19-memoized per scale (the write shuffle
+# is paid once, exactly as OPTIMIZE ZORDER would be); each run reads the
+# <= 2^_Z_BUCKET_BITS-row stats table, computes the candidate buckets for
+# a data-derived mid-range user band (lo = 3*umax div 10, hi = 4*umax
+# div 10 — deterministic in both engines), and reads ONLY those partition
+# directories. The oracle answers the same band from the ORIGINAL events
+# table, so the driver hash proves pruned-read == semantic answer.
+# ---------------------------------------------------------------------------
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """(layout_path, stats_df): the z-ordered events layout and its
+    per-bucket zone-map stats, built once per scale under .domain_cache.
+    The stats parquet is written in the same materialized family as the
+    layout so they can never desync."""
+    from d3d_etl_spark.queries.domain import _CACHE_DIR, _ensure_materialized, sf_tag
+
+    tag = sf_tag(sf_dir)
+    path = os.path.join(_CACHE_DIR, f"zordered_events_{tag}")
+    marker = path + ".done"
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        write_zordered(
+            ev.withColumn("us", F.unix_micros(F.col("ts"))).drop("ts"),
+            os.path.join(tmp, "data"),
+            F.col("us"),
+            F.col("user_id"),
+        )
+        z_io_zorder(spark, sf_dir).coalesce(1).write.parquet(os.path.join(tmp, "stats"))
+
+    _ensure_materialized(
+        path, marker, os.path.join(_CACHE_DIR, "zordered_events_*"), build
+    )
+    return os.path.join(path, "data"), spark.read.parquet(os.path.join(path, "stats"))
+
+
+_ZREAD_ORACLE = """
+WITH band AS (
+  SELECT (3 * MAX(user_id)) // 10 AS lo, (4 * MAX(user_id)) // 10 AS hi
+  FROM events
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events e CROSS JOIN band
+WHERE e.user_id BETWEEN band.lo AND band.hi
+GROUP BY 1
+"""
+
+
+@register("z_io_zorder_read", _ZREAD_ORACLE, tags=("io", "layout"), bench=True)
+def z_io_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type aggregate over a mid-range user band, answered by
+    reading ONLY the z-order buckets whose zone-map envelope intersects
+    the band. The pruning contract is enforced in-path with raises (not
+    asserts): the candidate set must skip >= 1/4 of the buckets and the
+    band predicate must appear in the scan's PartitionFilters — a layout
+    or planner regression fails correctness, not just a pytest pin."""
+    layout, stats = _zorder_layout(spark, sf_dir)
+    srows = stats.select("bucket", "min_user", "max_user").collect()  # <= 64 rows
+    umax = max(int(r["max_user"]) for r in srows)
+    lo, hi = (3 * umax) // 10, (4 * umax) // 10
+    cands = [int(r["bucket"]) for r in srows if r["max_user"] >= lo and r["min_user"] <= hi]
+    skipped = len(srows) - len(cands)
+    if not cands or skipped < len(srows) // 4:
+        raise RuntimeError(
+            f"z-order zone map failed to prune: {len(cands)} candidates of "
+            f"{len(srows)} buckets for user band [{lo}, {hi}]"
+        )
+    out = (
+        spark.read.parquet(layout)
+        .where(F.col("zbucket").isin(cands))
+        .where(F.col("user_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in plan or "zbucket" not in plan.split("PartitionFilters", 1)[1][:400]:
+        raise RuntimeError("zbucket predicate is not a PartitionFilter at the scan")
+    return out
 
 
 def streaming_zorder_bucket(

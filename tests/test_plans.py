@@ -362,6 +362,7 @@ def test_round5_queries_no_shuffling_sortmerge(spark, sf_dir):
         "z_sim_pq_incremental",
         "z_corpus_dsir_threshold",
         "z_sim_contrastive_ann",
+        "z_io_zorder_read",
     ):
         s = summarize_plan(REGISTRY[name].fn(spark, sf_dir))
         assert s.n_sortmerge_joins == 0 or s.n_exchanges == 0, (

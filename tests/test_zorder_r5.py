@@ -172,3 +172,36 @@ def test_streaming_zorder_twin_parity(spark, sf_dir, tmp_path):
     vals = {r.event_id: r.zbucket for r in lt.collect()}
     assert vals[1] == 0
     assert vals[2] == (1 << 6) - 1  # all-ones prefix = top corner cell
+
+
+def test_zorder_read_query_prunes_in_path(spark, sf_dir):
+    """z_io_zorder_read enforces its own pruning contract with raises —
+    running it green IS the pin (candidates skip >= 1/4 of buckets,
+    zbucket is a PartitionFilter at the scan). Also: the result equals the
+    same band aggregated from the raw events table, and the memoized
+    layout makes the second run plan-identical."""
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.zorder import z_io_zorder_read
+    from d3d_etl_spark.functions.money import cents
+
+    out = z_io_zorder_read(spark, sf_dir).toPandas().set_index("event_type")
+    assert len(out), "band selected nothing"
+
+    ev = load_table(spark, sf_dir, "events")
+    umax = int(ev.agg(F.max("user_id")).collect()[0][0])
+    lo, hi = (3 * umax) // 10, (4 * umax) // 10
+    want = (
+        ev.where(F.col("user_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert out.sort_index().equals(want.sort_index())
+
+    again = z_io_zorder_read(spark, sf_dir).toPandas().set_index("event_type")
+    assert again.sort_index().equals(out.sort_index())
