@@ -56,19 +56,13 @@ def pq_subspace_comps(
     )
 
 
-def pq_codebooks(
-    emb: DataFrame,
-    dim: int,
-    m: int,
-    ks: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def pq_codebooks_from_comps(
+    comps: DataFrame, ks: int, id_col: str = "vec_id"
 ) -> DataFrame:
-    """(sub, code, pos, c_q): per-subspace codebooks from one hash-seeded
-    Lloyd assignment — the deterministic k-means-step contract of
-    label_centroids applied per subspace, centroids quantized back to
-    fixed-point integers so downstream distances stay exact."""
-    comps = pq_subspace_comps(emb, dim, m, id_col, vec_col)
+    """(sub, code, pos, c_q) from an (id, sub, pos, xs) component table —
+    one hash-seeded Lloyd assignment + integer-quantized means. Taking
+    comps (not vectors) lets the residual IVF-PQ path train codebooks on
+    (vector - coarse centroid) residuals with the same machinery."""
     from d3d_etl_spark.functions.strings import md5_int
 
     seeded = comps.withColumn(
@@ -85,20 +79,32 @@ def pq_codebooks(
     )
 
 
-def pq_encode(
+def pq_codebooks(
     emb: DataFrame,
-    codebooks: DataFrame,
     dim: int,
     m: int,
+    ks: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, sub, code, dist): each vector's nearest sub-centroid per
-    subspace by exact integer squared-L2, tie-break code asc. The codebook
-    is broadcast; per-vector work is ks candidate sums per subspace."""
+    """(sub, code, pos, c_q): per-subspace codebooks from one hash-seeded
+    Lloyd assignment — the deterministic k-means-step contract of
+    label_centroids applied per subspace, centroids quantized back to
+    fixed-point integers so downstream distances stay exact."""
+    return pq_codebooks_from_comps(
+        pq_subspace_comps(emb, dim, m, id_col, vec_col), ks, id_col
+    )
+
+
+def pq_encode_comps(
+    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, sub, code, dist) from an (id, sub, pos, xs) component table:
+    nearest sub-centroid per subspace by exact integer squared-L2,
+    tie-break code asc. The codebook is broadcast; per-vector work is ks
+    candidate sums per subspace."""
     from pyspark.sql import Window
 
-    comps = pq_subspace_comps(emb, dim, m, id_col, vec_col)
     d = (
         comps.join(F.broadcast(codebooks), ["sub", "pos"])
         .groupBy(id_col, "sub", "code")
@@ -113,6 +119,40 @@ def pq_encode(
         d.withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select(id_col, "sub", "code", "dist")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_encode_comps over vectors — see there."""
+    return pq_encode_comps(
+        pq_subspace_comps(emb, dim, m, id_col, vec_col), codebooks, id_col
+    )
+
+
+def pq_refine_step(
+    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """One Lloyd iteration of the PQ codebooks: re-assign every vector to
+    its nearest sub-centroid (pq_encode_comps), then re-mean each
+    (sub, code) cluster's components with the same integer-quantized
+    division the seeding used. Deterministic end-to-end (exact integer
+    distances, (dist, code) tie-break, round-half-away on an exact
+    integer-sum / count). Codes whose cluster empties simply drop out —
+    the encode path argmins over present codes only. One shuffle per
+    iteration (the (id, sub, code) re-assignment agg); the re-mean output
+    stays M*ks*dsub-row dimension-sized."""
+    assigned = pq_encode_comps(comps, codebooks, id_col).select(id_col, "sub", "code")
+    return (
+        comps.join(assigned, [id_col, "sub"])
+        .groupBy("sub", "code", "pos")
+        .agg(F.round(F.sum("xs") / F.count("*")).cast("long").alias("c_q"))
     )
 
 
