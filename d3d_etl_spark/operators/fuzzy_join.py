@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# candidate-side sub-block cap for the non-broadcast fallback: the largest
+# candidate set one scoring task may hold (same role as LSH_MAX_BUCKET in
+# operators/dedup.py — bounds the worst O(|block|^2) task losslessly)
+FUZZY_MAX_BLOCK = 4096
+
 
 def levenshtein_sim(a: Column, b: Column) -> Column:
     """1 - lev/max(len): 1.0 identical, 0.0 disjoint. Exact-integer inputs
@@ -87,10 +92,20 @@ def blocked_fuzzy_join(
     # (few-valued, skew-prone) block key, which also defeats the probe-side
     # repartition below. Measured: removes one full exchange + the SMJ sort.
     cands = F.broadcast(candidates) if broadcast_candidates else candidates
+    if broadcast_candidates:
+        exact_pairs = probes.join(cands, block_keys).where(
+            F.col(probe_name) == F.col(cand_name)
+        )
+    else:
+        # scaled-sides fallback: fold the name equality INTO the join key —
+        # the hash join then never materializes the per-block cross
+        # product, so a mega-block costs O(|block|) here, not O(|block|^2)
+        exact_pairs = probes.withColumn("_name_jk", F.col(probe_name)).join(
+            candidates.withColumn("_name_jk", F.col(cand_name)),
+            [*block_keys, "_name_jk"],
+        )
     exact = (
-        probes.join(cands, block_keys)
-        .where(F.col(probe_name) == F.col(cand_name))
-        .withColumn("rn", F.row_number().over(w_exact))
+        exact_pairs.withColumn("rn", F.row_number().over(w_exact))
         .where("rn = 1")
         .select(
             F.col(probe_id),
@@ -119,7 +134,12 @@ def blocked_fuzzy_join(
     exact_ids = exact.select(probe_id)
     if broadcast_candidates:
         exact_ids = F.broadcast(exact_ids)
-    unmatched = probes.join(exact_ids, probe_id, "left_anti").repartition(n_parts)
+    unmatched = probes.join(exact_ids, probe_id, "left_anti")
+    if broadcast_candidates:
+        # only useful under a broadcast scoring join (probe partitioning is
+        # the task grain there); the fallback's salted join re-shuffles on
+        # (block, salt) anyway — an extra exchange would be pure waste
+        unmatched = unmatched.repartition(n_parts)
     sim = levenshtein_sim(F.col(probe_name), F.col(cand_name))
     # lossless length prune: lev >= |len_a - len_b|, so sim >= cutoff implies
     # |len_a - len_b| <= (1-cutoff) * max(len) — drop the rest before scoring
@@ -128,9 +148,45 @@ def blocked_fuzzy_join(
         <= (1.0 - cutoff) * F.greatest(F.length(F.col(probe_name)), F.length(F.col(cand_name)))
     )
     w_fuzzy = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(cand_id))
+    if broadcast_candidates:
+        fuzzy_pairs = unmatched.join(cands, block_keys)
+    else:
+        # LOSSLESS hot-block bound for the scaled-sides fallback — the
+        # lsh_candidates sub-block pattern applied to the scoring join:
+        # candidates in a block larger than FUZZY_MAX_BLOCK split into
+        # ceil(n/FUZZY_MAX_BLOCK) id-hash sub-blocks, probes replicate to
+        # every sub-block, the join adds the sub-block id to its key. Each
+        # (probe, candidate) pair still meets exactly once (the candidate's
+        # sub-block), so the pair set — and the top-1 window after it — is
+        # provably unchanged (pinned split==unsplit in tests/test_skew.py);
+        # the worst scoring task shrinks from |P_b|*|C_b| to
+        # |P_b|*FUZZY_MAX_BLOCK. Probe-side skew needs no replication, so
+        # AQE's skew-split handles it independently (tests/test_plans.py
+        # AQE pin). Clean corpora (every block under the cap) get _nsub=1:
+        # the single-key join plan is unchanged.
+        from d3d_etl_spark.functions.strings import md5_int
+
+        wb = Window.partitionBy(*block_keys)
+        cands_s = (
+            candidates.withColumn("_bn", F.count("*").over(wb))
+            .withColumn(
+                "_nsub", F.ceil(F.col("_bn") / FUZZY_MAX_BLOCK).cast("int")
+            )
+            .withColumn(
+                "_salt",
+                F.pmod(md5_int(F.col(cand_id).cast("string")), F.col("_nsub")).cast("int"),
+            )
+            .drop("_bn")
+        )
+        nsub_map = cands_s.select(*block_keys, "_nsub").distinct()
+        probes_s = (
+            unmatched.join(nsub_map, block_keys)
+            .withColumn("_salt", F.explode(F.expr("sequence(0, _nsub - 1)")))
+            .drop("_nsub")
+        )
+        fuzzy_pairs = probes_s.join(cands_s.drop("_nsub"), [*block_keys, "_salt"])
     fuzzy = (
-        unmatched.join(cands, block_keys)
-        .where(len_ok)
+        fuzzy_pairs.where(len_ok)
         .select(F.col(probe_id), F.col(cand_id), sim.alias("score"))
         .where(F.col("score") >= cutoff)
         .withColumn("rn", F.row_number().over(w_fuzzy))
