@@ -2,10 +2,11 @@
 
 - sessionize_events: the window-expressible stateful shape (segment keys
   from boundary flags — reference columns.py:144-159) — full SQL oracle.
-- fsm_funnel: a genuine per-group FSM via applyInPandas — not
-  SQL-expressible, so it carries no oracle (driver records the weaker
-  rows-only check); tests/test_operators.py verifies it against a pure
-  python reference implementation instead.
+- fsm_funnel: a genuine per-group FSM via applyInPandas. Since round 6 it
+  IS oracled — the 3-state machine's run has a closed relational form
+  (view-segments; completion = click-before-purchase within the segment),
+  so the oracle is pure window SQL — on top of the pure-python reference
+  pin in tests/test_operators.py.
 - multimodal_extract: binary-column decode plumbing via mapInPandas with a
   deterministic fake decoder — byte math only, so it IS oracle-checkable.
 """
@@ -56,13 +57,84 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(with_sessions, "user_id", "ts")
 
 
-@register("z_fsm_funnel", None, tags=("stateful", "fsm"))
+# The funnel FSM's run has a CLOSED RELATIONAL FORM, so the oracle is
+# pure window SQL (round-6 VERDICT item #7 — converts this registration
+# from rows-only to fully oracled). Derivation: every view starts a
+# segment; within a segment the state can only walk 1 -> 2 -> (complete,
+# 0) and nothing after the completion matters until the next view, so
+#   - a segment COMPLETES a funnel iff it contains a purchase with a
+#     click before it inside the segment (existence == "the first such
+#     purchase fired; later ones are no-ops");
+#   - a view ABANDONS iff the segment it terminates did not complete, so
+#     n_abandoned = non-last segments without a completion;
+#   - final_state = 0 with no segments or a completed last segment, else
+#     2 if the last segment has a click, else 1.
+# (A DuckDB 1.0.0 list_reduce fold was tried first and REJECTED: it
+# returned different accumulators for the SAME per-user list under
+# full-table vs WHERE-filtered evaluation — a vectorization bug,
+# unusable as an oracle.) Windows are user- or (user, segment)-grain;
+# epoch_us not raw ts so sub-microsecond orderings tie exactly as they
+# do after Spark's nanos -> micros load, event_id breaking ties
+# identically in both engines.
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS x
+  FROM events
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN x = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM e
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN x = 2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, seg ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clicks_before
+  FROM s
+),
+segstat AS (
+  SELECT user_id, seg,
+         MAX(CASE WHEN x = 3 AND clicks_before > 0 THEN 1 ELSE 0 END) AS completed,
+         MAX(CASE WHEN x = 2 THEN 1 ELSE 0 END) AS has_click
+  FROM c WHERE seg >= 1
+  GROUP BY 1, 2
+),
+lastseg AS (
+  SELECT *, MAX(seg) OVER (PARTITION BY user_id) AS last_seg FROM segstat
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(completed) AS BIGINT) AS n_funnels,
+         CAST(SUM(CASE WHEN completed = 0 AND seg < last_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+         CAST(MAX(CASE WHEN seg = last_seg THEN
+                  CASE WHEN completed = 1 THEN 0
+                       WHEN has_click = 1 THEN 2 ELSE 1 END END) AS BIGINT) AS final_state
+  FROM lastseg
+  GROUP BY 1
+)
+SELECT u.user_id,
+       COALESCE(p.n_funnels, 0) AS n_funnels,
+       COALESCE(p.n_abandoned, 0) AS n_abandoned,
+       COALESCE(p.final_state, 0) AS final_state
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN per_user p ON u.user_id = p.user_id
+"""
+
+
+@register("z_fsm_funnel", _FUNNEL_ORACLE, tags=("stateful", "fsm"))
 def z_fsm_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user conversion-funnel FSM (view->click->purchase with resets).
 
     applyInPandas grouped map — the same execution shape that carries the
-    reference's base-state tracker (columns.py:332-529); no SQL oracle by
-    design (genuinely sequential state).
+    reference's base-state tracker (columns.py:332-529). Oracled since
+    round 6 via the closed relational form of the 3-state machine (see
+    _FUNNEL_ORACLE's derivation above) — the engine side deliberately
+    stays an FSM so the applyInPandas execution shape remains covered.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     return run_grouped_fsm(ev, ["user_id"], ["ts", "event_id"], funnel_fsm, FUNNEL_SCHEMA)

@@ -47,13 +47,14 @@ def test_supplementary_tier_is_z_prefixed():
 
 def test_rows_only_queries_are_supplementary():
     """Rows-only (oracle-less) queries live in the z_ tier and each has a
-    documented reason: the three FSM-containing pipelines (value evidence =
-    the oracled domain_* family over the materialized parse). The two
-    driver-loop trainers graduated to fully-oracled in round 5 — their
-    whole trajectories unroll as chained DuckDB CTEs (textops.py
-    _lr_train_oracle / _bpe_train_oracle) on top of the existing
-    python/numpy-reference pins."""
+    documented reason: the two narration-FSM pipelines (value evidence =
+    the oracled domain_* family over the materialized parse; the base-state
+    FSM's regex parsing is not SQL-replicable without copying the FSM into
+    the oracle, which would prove nothing). The driver-loop trainers
+    graduated to fully-oracled in round 5 (chained-CTE trajectory unrolls)
+    and z_fsm_funnel in round 6 (closed relational form — its 3-state
+    machine reduces to view-segment windows)."""
     rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
     assert rows_only == [
-        "z_fsm_funnel", "z_pbp_dag", "z_pbp_war",
+        "z_pbp_dag", "z_pbp_war",
     ]
