@@ -1353,3 +1353,261 @@ def z_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_slots"),
         F.sum("c").cast("long").alias("total_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_repetition — the Gopher-rules REPETITION family (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1) as one distributed
+# pipeline: per document, the fraction of characters covered by the single
+# most frequent word n-gram (n = 2, 3, 4) and the fraction of characters in
+# duplicated word n-grams beyond their first occurrence (n = 2, 3), plus the
+# combined keep/drop verdict. Gopher's published dup-gram widths (5..10) are
+# degenerate on this short-doc corpus (all-zero at every test SF — measured),
+# so the dup widths are parameterized and set to the non-degenerate 2/3; the
+# operator shape is width-agnostic.
+#
+# Determinism: all fractions are exact-integer — numerator = occurrences ×
+# shingle char length, denominator = the space-joined token length, quantized
+# by integer division at 1e-6 (`a * Q div den`), so engine and oracle agree
+# bit-for-bit with no float in the pipeline. Top-gram ties break by the
+# lexicographically greatest gram via struct-max ((cnt, gram) — identical
+# struct comparison semantics in Spark and DuckDB).
+#
+# Scale shape: tokenize+shingle is one narrow pass emitting (n, gram) structs
+# from a single concat'd array (one explode, not one per n); the only
+# shuffles are doc-grain hash aggs (doc_id[, n, gram] keys — near-unique, no
+# skew) and a co-partitioned doc_id join back to the denominator. The
+# zero-shuffle per-doc HOF alternative (mode via array_distinct + filter) is
+# deliberately NOT used: it is quadratic in doc length, unbounded for a
+# mega-document, while the groupBy spreads a giant doc's grams across the
+# cluster.
+# ---------------------------------------------------------------------------
+
+_REP_Q = 1_000_000
+_REP_T2, _REP_T3, _REP_T4 = 120_000, 100_000, 120_000  # top-{2,3,4}-gram caps
+_REP_D2, _REP_D3 = 90_000, 50_000  # duplicate-{2,3}-gram caps
+
+_REP_PASS_SQL = (
+    f"top2_q <= {_REP_T2} AND top3_q <= {_REP_T3} AND top4_q <= {_REP_T4} "
+    f"AND dup2_q <= {_REP_D2} AND dup3_q <= {_REP_D3}"
+)
+
+_REP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens('lower(text)')} AS toks FROM documents
+),
+b2 AS (
+  SELECT doc_id, toks, length(array_to_string(toks, ' ')) AS den
+  FROM base WHERE len(toks) >= 2
+),
+grams AS (
+  SELECT doc_id, n.n,
+         unnest(CASE n.n WHEN 2 THEN {sql_word_shingles('toks', 2)}
+                         WHEN 3 THEN {sql_word_shingles('toks', 3)}
+                         ELSE {sql_word_shingles('toks', 4)} END) AS gram
+  FROM b2 CROSS JOIN (VALUES (2), (3), (4)) n(n)
+),
+counts AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT doc_id, n, max({{'cnt': cnt, 'gram': gram}}) AS m,
+         SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) ELSE 0 END) AS dup_num
+  FROM counts GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN m.cnt * length(m.gram) END) AS t2,
+         MAX(CASE WHEN n = 3 THEN m.cnt * length(m.gram) END) AS t3,
+         MAX(CASE WHEN n = 4 THEN m.cnt * length(m.gram) END) AS t4,
+         MAX(CASE WHEN n = 2 THEN dup_num END) AS d2,
+         MAX(CASE WHEN n = 3 THEN dup_num END) AS d3
+  FROM per_n GROUP BY 1
+),
+q AS (
+  SELECT b2.doc_id,
+         CAST(COALESCE(t2, 0) * {_REP_Q} // den AS BIGINT) AS top2_q,
+         CAST(COALESCE(t3, 0) * {_REP_Q} // den AS BIGINT) AS top3_q,
+         CAST(COALESCE(t4, 0) * {_REP_Q} // den AS BIGINT) AS top4_q,
+         CAST(COALESCE(d2, 0) * {_REP_Q} // den AS BIGINT) AS dup2_q,
+         CAST(COALESCE(d3, 0) * {_REP_Q} // den AS BIGINT) AS dup3_q
+  FROM b2 LEFT JOIN piv USING (doc_id)
+)
+SELECT doc_id, top2_q, top3_q, top4_q, dup2_q, dup3_q,
+       ({_REP_PASS_SQL}) AS rep_pass
+FROM q
+"""
+
+
+@register("z_corpus_repetition", _REP_ORACLE, tags=("textops", "quality"), bench=True)
+def z_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-{2,3,4}-gram char
+    fraction, duplicate-{2,3}-gram char fraction (both exact-integer,
+    quantized at 1e-6), and the combined keep verdict. Beyond-reference
+    LLM-pipeline operator (corpus quality filtering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .withColumn("den", F.length(F.array_join("toks", " ")))
+    )
+    # NB: the tagging lambda must take exactly ONE parameter — F.transform
+    # binds a second parameter to the array INDEX, which would shadow a
+    # `n=n` default capture
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    combined = F.concat(
+        *[F.transform(word_shingles(F.col("toks"), n), _tag(n)) for n in (2, 3, 4)]
+    )
+    grams = base.select("doc_id", F.explode(combined).alias("x")).select(
+        "doc_id", F.col("x.n").alias("n"), F.col("x.gram").alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    # top-gram and dup-gram signals in ONE (doc_id, n) pass: struct-max for
+    # the deterministic (cnt, gram) argmax, conditional sum for duplicates
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("m"),
+        F.sum(
+            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")).otherwise(0)
+        ).alias("dup_num"),
+    )
+    top_num = F.col("m.cnt") * F.length("m.gram")
+    piv = per_n.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("n") == n, top_num)).alias(f"t{n}") for n in (2, 3, 4)],
+        *[F.max(F.when(F.col("n") == n, F.col("dup_num"))).alias(f"d{n}") for n in (2, 3)],
+    )
+    q = base.select("doc_id", "den").join(piv, "doc_id", "left")
+    for src, dst in (("t2", "top2_q"), ("t3", "top3_q"), ("t4", "top4_q"),
+                     ("d2", "dup2_q"), ("d3", "dup3_q")):
+        q = q.withColumn(dst, F.expr(f"coalesce({src}, 0) * {_REP_Q} div den"))
+    return q.select(
+        "doc_id", "top2_q", "top3_q", "top4_q", "dup2_q", "dup3_q",
+        F.expr(_REP_PASS_SQL).alias("rep_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_text_bm25 — BM25 top-k retrieval (Robertson & Zaragoza 2009) over the
+# corpus for a fixed literal query, exact-integer end to end:
+#
+#   idf_q(t)  = round(Q * ln((2N + 2) / (2 df_t + 1)))        [bigint; the
+#               (N - df + 0.5)/(df + 0.5) + 1 form cleared of halves — the
+#               LN-then-quantize step is the repo's z_corpus_lm_score
+#               determinism pattern]
+#   With k1 = 6/5 and b = 3/4, the tf-normalizer cleared of all fractions
+#   by multiplying through by 20T (T = total corpus tokens, N = doc count):
+#     tfnorm = 44 T tf / (20 T tf + 6 T + 18 dl N)            [exact ints]
+#   score_q(d) = sum_t  (idf_q * 44 T tf) div (20 T tf + 6 T + 18 dl N)
+#
+# so per-term scores are bigint integer divisions and the per-doc sum is an
+# order-free integer aggregation — engine/oracle bit-parity with zero float
+# outside the single quantized LN. Overflow headroom: idf_q*44*T*tf needs
+# T * tf * idf_q < 2^63/44 — holds through ~10^12 corpus tokens at this
+# vocabulary; beyond that, promote the product to decimal(38,0) (the
+# operators/pca.py Gram pattern).
+#
+# Scale shape: the term filter is a scan-local isin predicate (no join to a
+# term table); df/idf is a terms-sized aggregate broadcast back; dl joins
+# co-partitioned on doc_id; top-k is a distributed TakeOrdered (K rows to
+# the driver) and the rank window runs post-limit over K rows only.
+# ---------------------------------------------------------------------------
+
+_BM_Q = 10_000
+_BM_TERMS = ("hash", "join", "dup", "vector", "scan")
+_BM_K = 10
+_BM_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM_TERMS)
+
+_BM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('lower(text)')} AS w FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks WHERE len(w) > 0),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) x
+  WHERE tok IN ({_BM_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT d.tok,
+         CAST(ROUND({_BM_Q} * LN((2.0 * s.n_docs + 2) / (2 * d.df + 1))) AS BIGINT) AS idf_q
+  FROM dft d CROSS JOIN stats s
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM((i.idf_q * 44 * s.t_tokens * tf.tf)
+                  // (20 * s.t_tokens * tf.tf + 6 * s.t_tokens + 18 * dl.dl * s.n_docs))
+              AS BIGINT) AS score_q,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN dl USING (doc_id) JOIN idf i ON tf.tok = i.tok CROSS JOIN stats s
+  GROUP BY 1
+),
+top AS (SELECT * FROM scored ORDER BY score_q DESC, doc_id LIMIT {_BM_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score_q, n_terms_hit
+FROM top
+"""
+
+
+@register("z_text_bm25", _BM_ORACLE, tags=("textops", "retrieval"), bench=True)
+def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval for the fixed query terms
+    (hash, join, dup, vector, scan): exact-integer per-term scores
+    (quantized idf x rational-cleared tf-norm), deterministic
+    (score desc, doc_id asc) ranking. Beyond-reference LLM-pipeline
+    operator (retrieval / hard-negative sourcing)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w")).where(
+        F.size("w") > 0
+    )
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .where(F.col("tok").isin(*_BM_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        # feeds both the df/idf aggregate and the scoring join
+        .localCheckpoint()
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            _BM_Q * F.log((2.0 * F.col("n_docs") + 2) / (2 * F.col("df") + 1))
+        )
+        .cast("long")
+        .alias("idf_q"),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_q * 44 * t_tokens * tf) div "
+                "(20 * t_tokens * tf + 6 * t_tokens + 18 * dl * n_docs)"
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("long").alias("score_q"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_q"), F.asc("doc_id")).limit(_BM_K)
+    # rank window runs over the K post-limit rows only (sanctioned global
+    # window: bounded table)
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score_q", "n_terms_hit"
+    )
