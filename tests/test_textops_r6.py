@@ -1,0 +1,224 @@
+"""Round-6 textops contracts: Gopher repetition signals (z_corpus_repetition)
+and exact-integer BM25 retrieval (z_text_bm25).
+
+Pins: hand-computed quantized fractions on a planted corpus (the integer
+arithmetic is checkable on paper), struct-max tie-break determinism,
+engine/oracle parity on degenerate documents, and a pure-python BM25
+recurrence at exact integer parity (the same external-oracle discipline as
+the PageRank planted-star test)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_documents(path, texts, start_id=1):
+    rows = [
+        {
+            "doc_id": start_id + i,
+            "text": t,
+            "lang": "en",
+            "source": "planted",
+            "n_chars": len(t),
+        }
+        for i, t in enumerate(texts)
+    ]
+    tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"))
+
+
+def _oracle_documents(sql, path):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{path}/documents.parquet')"
+        )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_repetition
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_hand_computed(spark, tmp_path):
+    """Planted 'a b a b a b': every quantized signal is checkable on paper.
+
+    den = len('a b a b a b') = 11
+    2-grams: 'a b'x3, 'b a'x2 -> top = 3*3 = 9;  dup = 2*3 + 1*3 = 9
+    3-grams: 'a b a'x2, 'b a b'x2 -> struct-max ties on cnt, takes the
+             lexicographically greater gram 'b a b' -> top = 2*5 = 10;
+             dup = 5 + 5 = 10
+    4-grams: 'a b a b'x2, 'b a b a'x1 -> top = 2*7 = 14; (dup4 unused)
+    """
+    from d3d_etl_spark.queries import textops
+
+    _write_documents(tmp_path, ["a b a b a b", "x"])
+    out = textops.z_corpus_repetition(spark, str(tmp_path)).toPandas()
+    # the single-token doc has < 2 tokens and is dropped
+    assert sorted(out["doc_id"]) == [1]
+    r = out.set_index("doc_id").loc[1]
+    assert r.top2_q == 9 * 1_000_000 // 11
+    assert r.top3_q == 10 * 1_000_000 // 11  # tie broken to 'b a b'
+    assert r.top4_q == 14 * 1_000_000 // 11
+    assert r.dup2_q == 9 * 1_000_000 // 11
+    assert r.dup3_q == 10 * 1_000_000 // 11
+    assert not r.rep_pass
+
+
+def test_repetition_unique_doc_passes(spark, tmp_path):
+    """A 30-token all-unique doc sits under every cap: top-gram fractions
+    are just gram_len/den and duplicates are zero."""
+    from d3d_etl_spark.queries import textops
+
+    toks = [chr(ord("a") + i) for i in range(26)] + ["0", "1", "2", "3"]
+    _write_documents(tmp_path, [" ".join(toks)])
+    r = textops.z_corpus_repetition(spark, str(tmp_path)).toPandas().iloc[0]
+    den = 2 * 30 - 1
+    assert r.top2_q == 3 * 1_000_000 // den
+    assert r.top3_q == 5 * 1_000_000 // den
+    assert r.top4_q == 7 * 1_000_000 // den
+    assert r.dup2_q == 0 and r.dup3_q == 0
+    assert r.rep_pass
+
+
+def test_repetition_engine_oracle_parity_degenerate(spark, tmp_path):
+    """Engine == DuckDB oracle on hostile documents: empty text, whitespace
+    only, single token (dropped), exactly 2 tokens (no 3/4-grams -> NULL
+    branch of the pivot), unicode grams, and a long repetitive doc."""
+    from d3d_etl_spark.oracle import canonicalize
+    from d3d_etl_spark.queries import textops
+
+    _write_documents(
+        tmp_path,
+        [
+            "",
+            "   \t  ",
+            "solo",
+            "two tokens",
+            "über café über café über",
+            "spam " * 40 + "spam",
+        ],
+    )
+    eng = canonicalize(textops.z_corpus_repetition(spark, str(tmp_path)).toPandas())
+    ora = canonicalize(_oracle_documents(textops._REP_ORACLE, tmp_path))
+    pd.testing.assert_frame_equal(eng, ora)
+    # the two whitespace-degenerate docs and the single-token doc are gone
+    assert sorted(eng["doc_id"]) == [4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# z_text_bm25
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(texts, terms, q, k):
+    """Pure-python mirror of the exact-integer BM25 contract (half-away
+    rounding on the quantized LN; everything after is integer)."""
+    toks = {i + 1: t.lower().split() for i, t in enumerate(texts)}
+    toks = {d: w for d, w in toks.items() if w}
+    dl = {d: len(w) for d, w in toks.items()}
+    n, tt = len(dl), sum(dl.values())
+    tf: dict = {}
+    for d, w in toks.items():
+        for t in w:
+            if t in terms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df: dict = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    idf = {
+        t: math.floor(q * math.log((2 * n + 2) / (2 * df[t] + 1)) + 0.5) for t in df
+    }
+    scores: dict = {}
+    hits: dict = {}
+    for (d, t), f_ in tf.items():
+        s = (idf[t] * 44 * tt * f_) // (20 * tt * f_ + 6 * tt + 18 * dl[d] * n)
+        scores[d] = scores.get(d, 0) + s
+        hits[d] = hits.get(d, 0) + 1
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i + 1, d, s, hits[d]) for i, (d, s) in enumerate(top)]
+
+
+def test_bm25_pure_python_parity(spark, tmp_path):
+    """Engine output == a pure-python integer BM25 over a planted corpus
+    that exercises repeats, multi-term hits, rare-vs-common idf, and docs
+    with zero query terms."""
+    from d3d_etl_spark.queries import textops
+
+    texts = [
+        "hash join hash join hash",
+        "the quick brown fox jumps over the lazy dog",
+        "vector scan vector scan vector scan vector",
+        "dup dup dup dup filler filler filler filler filler filler",
+        "hash alone in a much longer document " + "pad " * 30,
+        "join vector dup scan hash all five terms once each",
+        "nothing relevant here at all",
+    ]
+    _write_documents(tmp_path, texts)
+    eng = (
+        textops.z_text_bm25(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = _bm25_py(texts, set(textops._BM_TERMS), textops._BM_Q, textops._BM_K)
+    got = list(
+        eng[["rank", "doc_id", "score_q", "n_terms_hit"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == exp
+
+
+def test_bm25_tie_breaks_on_doc_id(spark, tmp_path):
+    """Identical documents score identically; rank order falls back to
+    doc_id ascending (the determinism contract)."""
+    from d3d_etl_spark.queries import textops
+
+    _write_documents(tmp_path, ["hash join scan"] * 4 + ["no terms here"])
+    eng = (
+        textops.z_text_bm25(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(eng["doc_id"]) == [1, 2, 3, 4]
+    assert eng["score_q"].nunique() == 1
+    assert list(eng["rank"]) == [1, 2, 3, 4]
+
+
+def test_bm25_rare_term_outranks_common(spark, tmp_path):
+    """Same tf and dl: the doc holding the rarer term scores higher (idf
+    monotonicity survives the integer quantization)."""
+    from d3d_etl_spark.queries import textops
+
+    texts = (
+        ["vector pad0 pad1 pad2"]  # doc 1: rare term (df=1)
+        + [f"hash padA{i} padB{i} padC{i}" for i in range(5)]  # common (df=6)
+        + ["hash padX padY padZ"]
+    )
+    _write_documents(tmp_path, texts)
+    eng = textops.z_text_bm25(spark, str(tmp_path)).toPandas()
+    by_doc = eng.set_index("doc_id")["score_q"]
+    assert by_doc.loc[1] > by_doc.drop(1).max()
