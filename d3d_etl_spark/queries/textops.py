@@ -1611,3 +1611,139 @@ def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score_q", "n_terms_hit"
     )
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_span_scrub — cross-document duplicated-span REMOVAL (the rewrite
+# stage of "Deduplicating Training Data Makes Language Models Better", Lee
+# et al. 2022 §4 — their exact-substring dedup keeps ONE occurrence and cuts
+# the rest; z_corpus_span_dedup publishes the SIGNAL, this publishes the
+# scrubbed corpus). Rule, deterministic and order-free: a span's owner is
+# the minimum doc_id containing it; every token covered by an owned-
+# elsewhere span occurrence (owner < this doc) is removed; the owner keeps
+# all its occurrences. Output per doc: token counts before/after, the
+# scrubbed fraction (exact-integer, 1e-6 quantized), and the md5 of the
+# reconstructed cleaned text (position-ordered join — a full-content check
+# in one fixed-width column).
+#
+# Scale shape: the span pass is the same map-side 60-bit-hash inverted
+# index as z_corpus_span_dedup (shuffles fixed-width ints); ownership is a
+# 1-row-per-key min-agg, and the scrub join probes it (build side is
+# key-unique, so a viral mega-span skews only the probe side — AQE
+# skew-split territory, same adjudication as the LSH band join). Coverage
+# explodes a bounded factor _SPAN_N per duplicated occurrence; the
+# reconstruction collect_list is doc-grain (bounded by document length —
+# a mega-document would need chunked reconstruction, the same boundary
+# corpus_chunk_pack documents).
+# ---------------------------------------------------------------------------
+
+_SCRUB_Q = 1_000_000
+
+_SCRUB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS w FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks WHERE len(w) > 0
+),
+tk AS (
+  SELECT doc_id, x.pos AS pos, x.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w)), i -> {{'pos': i, 'tok': w[i + 1]}})) AS x
+    FROM toks WHERE len(w) > 0
+  )
+),
+spp AS (
+  SELECT doc_id, x.p AS p, x.sh AS sh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {_SPAN_N} + 1),
+                  i -> {{'p': i,
+                         'sh': {_sql_md5_int("array_to_string(list_slice(w, i + 1, i + " + str(_SPAN_N) + "), ' ')", 15)}}})) AS x
+    FROM toks WHERE len(w) >= {_SPAN_N}
+  )
+),
+own AS (SELECT sh, MIN(doc_id) AS own FROM spp GROUP BY 1),
+cov0 AS (
+  SELECT spp.doc_id, spp.p, unnest(range({_SPAN_N})) AS o
+  FROM spp JOIN own ON spp.sh = own.sh AND own.own < spp.doc_id
+),
+cov AS (SELECT DISTINCT doc_id, p + o AS pos FROM cov0),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+  WHERE cov.pos IS NULL
+),
+keptagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_scrubbed,
+       CAST((b.n_tokens - COALESCE(k.n_kept, 0)) * {_SCRUB_Q} // b.n_tokens AS BIGINT)
+         AS scrub_q,
+       COALESCE(k.clean_hash, md5('')) AS clean_hash
+FROM base b LEFT JOIN keptagg k ON b.doc_id = k.doc_id
+"""
+
+
+@register("z_corpus_span_scrub", _SCRUB_ORACLE, tags=("textops", "dedup"), bench=True)
+def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span removal with reconstructed cleaned
+    text (Lee et al. 2022 exact-substring dedup, keep-first-owner rule).
+    Beyond-reference LLM-pipeline operator; see the section comment for
+    the scale shape."""
+    from d3d_etl_spark.functions.strings import md5_int
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).where(
+        F.size("w") > 0
+    )
+    tk = toks.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    spp = (
+        toks.where(F.size("w") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("w"), _SPAN_N)).alias("p", "s"),
+        )
+        .select("doc_id", "p", md5_int(F.col("s"), 15).alias("sh"))
+    )
+    own = spp.groupBy("sh").agg(F.min("doc_id").alias("own"))
+    cov = (
+        spp.join(own, "sh")
+        .where(F.col("own") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(_SPAN_N - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = tk.join(cov, ["doc_id", "pos"], "left_anti")
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    base = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        base.join(keptagg, "doc_id", "left")
+        .withColumn("n_scrubbed", F.expr("n_tokens - coalesce(n_kept, 0)"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_scrubbed",
+            F.expr(f"n_scrubbed * {_SCRUB_Q} div n_tokens").alias("scrub_q"),
+            F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""sf1 stress tier (VERDICT r5 item #8): one measured 10x point for the
+three flagship pipelines, converting the "plans survive 100x" argument from
+static analysis into data.
+
+Env-gated — run explicitly:
+
+    SPARK_GRAFT_STRESS=1 python stress_sf1.py
+
+What it does:
+  1. Builds a one-off sf1 slice (10x sf0.1) under .stress/sf1 by replicating
+     documents/embeddings/events with per-replica DECORRELATION, so workload
+     grows linearly instead of manufacturing a 10x-duplicate corpus:
+       - documents: every token suffixed with a replica tag (replica 0 kept
+         verbatim) — within-replica shingle/LSH structure is preserved
+         exactly, cross-replica token sets are disjoint (Jaccard 0).
+       - embeddings: per-(dim, replica) deterministic sign flips — a global
+         isometry per replica, so within-replica cosine geometry (clusters,
+         near-dup pairs) is IDENTICAL to the original while cross-replica
+         similarities decorrelate to noise.
+       - events: id/user shifts (10x users over the same time window).
+     The dir name carries the sf token ("sf1") so the pbp game-count rule
+     (queries/domain.py:_games_for) scales to 3000 games by itself.
+  2. Runs the three flagships (corpus_pipeline, z_sim_pipeline, z_pbp_dag)
+     at sf0.1 and sf1 IN THE SAME SESSION (noop sink, no driver collect),
+     attributing completed stages to each run via before/after snapshots of
+     the UI REST API, and records per-query wall clock + max-task input /
+     shuffle-read / peak-execution-memory.
+  3. Enforces the task bounds the scale doctrine promises: no task reads or
+     shuffles more than TASK_BYTES_BOUND and no task's peak execution memory
+     exceeds TASK_MEM_BOUND. Exit code 1 on violation.
+
+Output: one JSON line on stdout + the full payload in STRESS_sf1.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import SparkSession, functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get(
+    "SPARK_GRAFT_STRESS_DIR", os.path.join(REPO, ".stress", "sf1")
+)
+REPS = 10
+UI_PORT = int(os.environ.get("SPARK_GRAFT_STRESS_UI_PORT", "4099"))
+TASK_BYTES_BOUND = 512 * 1024 * 1024  # max input/shuffle-read per task
+TASK_MEM_BOUND = 1024 * 1024 * 1024  # max peak execution memory per task
+
+FLAGSHIPS = ("corpus_pipeline", "z_sim_pipeline", "z_pbp_dag")
+
+
+# ---------------------------------------------------------------------------
+# sf1 slice build
+# ---------------------------------------------------------------------------
+
+
+def build_sf1(spark: SparkSession) -> float:
+    """Replicate sf0.1 -> sf1 with per-replica decorrelation. Idempotent
+    (marker file); returns build seconds (0.0 when memoized)."""
+    marker = os.path.join(DST, ".built")
+    if os.path.exists(marker):
+        return 0.0
+    t0 = time.time()
+    os.makedirs(DST, exist_ok=True)
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    big_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1x"), F.col("rep").cast("string")),
+                )
+            )
+            .alias("text"),
+            F.col("lang"),
+            F.col("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    # per-replica isometry: sign(dim, rep) via a murmur3 parity — replica 0
+    # is the identity so the original corpus is embedded verbatim
+    flip = lambda x, i: (  # noqa: E731
+        x
+        * F.when(F.col("rep") == 0, F.lit(1.0))
+        .otherwise(
+            F.when(
+                F.pmod(
+                    F.hash(
+                        F.concat_ws(
+                            ":", i.cast("string"), F.col("rep").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        )
+    ).cast("float")
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", flip).alias("embedding"),
+        F.col("label"),
+    )
+    big_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "embeddings.parquet")
+    )
+
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    big_ev = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * F.lit(1_000_000_000)).alias("event_id"),
+        F.col("ts"),
+        (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+    big_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "events.parquet")
+    )
+
+    with open(marker, "w") as f:
+        f.write(f"src={SRC} reps={REPS}\n")
+    return time.time() - t0
+
+
+# ---------------------------------------------------------------------------
+# UI REST metrics
+# ---------------------------------------------------------------------------
+
+
+def _get(path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _app_id() -> str:
+    return _get("applications")[0]["id"]
+
+
+def _completed_stages(app: str) -> dict[tuple[int, int], dict]:
+    return {
+        (s["stageId"], s["attemptId"]): s
+        for s in _get(f"applications/{app}/stages?status=COMPLETE")
+    }
+
+
+def _task_maxima(app: str, stages: dict) -> dict:
+    """Max-over-tasks input bytes / shuffle-read bytes / peak exec memory
+    across the given stages (taskSummary at quantile 1.0), plus the top-3
+    stages by per-task peak memory for attribution."""
+    mx = {"input_bytes": 0, "shuffle_read_bytes": 0, "peak_exec_mem": 0}
+    by_mem: list[tuple[int, str]] = []
+    for (sid, att), meta in stages.items():
+        try:
+            s = _get(
+                f"applications/{app}/stages/{sid}/{att}/taskSummary?quantiles=1.0"
+            )
+        except Exception:
+            continue  # stage with no task summary (e.g. skipped)
+        mx["input_bytes"] = max(
+            mx["input_bytes"], int(s.get("inputMetrics", {}).get("bytesRead", [0])[-1])
+        )
+        mx["shuffle_read_bytes"] = max(
+            mx["shuffle_read_bytes"],
+            int(s.get("shuffleReadMetrics", {}).get("readBytes", [0])[-1]),
+        )
+        peak = int(s.get("peakExecutionMemory", [0])[-1])
+        mx["peak_exec_mem"] = max(mx["peak_exec_mem"], peak)
+        by_mem.append((peak, f"s{sid} {meta.get('name', '?')[:80]}"))
+    mx["top_mem_stages"] = [
+        {"peak_mb": round(p / 2**20, 1), "stage": n}
+        for p, n in sorted(by_mem, reverse=True)[:3]
+    ]
+    return mx
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def main() -> int:
+    if os.environ.get("SPARK_GRAFT_STRESS") != "1":
+        print("refusing: set SPARK_GRAFT_STRESS=1 to run the stress tier")
+        return 2
+    sys.path.insert(0, REPO)
+    from d3d_etl_spark.session import get_spark
+    import __spark_entry__ as mod
+
+    spark = get_spark(
+        app_name="stress-sf1",
+        shuffle_partitions=128,  # sized for the 10x slice: ~4 waves on 32 cores
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # the default 1g local-JVM heap OOMs a broadcast build at the
+            # 10x slice (measured — first stress finding); size the single
+            # JVM like a real executor instead
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_STRESS_DRIVER_MEM", "16g"
+            ),
+        },
+    )
+    build_s = build_sf1(spark)
+    app = _app_id()
+    qs = mod.queries()
+
+    out: dict = {"build_s": round(build_s, 1), "sf_pairs": {}}
+    violations: list[str] = []
+    for name in FLAGSHIPS:
+        out["sf_pairs"][name] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            before = set(_completed_stages(app))
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            after = _completed_stages(app)
+            new = {k: v for k, v in after.items() if k not in before}
+            mx = _task_maxima(app, new)
+            rec = {
+                "wall_s": round(wall, 2),
+                "n_stages": len(new),
+                "max_task_input_mb": round(mx["input_bytes"] / 2**20, 1),
+                "max_task_shuffle_read_mb": round(
+                    mx["shuffle_read_bytes"] / 2**20, 1
+                ),
+                "max_task_peak_exec_mem_mb": round(mx["peak_exec_mem"] / 2**20, 1),
+                "top_mem_stages": mx["top_mem_stages"],
+            }
+            out["sf_pairs"][name][label] = rec
+            print(f"  {name} @ {label}: {rec}", file=sys.stderr)
+            if mx["input_bytes"] > TASK_BYTES_BOUND:
+                violations.append(f"{name}@{label}: task input {mx['input_bytes']}")
+            if mx["shuffle_read_bytes"] > TASK_BYTES_BOUND:
+                violations.append(
+                    f"{name}@{label}: shuffle read {mx['shuffle_read_bytes']}"
+                )
+            if mx["peak_exec_mem"] > TASK_MEM_BOUND:
+                violations.append(f"{name}@{label}: peak mem {mx['peak_exec_mem']}")
+        p = out["sf_pairs"][name]
+        p["scale_ratio"] = (
+            round(p["sf1"]["wall_s"] / p["sf0.1"]["wall_s"], 2)
+            if p["sf0.1"]["wall_s"] > 0
+            else None
+        )
+    out["violations"] = violations
+    with open(os.path.join(REPO, "STRESS_sf1.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"stress": "sf1", "violations": len(violations), **out}))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,3 +222,80 @@ def test_bm25_rare_term_outranks_common(spark, tmp_path):
     eng = textops.z_text_bm25(spark, str(tmp_path)).toPandas()
     by_doc = eng.set_index("doc_id")["score_q"]
     assert by_doc.loc[1] > by_doc.drop(1).max()
+
+
+# ---------------------------------------------------------------------------
+# z_corpus_span_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_span_scrub_hand_computed(spark, tmp_path):
+    """Planted corpus: doc 2 repeats doc 1's 10-token prefix (every 8-token
+    span inside it is owned by doc 1 -> positions 0..9 scrubbed, unique tail
+    kept); doc 1 as owner keeps everything; doc 3's WITHIN-doc repetition is
+    untouched (cross-doc rule only); a short doc has no spans at all."""
+    import hashlib
+
+    from d3d_etl_spark.queries import textops
+
+    shared = " ".join(f"t{i}" for i in range(10))
+    texts = [
+        shared + " ownertail1 ownertail2",          # doc 1: owner
+        shared + " unique2a unique2b unique2c",     # doc 2: prefix scrubbed
+        "r0 r1 r2 r3 r4 r5 r6 r7 r0 r1 r2 r3 r4 r5 r6 r7",  # doc 3: self-repeat
+        "tiny doc",                                  # doc 4: < span width
+    ]
+    _write_documents(tmp_path, texts)
+    out = (
+        textops.z_corpus_span_scrub(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1].n_scrubbed == 0
+    assert out.loc[3].n_scrubbed == 0  # owner-rule: within-doc repeats stay
+    assert out.loc[4].n_scrubbed == 0
+    r2 = out.loc[2]
+    assert r2.n_tokens == 13 and r2.n_scrubbed == 10
+    assert r2.scrub_q == 10 * 1_000_000 // 13
+    expect = "unique2a unique2b unique2c"
+    assert r2.clean_hash == hashlib.md5(expect.encode()).hexdigest()
+    # full-content check for an untouched doc too
+    assert out.loc[1].clean_hash == hashlib.md5(texts[0].encode()).hexdigest()
+
+
+def test_span_scrub_engine_oracle_parity_planted(spark, tmp_path):
+    """Engine == DuckDB oracle on a hostile planted corpus: empty doc,
+    whitespace doc, sub-span-width doc, a fully-scrubbed doc (every token
+    covered -> md5('') branch), and chained ownership (3 docs sharing one
+    span: the MIN doc_id owns, both others scrub)."""
+    import pandas as pd
+
+    from d3d_etl_spark.oracle import canonicalize
+    from d3d_etl_spark.queries import textops
+
+    shared = " ".join(f"s{i}" for i in range(8))  # exactly one span wide
+    _write_documents(
+        tmp_path,
+        [
+            "",
+            "   ",
+            "under span width",
+            shared,            # doc 4: owner
+            shared,            # doc 5: fully scrubbed -> clean_hash md5('')
+            shared + " tail",  # doc 6: scrubs the shared 8, keeps tail
+        ],
+    )
+    eng = canonicalize(
+        textops.z_corpus_span_scrub(spark, str(tmp_path)).toPandas()
+    )
+    ora = canonicalize(_oracle_documents(textops._SCRUB_ORACLE, tmp_path))
+    pd.testing.assert_frame_equal(eng, ora)
+    byid = (
+        textops.z_corpus_span_scrub(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert byid.loc[4].n_scrubbed == 0
+    assert byid.loc[5].n_scrubbed == 8
+    assert byid.loc[5].clean_hash == "d41d8cd98f00b204e9800998ecf8427e"
+    assert byid.loc[6].n_scrubbed == 8 and byid.loc[6].n_tokens == 9
