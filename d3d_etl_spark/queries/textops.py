@@ -1552,15 +1552,15 @@ FROM top
 """
 
 
-@register("z_text_bm25", _BM_ORACLE, tags=("textops", "retrieval"), bench=True)
-def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 lexical retrieval for the fixed query terms
-    (hash, join, dup, vector, scan): exact-integer per-term scores
-    (quantized idf x rational-cleared tf-norm), deterministic
-    (score desc, doc_id asc) ranking. Beyond-reference LLM-pipeline
-    operator (retrieval / hard-negative sourcing)."""
-    from pyspark.sql import Window
-
+def bm25_corpus_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The BM25 fit: (dl, tf, stats, idf) over the corpus for the fixed
+    query terms — the frozen state the batch ranker aggregates and the
+    streaming twin (streaming/retrieval.py) collects to literals. dl is
+    (doc_id, dl); tf is (doc_id, tok, tf) restricted to the query terms;
+    stats is the 1-row (n_docs, t_tokens); idf is the term-dimensional
+    (tok, idf_q) table."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w")).where(
         F.size("w") > 0
@@ -1587,6 +1587,19 @@ def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("idf_q"),
     )
+    return dl, tf, stats, idf
+
+
+@register("z_text_bm25", _BM_ORACLE, tags=("textops", "retrieval"), bench=True)
+def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval for the fixed query terms
+    (hash, join, dup, vector, scan): exact-integer per-term scores
+    (quantized idf x rational-cleared tf-norm), deterministic
+    (score desc, doc_id asc) ranking. Beyond-reference LLM-pipeline
+    operator (retrieval / hard-negative sourcing)."""
+    from pyspark.sql import Window
+
+    dl, tf, stats, idf = bm25_corpus_state(spark, sf_dir)
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(idf), "tok")
@@ -1746,4 +1759,161 @@ def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_scrubbed * {_SCRUB_Q} div n_tokens").alias("scrub_q"),
             F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_text_tfidf_topk — sparse TF-IDF top-k document similarity: the
+# inverted-index complement to the dense ANN family (classic sparse
+# retrieval / near-dup triage — Manning et al., IIR ch.6). Weights are
+# exact-integer (tf x quantized idf, the BM25 halves-cleared LN form at
+# {_TI_IDF_Q}); dot products and norms are exact bigint sums over the
+# PRUNED term space; the only float is the final published cosine, the
+# dense family's ROUND(dot / (SQRT(na) * SQRT(nb)), 6) contract.
+#
+# The scale lever is the df gate: terms with df < 2 cannot produce pairs
+# (lossless prune) and terms with df > max(8, min(N/20, 256)) are
+# stopword-mass (documented lossy gate — it bounds EVERY posting list at
+# 256 docs, so the term self-join's worst task is ~32k pairs regardless of
+# corpus size; cosine is computed over the gated vector space, norms
+# included, so engine and oracle share one geometry). Shapes: one
+# vocab-sized df agg, a 1-row N broadcast, the posting self-join
+# (term-key shuffle, bounded lists), doc-grain norm joins, and a doc-grain
+# top-k window.
+# ---------------------------------------------------------------------------
+
+_TI_IDF_Q = 100
+_TI_K = 5
+
+_TI_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+kept AS (
+  SELECT d.tok, d.df,
+         CAST(ROUND({_TI_IDF_Q} * LN((2.0 * n.n_docs + 2) / (2 * d.df + 1))) AS BIGINT)
+           AS idf_q
+  FROM dft d CROSS JOIN n
+  WHERE d.df >= 2 AND d.df <= GREATEST(8, LEAST(n.n_docs // 20, 256))
+),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * k.idf_q AS w
+  FROM tf JOIN kept k ON tf.tok = k.tok
+),
+norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(a.w * b.w) AS dot, CAST(COUNT(*) AS BIGINT) AS shared_terms
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.shared_terms,
+         ROUND(p.dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS sim
+  FROM pairs p
+  JOIN norms na ON p.doc_a = na.doc_id
+  JOIN norms nb ON p.doc_b = nb.doc_id
+),
+directed AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor_id, shared_terms, sim FROM scored
+  UNION ALL
+  SELECT doc_b, doc_a, shared_terms, sim FROM scored
+),
+ranked AS (
+  SELECT doc_id, neighbor_id, shared_terms, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM directed
+)
+SELECT doc_id, neighbor_id, shared_terms, sim, rank
+FROM ranked WHERE rank <= {_TI_K}
+"""
+
+
+@register("z_text_tfidf_topk", _TI_ORACLE, tags=("textops", "retrieval"), bench=True)
+def z_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most-similar documents per document by TF-IDF cosine over
+    the df-gated term space — sparse inverted-index similarity (the
+    lexical twin of sim_topk_family). Beyond-reference LLM-pipeline
+    operator (near-dup triage / related-document mining)."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        # feeds N, df, and the weight join
+        .localCheckpoint()
+    )
+    n = tf.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    dft = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    kept = (
+        dft.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= 2)
+            & (
+                F.col("df")
+                <= F.greatest(
+                    F.lit(8), F.least(F.expr("n_docs div 20"), F.lit(256))
+                )
+            )
+        )
+        .select(
+            "tok",
+            F.round(
+                _TI_IDF_Q
+                * F.log((2.0 * F.col("n_docs") + 2) / (2 * F.col("df") + 1))
+            )
+            .cast("long")
+            .alias("idf_q"),
+        )
+    )
+    w = tf.join(kept, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count("*").cast("long").alias("shared_terms"),
+        )
+    )
+    scored = (
+        pairs.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_terms",
+            F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6).alias("sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "shared_terms",
+        "sim",
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "shared_terms",
+            "sim",
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        directed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _TI_K)
+        .select("doc_id", "neighbor_id", "shared_terms", "sim", "rank")
     )

@@ -805,3 +805,68 @@ def test_streaming_dsir_weights_match_batch(spark, sf_dir, tmp_path):
     for doc_id, r in got.items():
         if doc_id not in batch:
             assert r["n_shingles"] == 0 and r["lw_q"] is None
+
+
+def test_streaming_bm25_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Streaming retrieval twin: score the document stream with the FROZEN
+    batch BM25 state (term-dim idf + 2 scalars as literals) and pin every
+    per-doc score BIT-EXACTLY against a pure-python evaluation of the same
+    integer formula over the same corpus — the all-integer contract means
+    no tolerance band at all (stronger than the LR twin's quantization
+    bound). Zero-hit docs score 0; the idf mixup guard fails fast."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.queries.textops import _BM_TERMS, bm25_corpus_state
+    from d3d_etl_spark.streaming.retrieval import streaming_bm25_scores
+
+    dl, tf, stats, idf = bm25_corpus_state(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+
+    staged = os.path.join(str(tmp_path), "doc_stream")
+    docs.select("doc_id", "text").write.parquet(staged)
+    src = spark.readStream.schema("doc_id long, text string").parquet(staged)
+    q = (
+        streaming_bm25_scores(src, idf, stats, _BM_TERMS)
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM bm25_stream").collect()}
+    assert len(got) == docs.count()
+
+    # pure-python reference off the raw corpus (independent of both plans)
+    srow = stats.collect()[0]
+    n_docs, t_tokens = srow["n_docs"], srow["t_tokens"]
+    idf_map = {r["tok"]: r["idf_q"] for r in idf.collect()}
+    n_scored = 0
+    for r in docs.select("doc_id", "text").collect():
+        w = [t for t in r["text"].lower().split() if t]
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(w)
+        if not w:
+            assert g["score_q"] is None and g["n_terms_hit"] == 0
+            continue
+        score, hits = 0, 0
+        for t in _BM_TERMS:
+            c = w.count(t)
+            if c and t in idf_map:
+                score += (idf_map[t] * 44 * t_tokens * c) // (
+                    20 * t_tokens * c + 6 * t_tokens + 18 * len(w) * n_docs
+                )
+                hits += 1
+        assert g["score_q"] == score, (r["doc_id"], g["score_q"], score)
+        assert g["n_terms_hit"] == hits
+        n_scored += 1
+    assert n_scored > 0
+
+    # frozen-state mixup guard
+    bad_idf = idf.withColumn("tok", F.concat(F.lit("x_"), F.col("tok")))
+    with pytest.raises(ValueError, match="non-query terms"):
+        streaming_bm25_scores(src, bad_idf, stats, _BM_TERMS)

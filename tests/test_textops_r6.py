@@ -299,3 +299,72 @@ def test_span_scrub_engine_oracle_parity_planted(spark, tmp_path):
     assert byid.loc[5].n_scrubbed == 8
     assert byid.loc[5].clean_hash == "d41d8cd98f00b204e9800998ecf8427e"
     assert byid.loc[6].n_scrubbed == 8 and byid.loc[6].n_tokens == 9
+
+
+# ---------------------------------------------------------------------------
+# z_text_tfidf_topk
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_hand_computed(spark, tmp_path):
+    """Planted 4-doc corpus, weights checkable on paper: docs 1/2 are
+    identical (cosine exactly 1.0 over any term space); doc 3 shares one
+    gated term with them; doc 4 shares nothing gated (df=1 terms cannot
+    pair). N=4 -> df gate keeps 2 <= df <= 8 (everything shared)."""
+    from d3d_etl_spark.queries import textops
+
+    _write_documents(
+        tmp_path,
+        [
+            "alpha beta gamma",
+            "alpha beta gamma",
+            "alpha solo3a solo3b",
+            "lonely terms only",
+        ],
+    )
+    out = textops.z_text_tfidf_topk(spark, str(tmp_path)).toPandas()
+    assert 4 not in set(out["doc_id"])  # no gated terms -> no pairs
+    byq = {
+        d: g.sort_values("rank") for d, g in out.groupby("doc_id")
+    }
+    # identical docs: top neighbor is each other at sim 1.0
+    assert byq[1].iloc[0].neighbor_id == 2 and byq[1].iloc[0].sim == 1.0
+    assert byq[2].iloc[0].neighbor_id == 1 and byq[2].iloc[0].sim == 1.0
+    assert byq[1].iloc[0].shared_terms == 3
+    # doc 3 reaches both twins through the single shared term 'alpha',
+    # tie on sim -> neighbor_id ascending
+    assert list(byq[3].neighbor_id) == [1, 2]
+    assert byq[3].iloc[0].sim == byq[3].iloc[1].sim
+    assert byq[3].iloc[0].shared_terms == 1
+    # symmetric sims: sim(1,3) == sim(3,1)
+    s13 = byq[1][byq[1].neighbor_id == 3].sim.iloc[0]
+    s31 = byq[3][byq[3].neighbor_id == 1].sim.iloc[0]
+    assert s13 == s31
+
+
+def test_tfidf_topk_df_gate_and_parity(spark, tmp_path):
+    """Engine == DuckDB oracle on a corpus built to straddle the df gate
+    (N=40 -> cap = max(8, 2) = 8): one token in every doc (df=40, gated
+    OUT — without the gate it would pair all 780 doc pairs), plus planted
+    mid-df clusters that must survive."""
+    import pandas as pd
+
+    from d3d_etl_spark.oracle import canonicalize
+    from d3d_etl_spark.queries import textops
+
+    texts = []
+    for i in range(40):
+        toks = ["common"]  # df=40 > 8 -> gated out
+        toks += [f"cluster{i % 5} shared{i % 5}"]  # df=8 clusters, kept
+        toks += [f"solo{i}"]  # df=1, lossless prune
+        texts.append(" ".join(toks))
+    _write_documents(tmp_path, texts)
+    eng_df = textops.z_text_tfidf_topk(spark, str(tmp_path)).toPandas()
+    eng = canonicalize(eng_df)
+    ora = canonicalize(_oracle_documents(textops._TI_ORACLE, tmp_path))
+    pd.testing.assert_frame_equal(eng, ora)
+    # pairs exist ONLY within the planted clusters (8 docs each, k=5 caps
+    # the neighbor list): the df gate removed the all-pairs 'common' term
+    assert len(eng_df) == 40 * 5
+    m = eng_df["neighbor_id"] % 5 == eng_df["doc_id"] % 5
+    assert m.all()
