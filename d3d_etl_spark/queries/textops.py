@@ -1873,14 +1873,19 @@ def z_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_q"),
         )
     )
-    w = tf.join(kept, "tok").select(
+    # post-checkpoint stats are unknown, so the planner would fall back to
+    # sort-merge for every data-derived join here; hash joins are the right
+    # physical shape for these near-unique keys (the z_sim_contrastive
+    # adjudication) — vocab-keyed weight join, term-keyed posting self-join,
+    # doc-keyed norm joins all take shuffle-hash hints
+    w = tf.join(kept.hint("shuffle_hash"), "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_q")).alias("w")
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
     pairs = (
-        a.join(b, "tok")
+        a.join(b.hint("shuffle_hash"), "tok")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -1889,8 +1894,16 @@ def z_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        pairs.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
-        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        pairs.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+            .hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+            .hint("shuffle_hash"),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -1898,19 +1911,26 @@ def z_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6).alias("sim"),
         )
     )
+    # mirror each unordered pair into both directions with ONE explode —
+    # a union of two selects would duplicate the whole pair-scoring subtree
     directed = scored.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor_id"),
-        "shared_terms",
-        "sim",
-    ).unionByName(
-        scored.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("neighbor_id"),
-            "shared_terms",
-            "sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("neighbor_id"),
+                    F.col("shared_terms"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("neighbor_id"),
+                    F.col("shared_terms"),
+                    F.col("sim"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
     win = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         directed.withColumn("rank", F.row_number().over(win).cast("long"))
