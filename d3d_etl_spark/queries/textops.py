@@ -1644,13 +1644,19 @@ def z_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-row-per-key min-agg, and the scrub join probes it (build side is
 # key-unique, so a viral mega-span skews only the probe side — AQE
 # skew-split territory, same adjudication as the LSH band join). Coverage
-# explodes a bounded factor _SPAN_N per duplicated occurrence; the
-# reconstruction collect_list is doc-grain (bounded by document length —
-# a mega-document would need chunked reconstruction, the same boundary
-# corpus_chunk_pack documents).
+# explodes a bounded factor _SPAN_N per duplicated occurrence. The
+# reconstruction hash IS chunked (order-sensitive two-level form): kept
+# tokens group by (doc_id, pos div _SCRUB_CHUNK), each chunk's
+# position-ordered text is md5'd in a buffer bounded at _SCRUB_CHUNK
+# tokens, then the doc hash is the md5 of the chunk hashes concatenated in
+# chunk order (a 32-byte row per 4096 source tokens — a 4-billion-token
+# document's final buffer is ~32 MB, not the document). Engine and oracle
+# share the chained definition, so the published clean_hash is the same
+# deterministic contract on both sides.
 # ---------------------------------------------------------------------------
 
 _SCRUB_Q = 1_000_000
+_SCRUB_CHUNK = 4096
 
 _SCRUB_ORACLE = f"""
 WITH toks AS (
@@ -1688,10 +1694,16 @@ kept AS (
   FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
   WHERE cov.pos IS NULL
 ),
+keptch AS (
+  SELECT doc_id, pos // {_SCRUB_CHUNK} AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_c,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+  FROM kept GROUP BY 1, 2
+),
 keptagg AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
-  FROM kept GROUP BY 1
+  SELECT doc_id, CAST(SUM(n_kept_c) AS BIGINT) AS n_kept,
+         md5(string_agg(ch, '' ORDER BY chunk)) AS clean_hash
+  FROM keptch GROUP BY 1
 )
 SELECT b.doc_id, b.n_tokens,
        CAST(b.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_scrubbed,
@@ -1736,8 +1748,12 @@ def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     kept = tk.join(cov, ["doc_id", "pos"], "left_anti")
-    keptagg = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
+    # two-level chunked reconstruction: per-chunk buffer <= _SCRUB_CHUNK
+    # tokens, per-doc buffer = one 32-byte hash per chunk
+    chagg = kept.groupBy(
+        "doc_id", F.expr(f"pos div {_SCRUB_CHUNK}").alias("chunk")
+    ).agg(
+        F.count("*").cast("long").alias("n_kept_c"),
         F.md5(
             F.array_join(
                 F.transform(
@@ -1745,6 +1761,18 @@ def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: x["tok"],
                 ),
                 " ",
+            )
+        ).alias("ch"),
+    )
+    keptagg = chagg.groupBy("doc_id").agg(
+        F.sum("n_kept_c").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
             )
         ).alias("clean_hash"),
     )

@@ -9,6 +9,7 @@ the PageRank planted-star test)."""
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import duckdb
@@ -229,6 +230,17 @@ def test_bm25_rare_term_outranks_common(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def _chained_hash(chunk_texts):
+    """The published clean_hash contract: md5 of each chunk's space-joined
+    kept text, hex digests concatenated in chunk order, md5'd again."""
+    import hashlib
+
+    hexes = "".join(
+        hashlib.md5(t.encode()).hexdigest() for t in chunk_texts
+    )
+    return hashlib.md5(hexes.encode()).hexdigest()
+
+
 def test_span_scrub_hand_computed(spark, tmp_path):
     """Planted corpus: doc 2 repeats doc 1's 10-token prefix (every 8-token
     span inside it is owned by doc 1 -> positions 0..9 scrubbed, unique tail
@@ -258,9 +270,11 @@ def test_span_scrub_hand_computed(spark, tmp_path):
     assert r2.n_tokens == 13 and r2.n_scrubbed == 10
     assert r2.scrub_q == 10 * 1_000_000 // 13
     expect = "unique2a unique2b unique2c"
-    assert r2.clean_hash == hashlib.md5(expect.encode()).hexdigest()
+    # chained (chunked) hash contract: md5 of the ordered chunk hashes —
+    # a sub-chunk doc has exactly one chunk, so md5(hex(md5(text)))
+    assert r2.clean_hash == _chained_hash([expect])
     # full-content check for an untouched doc too
-    assert out.loc[1].clean_hash == hashlib.md5(texts[0].encode()).hexdigest()
+    assert out.loc[1].clean_hash == _chained_hash([texts[0]])
 
 
 def test_span_scrub_engine_oracle_parity_planted(spark, tmp_path):
@@ -299,6 +313,37 @@ def test_span_scrub_engine_oracle_parity_planted(spark, tmp_path):
     assert byid.loc[5].n_scrubbed == 8
     assert byid.loc[5].clean_hash == "d41d8cd98f00b204e9800998ecf8427e"
     assert byid.loc[6].n_scrubbed == 8 and byid.loc[6].n_tokens == 9
+
+
+def test_span_scrub_mega_doc_bounded_chunks(spark, tmp_path, monkeypatch):
+    """Mega-document bounded-buffer pin (the tests/test_skew.py pattern):
+    with _SCRUB_CHUNK patched to 16, a 210-token document reconstructs
+    through 14 per-chunk buffers (each <= 16 tokens) chained in chunk
+    order — never one whole-document aggregation buffer. The pin is the
+    hash itself: a regression back to single-buffer whole-doc hashing
+    yields md5(text), which differs from the chained contract, and the
+    physical plan must carry the chunk-keyed aggregate below doc grain."""
+    from d3d_etl_spark.queries import textops
+
+    monkeypatch.setattr(textops, "_SCRUB_CHUNK", 16)
+    mega = [f"u{i}" for i in range(210)]  # all-unique: nothing scrubbed
+    shared = " ".join(f"t{i}" for i in range(8))  # exactly one span wide
+    _write_documents(
+        tmp_path, [" ".join(mega), shared, shared + " tail"]
+    )
+    df = textops.z_corpus_span_scrub(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "div 16" in plan, "chunk-keyed aggregate missing from the plan"
+    out = df.toPandas().set_index("doc_id")
+    r1 = out.loc[1]
+    assert r1.n_tokens == 210 and r1.n_scrubbed == 0
+    chunks = [" ".join(mega[i : i + 16]) for i in range(0, 210, 16)]
+    assert len(chunks) == 14  # genuinely multi-chunk (13 full + tail)
+    assert r1.clean_hash == _chained_hash(chunks)
+    # single-buffer regression sentinel: whole-doc md5 is NOT the contract
+    assert r1.clean_hash != hashlib.md5(" ".join(mega).encode()).hexdigest()
+    # the cross-doc scrub rule is still live in the same run
+    assert out.loc[2].n_scrubbed == 0 and out.loc[3].n_scrubbed == 8
 
 
 # ---------------------------------------------------------------------------
