@@ -34,5 +34,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
-    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle is not None}
+    """DuckDB-runnable oracle SQL for every SQL-expressible query.
+
+    Cache-family globs (parsed_pbp_*, lsh_bands_*, ...) are resolved to
+    the driver's gate scale (sf0.01) so each string is self-contained:
+    per-scale caches coexist side-by-side and the driver still reads
+    exactly the scale its queries() run built."""
+    from d3d_etl_spark.oracle import resolve_cache_globs
+
+    gate = "/root/testdata/sf0.01"
+    return {
+        name: resolve_cache_globs(q.oracle, gate)
+        for name, q in sorted(REGISTRY.items())
+        if q.oracle is not None
+    }

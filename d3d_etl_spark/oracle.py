@@ -26,7 +26,34 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Per-scale cache families (.domain_cache): oracle SQL embeds
+# '<family>_*' parquet globs; each family registers how its scale key
+# derives from sf_dir, and resolve_cache_globs rewrites the glob to the
+# sf-specific directory at run time. This is what lets caches for
+# DIFFERENT scales coexist side-by-side (verify at sf0.01 and bench at
+# sf0.1 no longer thrash each other's state) while every oracle still
+# reads exactly one scale.
+CACHE_GLOB_RESOLVERS: dict[str, object] = {}
+
+
+def register_cache_family(family: str, key_fn) -> None:
+    """`family` is the cache dir-name prefix (e.g. 'parsed_pbp');
+    `key_fn(sf_dir) -> str` is its scale key (the {n}/{tag} the engine
+    builds under)."""
+    CACHE_GLOB_RESOLVERS[family] = key_fn
+
+
+def resolve_cache_globs(sql: str, sf_dir: str) -> str:
+    """Rewrite every registered '<family>_*' glob in `sql` to the
+    scale-keyed directory for `sf_dir`. Idempotent on SQL with no cache
+    globs."""
+    for family, key_fn in CACHE_GLOB_RESOLVERS.items():
+        sql = sql.replace(f"{family}_*", f"{family}_{key_fn(sf_dir)}")
+    return sql
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    sql = resolve_cache_globs(sql, sf_dir)
     con = duckdb_connection(sf_dir)
     try:
         return con.execute(sql).fetchdf()

@@ -440,6 +440,10 @@ _NEW_MOD = 4  # doc_id % 4 == 0 -> "new" batch (deterministic 25% daily slice)
 _STATE_PATH_TPL = _os.path.join(_STATE_CACHE_DIR, "lsh_bands_{tag}")
 _STATE_GLOB = _os.path.join(_STATE_CACHE_DIR, "lsh_bands_*", "*.parquet")
 
+from d3d_etl_spark.oracle import register_cache_family as _register_family  # noqa: E402
+
+_register_family("lsh_bands", _sf_tag)
+
 
 def batch1_band_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted dedup state: batch-1 (doc, band_idx, band_key) rows.

@@ -28,22 +28,25 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from d3d_etl_spark.oracle import register_cache_family
 from d3d_etl_spark.pbp.metrics import LW_CLASSES, REACHING
 from d3d_etl_spark.queries.registry import register
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CACHE_DIR = os.path.join(_REPO_ROOT, ".domain_cache")
-# The parquet path is SCALE-SPECIFIC ({n} = game count) and the oracle SQL
-# (rendered once at import) globs parsed_pbp_*: materialized_parsed prunes
-# other scales' directories once its own scale is materialized, so the glob
-# always resolves to exactly the active scale and a scale switch can never
-# serve a half-overwritten directory (the old single-path overwrite could —
-# a concurrent run at another SF clobbered the parquet mid-read).
+# The parquet path is SCALE-SPECIFIC ({n} = game count). Oracle SQL
+# (rendered once at import) globs parsed_pbp_*; resolve_cache_globs
+# rewrites that glob to the sf-specific directory at run time, so scales
+# coexist side-by-side (LRU-capped) and a scale switch can never serve a
+# half-overwritten directory (builds go through a temp dir + os.replace).
 _PARSED_PATH_TPL = os.path.join(_CACHE_DIR, "parsed_pbp_{n}")
 _MARKER_TPL = os.path.join(_CACHE_DIR, "parsed_pbp_{n}.done")
 _PARSED_GLOB = os.path.join(_CACHE_DIR, "parsed_pbp_*", "*.parquet")
 
 _LG_OBP = 0.360
+
+# scales kept side-by-side per cache family before the LRU sweep evicts
+_CACHE_LRU_KEEP = 4
 
 
 def _games_for(sf_dir: str) -> int:
@@ -51,6 +54,10 @@ def _games_for(sf_dir: str) -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
     return max(10, int(sf * 3000))
+
+
+register_cache_family("parsed_pbp", lambda sf_dir: str(_games_for(sf_dir)))
+register_cache_family("bucketed_spine", lambda sf_dir: str(_games_for(sf_dir)))
 
 
 def sf_tag(sf_dir: str) -> str:
@@ -62,19 +69,23 @@ def sf_tag(sf_dir: str) -> str:
     return (m.group(1) if m else "x").replace(".", "p")
 
 
-def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None:
+def _ensure_materialized(path: str, marker: str, family_glob: str, build) -> None:
     """Skip-if-exists materialization with crash/concurrency safety.
 
     The fast path (marker + dir present) never takes the lock. On the
     regeneration path: serialize regenerators with an flock'd PER-FAMILY
-    lock file (two processes switching scales used to race the prune
+    lock file (two processes switching scales used to race the sweep
     against each other's build; per-family, not global, because the parsed
     build nests a raw build — one shared lock would self-deadlock the
     process on its second fd), re-check under the lock, build into a temp dir and
     `os.replace` it into place (a crashed build can't leave a
-    half-written dir that the marker check would trust), THEN prune other
-    scales. The import-time oracle glob stays unambiguous: only one scale
-    survives a regeneration.
+    half-written dir that the marker check would trust), THEN LRU-sweep
+    the family: scales coexist SIDE-BY-SIDE (verify at sf0.01 and bench at
+    sf0.1 no longer thrash each other's state) up to _CACHE_LRU_KEEP
+    entries; only the least-recently-built beyond the cap are removed.
+    Oracle SQL stays unambiguous because resolve_cache_globs
+    (d3d_etl_spark/oracle.py) rewrites each family's '_*' glob to the
+    scale-keyed directory at run time.
 
     The temp dir is DOT-prefixed (``.tmp_<name>``) so it sits OUTSIDE the
     family's glob namespace: a build that crashes mid-write must not leave
@@ -88,9 +99,11 @@ def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None
     import shutil
 
     if os.path.exists(marker) and os.path.isdir(path):
+        # touch the marker so the LRU sweep sees this scale as live
+        os.utime(marker)
         return
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    family = os.path.basename(prune_glob).replace("*", "")
+    family = os.path.basename(family_glob).replace("*", "")
     with open(os.path.join(_CACHE_DIR, f".{family}regen.lock"), "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
@@ -110,12 +123,21 @@ def _ensure_materialized(path: str, marker: str, prune_glob: str, build) -> None
             os.replace(tmp, path)
             with open(marker, "w") as f:
                 f.write(os.path.basename(path))
-            for other in _glob.glob(prune_glob):
-                if other != path and os.path.isdir(other):
+            # LRU sweep: keep the _CACHE_LRU_KEEP most-recently-used scales
+            # of this family (marker mtime = last build/use), drop the rest
+            live = sorted(
+                (
+                    d
+                    for d in _glob.glob(family_glob)
+                    if os.path.isdir(d) and os.path.exists(d + ".done")
+                ),
+                key=lambda d: os.path.getmtime(d + ".done"),
+                reverse=True,
+            )
+            for other in live[_CACHE_LRU_KEEP:]:
+                if other != path:
                     shutil.rmtree(other, ignore_errors=True)
-                    m = other + ".done"
-                    if os.path.exists(m):
-                        os.remove(m)
+                    os.remove(other + ".done")
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
