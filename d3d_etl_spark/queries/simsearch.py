@@ -679,6 +679,11 @@ _IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_{tag}")
 _IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_*", "*.parquet")
 _IVF_ASSIGN_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_*", "*.parquet")
 
+from d3d_etl_spark.oracle import register_cache_family as _register_family  # noqa: E402
+
+for _fam in ("ivf_cents", "ivf_assign", "pq_cb", "pq_codes"):
+    _register_family(_fam, _ivf_tag)
+
 
 def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) of the batch-1 index, persisted per scale.
@@ -1125,8 +1130,7 @@ def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg over (cluster, pos), one broadcast k*dim reassignment join).
 # ---------------------------------------------------------------------------
 
-_KMEANS2_ORACLE = f"""
-WITH e0 AS (
+_KM2_CTES = f"""e0 AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS pos
   FROM embeddings
@@ -1180,21 +1184,28 @@ ranked2 AS (
          ) AS rn
   FROM scores2
 ),
-asgn2 AS (SELECT vec_id, cluster, sim FROM ranked2 WHERE rn = 1)
+asgn2 AS (SELECT vec_id, cluster, sim FROM ranked2 WHERE rn = 1)"""
+
+_KMEANS2_ORACLE = f"""
+WITH {_KM2_CTES}
 SELECT CAST(1 AS BIGINT) AS iter, vec_id, cluster, sim FROM asgn1
 UNION ALL
 SELECT CAST(2 AS BIGINT), vec_id, cluster, sim FROM asgn2
 """
 
 
-@register("z_sim_kmeans_iter", _KMEANS2_ORACLE, tags=("similarity",))
-def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two oracled Lloyd iterations of spherical k-means: iteration 2's
-    centroids come from iteration 1's assignments — the convergence loop's
-    body as SQL-mirrored evidence."""
+def _kmeans2_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two Lloyd iterations over the sf_dir embeddings table."""
+    return kmeans2_assign_emb(load_table(spark, sf_dir, "embeddings"))
+
+
+def kmeans2_assign_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two Lloyd iterations of spherical k-means from a hash-seeded random
+    partition (no labels consumed): returns (asgn1, asgn2), each
+    (vec_id, assigned_label, sim). Shared by the oracled iteration query
+    and the trained-coarse-quantizer IVF-PQ index build."""
     from d3d_etl_spark.functions.strings import md5_int
 
-    emb = load_table(spark, sf_dir, "embeddings")
     seeded = emb.withColumn(
         "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
     )
@@ -1209,6 +1220,15 @@ def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents2 = label_centroids(relabeled, "cluster")
     asgn2 = assign_nearest_centroid(emb, cents2, "cluster")
+    return asgn1, asgn2
+
+
+@register("z_sim_kmeans_iter", _KMEANS2_ORACLE, tags=("similarity",))
+def z_sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two oracled Lloyd iterations of spherical k-means: iteration 2's
+    centroids come from iteration 1's assignments — the convergence loop's
+    body as SQL-mirrored evidence."""
+    asgn1, asgn2 = _kmeans2_assign(spark, sf_dir)
     row = lambda df, i: df.select(  # noqa: E731
         F.lit(i).cast("long").alias("iter"),
         "vec_id",
@@ -1649,8 +1669,7 @@ def z_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differs per cell) — nprobe*m*ks rows, still broadcast-sized.
 # ---------------------------------------------------------------------------
 
-_IVFPQR_ORACLE = f"""
-WITH lc AS (
+_IVFPQR_BODY = f"""lc AS (
   SELECT vec_id, label,
          CAST(unnest(range(len(embedding))) AS BIGINT) // {_PQ_DSUB} AS sub,
          CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
@@ -1716,6 +1735,8 @@ SELECT vec_id, label, adist,
 FROM rsc
 """
 
+_IVFPQR_ORACLE = "\nWITH " + _IVFPQR_BODY
+
 
 def _labeled_comps(emb: DataFrame) -> DataFrame:
     """(vec_id, label, sub, pos, xs): fixed-point subspace components that
@@ -1746,16 +1767,15 @@ def residual_comps(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return icents, res
 
 
-@register("z_sim_ivfpq_residual", _IVFPQR_ORACLE, tags=("similarity",))
-def z_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with residual encoding: codebooks trained on and codes
-    assigned to (vector - coarse centroid) integer residuals; ADC scores
-    against a per-probed-cell distance table. Beyond-reference operator
-    (the FAISS IVF-PQ §IV default)."""
+def _ivfpq_residual_search(emb: DataFrame) -> DataFrame:
+    """Residual IVF-PQ search over `emb` (vec_id, label, embedding):
+    residual codebook training + encoding, nprobe coarse probe, per-cell
+    ADC, exact-integer ranking. `label` is whatever coarse-cell column the
+    caller provides — planted cells (z_sim_ivfpq_residual) or cells
+    LEARNED by the k-means machinery (z_sim_ivfpq_trained)."""
     from d3d_etl_spark.operators.pq import pq_codebooks_from_comps, pq_encode_comps
     from d3d_etl_spark.operators.similarity import ivf_probe_labels, label_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
     icents, res = residual_comps(emb)
     res = res.localCheckpoint()  # feeds codebook training AND encoding
     rcb = pq_codebooks_from_comps(
@@ -1808,6 +1828,62 @@ def z_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adist",
         F.coalesce(F.col("_sel"), F.lit(0)).cast("int").alias("sel"),
     )
+
+
+@register("z_sim_ivfpq_residual", _IVFPQR_ORACLE, tags=("similarity",))
+def z_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding: codebooks trained on and codes
+    assigned to (vector - coarse centroid) integer residuals; ADC scores
+    against a per-probed-cell distance table. Beyond-reference operator
+    (the FAISS IVF-PQ §IV default)."""
+    return _ivfpq_residual_search(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# z_sim_ivfpq_trained — residual IVF-PQ over a TRAINED coarse quantizer:
+# the index the FAISS recipe actually builds on unlabeled data. The two
+# oracled Lloyd iterations (z_sim_kmeans_iter's machinery, hash-seeded
+# random partition) learn the coarse cells from the vectors alone; the
+# residual-PQ chain then runs on the learned cells unchanged. Closes the
+# "coarse cells come from the planted label column" gap — this variant
+# consumes NO labels anywhere.
+# Oracle: the k-means CTE chain feeds a relabeled embeddings view (tre),
+# and the residual-IVF-PQ body runs verbatim over it — one chained
+# definition on both engines, so training AND search are driver-hashed.
+# Scale shape: index build = 2x (assignment agg + dimension-sized
+# re-mean) with broadcast centroids, checkpointed like the incremental
+# IVF state; search is byte-identical to z_sim_ivfpq_residual's.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_TRAINED_ORACLE = f"""
+WITH {_KM2_CTES},
+tre AS (
+  SELECT e.vec_id, a.cluster AS label, e.embedding
+  FROM embeddings e JOIN asgn2 a ON e.vec_id = a.vec_id
+),
+{_IVFPQR_BODY.replace("FROM embeddings", "FROM tre")}
+"""
+
+
+@register(
+    "z_sim_ivfpq_trained", _IVFPQ_TRAINED_ORACLE, tags=("similarity",), bench=True
+)
+def z_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ whose coarse cells are LEARNED (2 Lloyd iterations
+    from a hash-seeded partition) instead of read from the planted label
+    column — the end-to-end unlabeled index build + search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, asgn2 = _kmeans2_assign(spark, sf_dir)
+    # materialize the learned assignment (it feeds every downstream stage),
+    # then stamp it on as the coarse-cell column; shuffle-hash after the
+    # checkpoint per the repo's lost-stats convention
+    cells = asgn2.select(
+        "vec_id", F.col("assigned_label").alias("label")
+    ).localCheckpoint()
+    trained = (
+        emb.drop("label").join(cells.hint("shuffle_hash"), "vec_id").localCheckpoint()
+    )
+    return _ivfpq_residual_search(trained)
 
 
 # ---------------------------------------------------------------------------
