@@ -166,19 +166,17 @@ def blocked_fuzzy_join(
         # the single-key join plan is unchanged.
         from d3d_etl_spark.functions.strings import md5_int
 
-        wb = Window.partitionBy(*block_keys)
-        cands_s = (
-            candidates.withColumn("_bn", F.count("*").over(wb))
-            .withColumn(
-                "_nsub", F.ceil(F.col("_bn") / FUZZY_MAX_BLOCK).cast("int")
-            )
-            .withColumn(
-                "_salt",
-                F.pmod(md5_int(F.col(cand_id).cast("string")), F.col("_nsub")).cast("int"),
-            )
-            .drop("_bn")
+        # block sizes via groupBy+join, not a count window: map-side partial
+        # aggregation, and no WindowExec buffering a whole mega-block in one
+        # task on the candidate branch (the window was spillable-linear, but
+        # this computes the same _nsub with bounded per-task state)
+        nsub_map = candidates.groupBy(*block_keys).agg(
+            F.ceil(F.count("*") / FUZZY_MAX_BLOCK).cast("int").alias("_nsub")
         )
-        nsub_map = cands_s.select(*block_keys, "_nsub").distinct()
+        cands_s = candidates.join(nsub_map, list(block_keys)).withColumn(
+            "_salt",
+            F.pmod(md5_int(F.col(cand_id).cast("string")), F.col("_nsub")).cast("int"),
+        )
         probes_s = (
             unmatched.join(nsub_map, block_keys)
             .withColumn("_salt", F.explode(F.expr("sequence(0, _nsub - 1)")))

@@ -351,6 +351,9 @@ def test_fuzzy_fallback_hot_block_bound(spark, monkeypatch):
     assert got == want, (len(got), len(want))
     plan = split._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan, "sub-block salt never reached the scoring join"
+    # block sizes come from groupBy+join (map-side partial agg), never a
+    # count window buffering a whole mega-block in one candidate-side task
+    assert "count(1) windowspecdefinition" not in plan, plan
 
     # unsplit fallback (cap above every block) also matches — _nsub = 1
     monkeypatch.setattr(fj, "FUZZY_MAX_BLOCK", 4096)
