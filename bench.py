@@ -16,6 +16,14 @@ the same dict plus `samples` — is always on disk. Samples let a reader
 tell host noise (median far above min, runs scattered) from a real plan
 regression (all runs shifted) without re-benchmarking.
 
+Since round 7 each sample also carries `max_task` — per-task maxima
+(input MB / shuffle-read MB / peak execution memory MB, plus the top
+memory stage) read from the UI REST API across the query's stages, the
+stress harness's scale-safety read folded into every bench run: wall
+clocks drift with host contention, task maxima do not, so plan-regression
+adjudication is a data read. Absent (not zero) when the UI is
+unreachable.
+
 Each query is forced end-to-end with the noop sink (full computation, no
 collect/serialization overhead measured). One warm-up of a trivial job runs
 first so JVM/codegen startup is not attributed to the first query.
@@ -51,8 +59,16 @@ def main() -> None:
     # under its new name rather than faking continuity with old pbp_dag.
     aliases = {"z_join_asof": "join_asof"}
 
-    spark = get_spark(app_name="d3d-etl-spark-bench")
+    ui_port = int(os.environ.get("SPARK_GRAFT_BENCH_UI_PORT", "4047"))
+    spark = get_spark(
+        app_name="d3d-etl-spark-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(ui_port)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    from d3d_etl_spark.plans import taskmetrics as tm
+
+    app = tm.app_id(ui_port)  # None -> samples ship without max_task
 
     # warm-up: JVM, parquet reader path, codegen, and the Python worker pool
     # (first pandas-UDF query otherwise pays ~32 interpreter spawns + pandas
@@ -78,6 +94,7 @@ def main() -> None:
     # swings between runs with identical code); the raw runs are published
     # in `samples` so regressions can be told from noise after the fact.
     for name, q in bench_queries.items():
+        before = tm.completed_stages(ui_port, app) if app else {}
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -86,6 +103,16 @@ def main() -> None:
         key = aliases.get(name, name)
         timings[key] = min(runs)
         samples[key] = {"min": min(runs), "median": sorted(runs)[1], "runs": runs}
+        if app:  # REST reads sit OUTSIDE the timed sections
+            after = tm.completed_stages(ui_port, app)
+            new = {k: v for k, v in after.items() if k not in before}
+            mx = tm.task_maxima(ui_port, app, new)
+            samples[key]["max_task"] = {
+                "input_mb": round(mx["input_bytes"] / 2**20, 1),
+                "shuffle_read_mb": round(mx["shuffle_read_bytes"] / 2**20, 1),
+                "peak_exec_mem_mb": round(mx["peak_exec_mem"] / 2**20, 1),
+                "top_mem_stage": (mx["top_mem_stages"] or [{}])[0],
+            }
 
     total = round(sum(timings.values()), 3)
     payload = {

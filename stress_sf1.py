@@ -12,7 +12,10 @@ What it does:
      grows linearly instead of manufacturing a 10x-duplicate corpus:
        - documents: every token suffixed with a replica tag (replica 0 kept
          verbatim) — within-replica shingle/LSH structure is preserved
-         exactly, cross-replica token sets are disjoint (Jaccard 0).
+         exactly, cross-replica token overlap collapses to near-zero (a
+         source token already ending in x<digit>, e.g. 'ax1', can collide
+         with replica 1's suffixed 'a', so Jaccard is ~0, not exactly 0 —
+         measurement-fidelity nuance only, no correctness impact).
        - embeddings: per-(dim, replica) deterministic sign flips — a global
          isometry per replica, so within-replica cosine geometry (clusters,
          near-dup pairs) is IDENTICAL to the original while cross-replica
@@ -38,7 +41,6 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -147,51 +149,25 @@ def build_sf1(spark: SparkSession) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _get(path: str):
-    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.loads(r.read())
+# shared with bench.py since round 7 (d3d_etl_spark/plans/taskmetrics.py)
 
 
 def _app_id() -> str:
-    return _get("applications")[0]["id"]
+    from d3d_etl_spark.plans import taskmetrics as tm
+
+    return tm.rest_get(UI_PORT, "applications")[0]["id"]
 
 
 def _completed_stages(app: str) -> dict[tuple[int, int], dict]:
-    return {
-        (s["stageId"], s["attemptId"]): s
-        for s in _get(f"applications/{app}/stages?status=COMPLETE")
-    }
+    from d3d_etl_spark.plans import taskmetrics as tm
+
+    return tm.completed_stages(UI_PORT, app)
 
 
 def _task_maxima(app: str, stages: dict) -> dict:
-    """Max-over-tasks input bytes / shuffle-read bytes / peak exec memory
-    across the given stages (taskSummary at quantile 1.0), plus the top-3
-    stages by per-task peak memory for attribution."""
-    mx = {"input_bytes": 0, "shuffle_read_bytes": 0, "peak_exec_mem": 0}
-    by_mem: list[tuple[int, str]] = []
-    for (sid, att), meta in stages.items():
-        try:
-            s = _get(
-                f"applications/{app}/stages/{sid}/{att}/taskSummary?quantiles=1.0"
-            )
-        except Exception:
-            continue  # stage with no task summary (e.g. skipped)
-        mx["input_bytes"] = max(
-            mx["input_bytes"], int(s.get("inputMetrics", {}).get("bytesRead", [0])[-1])
-        )
-        mx["shuffle_read_bytes"] = max(
-            mx["shuffle_read_bytes"],
-            int(s.get("shuffleReadMetrics", {}).get("readBytes", [0])[-1]),
-        )
-        peak = int(s.get("peakExecutionMemory", [0])[-1])
-        mx["peak_exec_mem"] = max(mx["peak_exec_mem"], peak)
-        by_mem.append((peak, f"s{sid} {meta.get('name', '?')[:80]}"))
-    mx["top_mem_stages"] = [
-        {"peak_mb": round(p / 2**20, 1), "stage": n}
-        for p, n in sorted(by_mem, reverse=True)[:3]
-    ]
-    return mx
+    from d3d_etl_spark.plans import taskmetrics as tm
+
+    return tm.task_maxima(UI_PORT, app, stages)
 
 
 # ---------------------------------------------------------------------------
