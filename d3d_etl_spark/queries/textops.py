@@ -1579,6 +1579,10 @@ def bm25_corpus_state(
         .localCheckpoint()
     )
     dft = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    # fit_n_docs/fit_t_tokens fingerprint the fit: the streaming twin
+    # asserts they match the stats frame it was handed, so an idf/stats
+    # pair from two different corpora (same terms) fails fast instead of
+    # scoring wrong-but-plausible
     idf = dft.crossJoin(F.broadcast(stats)).select(
         "tok",
         F.round(
@@ -1586,6 +1590,8 @@ def bm25_corpus_state(
         )
         .cast("long")
         .alias("idf_q"),
+        F.col("n_docs").alias("fit_n_docs"),
+        F.col("t_tokens").alias("fit_t_tokens"),
     )
     return dl, tf, stats, idf
 

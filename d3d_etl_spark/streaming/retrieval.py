@@ -26,10 +26,17 @@ twin's eligibility convention.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.text import tokens
+
+# terms are interpolated into column names and an F.expr SQL string below:
+# only identifier-safe terms are accepted (anything the tokenizer emits
+# that matches this is fine; whitespace/quotes/dots/hyphens are not)
+_SAFE_TERM = re.compile(r"^[a-z0-9_]+$")
 
 
 def streaming_bm25_scores(
@@ -40,11 +47,17 @@ def streaming_bm25_scores(
 ) -> DataFrame:
     """Score a stream of (doc_id, text) rows with frozen BM25 state:
     (doc_id, n_tokens, score_q, n_terms_hit). `idf` is the batch (tok,
-    idf_q) table, `stats` the 1-row (n_docs, t_tokens) frame — both
-    dimension-sized, collected to literals. Fails fast on an idf table
-    that doesn't belong to `terms` (a frozen-state mixup would silently
-    score the wrong query)."""
-    idf_rows = {r["tok"]: int(r["idf_q"]) for r in idf.collect()}
+    idf_q[, fit_n_docs, fit_t_tokens]) table, `stats` the 1-row (n_docs,
+    t_tokens) frame — both dimension-sized, collected to literals. Fails
+    fast on a frozen-state mixup: an idf table that doesn't belong to
+    `terms`, an unsafe term (terms are interpolated into SQL), or an
+    idf/stats pair fit on different corpora (the fit fingerprint
+    bm25_corpus_state stamps on the idf frame must echo stats)."""
+    bad = [t for t in terms if not _SAFE_TERM.match(t)]
+    if bad:
+        raise ValueError(f"terms must match {_SAFE_TERM.pattern}: {bad}")
+    idf_pdf = idf.collect()
+    idf_rows = {r["tok"]: int(r["idf_q"]) for r in idf_pdf}
     unknown = set(idf_rows) - set(terms)
     if unknown:
         raise ValueError(f"idf table carries non-query terms: {sorted(unknown)}")
@@ -52,6 +65,13 @@ def streaming_bm25_scores(
     if len(srow) != 1:
         raise ValueError(f"stats must be exactly one row, got {len(srow)}")
     n_docs, t_tokens = int(srow[0]["n_docs"]), int(srow[0]["t_tokens"])
+    if idf_pdf and "fit_n_docs" in idf.columns:
+        fps = {(int(r["fit_n_docs"]), int(r["fit_t_tokens"])) for r in idf_pdf}
+        if fps != {(n_docs, t_tokens)}:
+            raise ValueError(
+                f"idf fit fingerprint {sorted(fps)} does not match stats "
+                f"({n_docs}, {t_tokens}): idf and stats come from different fits"
+            )
 
     out = doc_stream.select(
         "doc_id",

@@ -870,3 +870,16 @@ def test_streaming_bm25_matches_batch_exactly(spark, sf_dir, tmp_path):
     bad_idf = idf.withColumn("tok", F.concat(F.lit("x_"), F.col("tok")))
     with pytest.raises(ValueError, match="non-query terms"):
         streaming_bm25_scores(src, bad_idf, stats, _BM_TERMS)
+
+    # unsafe-term guard: terms are interpolated into column names and an
+    # F.expr SQL string, so anything non-identifier must fail fast
+    with pytest.raises(ValueError, match="terms must match"):
+        streaming_bm25_scores(src, idf, stats, ("hash", "a b'); --"))
+
+    # fit-fingerprint guard: idf and stats from DIFFERENT fits (same term
+    # set) must not score silently
+    other_stats = stats.select(
+        (F.col("n_docs") + 1).alias("n_docs"), F.col("t_tokens")
+    )
+    with pytest.raises(ValueError, match="different fits"):
+        streaming_bm25_scores(src, idf, other_stats, _BM_TERMS)
