@@ -14,6 +14,7 @@ def load_all() -> None:
         dedup,
         domain,
         fuzzy,
+        pbp_fixture,
         pbpwide,
         pipeline_corpus,
         relational,
