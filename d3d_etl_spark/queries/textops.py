@@ -1486,6 +1486,168 @@ def z_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z_corpus_repetition_long — the Gopher dup-gram family at its PUBLISHED
+# widths (Rae et al. 2021 Table A1: duplicate 5..10-grams, caps 0.15 down
+# to 0.10). The provided corpus is short-doc, so widths 5..10 are
+# degenerate on raw documents (measured — z_corpus_repetition's section
+# comment); this variant derives a LONG-document slice from the same
+# table: consecutive runs of _REPL_GROUP docs concatenate into one long
+# document, with the run's first-doc 12-token prefix re-inserted before
+# every _REPL_BOILER_MOD-th member — the repeated-boilerplate shape real
+# long web documents have (headers/footers/navigation between sections).
+# Deterministic, derived from the corpus on BOTH engines (no planted
+# table), and calibrated so the verdict is non-degenerate at the gate
+# scale (8/10 long docs pass, every width strictly positive).
+# Scale shape: the long-doc build buffers exactly _REPL_GROUP member
+# texts per group (fixed, corpus-size-independent), grouped on the
+# derived g key; the dup computation is the base query's one-explode
+# multi-width pass with doc-grain hash aggs.
+# ---------------------------------------------------------------------------
+
+_REPL_GROUP = 50
+_REPL_BOILER_N = 12
+_REPL_BOILER_MOD = 8
+_REPL_NS = (5, 6, 7, 8, 9, 10)
+# Gopher Table A1 duplicate n-gram caps at Q=1e6: 0.15, 0.14, ..., 0.10
+_REPL_CAP = {n: 150_000 - (n - 5) * 10_000 for n in _REPL_NS}
+
+_REPL_PASS_SQL = " AND ".join(f"dup{n}_q <= {_REPL_CAP[n]}" for n in _REPL_NS)
+
+_REPL_ORACLE = f"""
+WITH m AS (SELECT doc_id // {_REPL_GROUP} AS g, doc_id, text FROM documents),
+b AS (
+  SELECT g, array_to_string(({sql_tokens('lower(text)')})[1:{_REPL_BOILER_N}], ' ') AS boiler
+  FROM (SELECT g, text, ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id) AS rn
+        FROM m) t
+  WHERE rn = 1
+),
+longdocs AS (
+  SELECT m.g,
+         string_agg(CASE WHEN m.doc_id % {_REPL_BOILER_MOD} = 0
+                         THEN b.boiler || ' ' || m.text ELSE m.text END,
+                    ' ' ORDER BY m.doc_id) AS text
+  FROM m JOIN b USING (g) GROUP BY m.g
+),
+base AS (
+  SELECT g, {sql_tokens('lower(text)')} AS toks FROM longdocs
+),
+b2 AS (
+  SELECT g, toks, length(array_to_string(toks, ' ')) AS den
+  FROM base WHERE len(toks) >= 2
+),
+widths AS (SELECT unnest([{", ".join(str(n) for n in _REPL_NS)}]) AS n),
+grams AS (
+  SELECT g, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+  FROM b2 CROSS JOIN widths, unnest(range(1, len(toks) - n + 2)) AS t(i)
+),
+counts AS (SELECT g, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT g, n,
+         SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) ELSE 0 END) AS dup_num
+  FROM counts GROUP BY 1, 2
+),
+piv AS (
+  SELECT g,
+         {", ".join(f"MAX(CASE WHEN n = {n} THEN dup_num END) AS d{n}" for n in _REPL_NS)}
+  FROM per_n GROUP BY 1
+),
+q AS (
+  SELECT b2.g AS long_doc_id, CAST(len(b2.toks) AS BIGINT) AS n_tokens,
+         {", ".join(f"CAST(COALESCE(d{n}, 0) * {_REP_Q} // den AS BIGINT) AS dup{n}_q" for n in _REPL_NS)}
+  FROM b2 LEFT JOIN piv ON b2.g = piv.g
+)
+SELECT long_doc_id, n_tokens, {", ".join(f"dup{n}_q" for n in _REPL_NS)},
+       ({_REPL_PASS_SQL}) AS rep_pass
+FROM q
+"""
+
+
+@register(
+    "z_corpus_repetition_long", _REPL_ORACLE, tags=("textops", "quality"), bench=True
+)
+def z_corpus_repetition_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram signals at the PUBLISHED widths (5..10,
+    Table A1 caps) over a derived long-document slice (fixed-size doc runs
+    with re-inserted first-doc boilerplate). Exact-integer fractions,
+    deterministic verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.expr(f"doc_id div {_REPL_GROUP}").alias("g"), "doc_id", "text"
+    )
+    boiler = (
+        m.groupBy("g")
+        .agg(F.min(F.struct("doc_id", "text")).alias("f"))
+        .select(
+            "g",
+            F.array_join(
+                F.slice(tokens(F.lower(F.col("f.text"))), 1, _REPL_BOILER_N), " "
+            ).alias("boiler"),
+        )
+    )
+    member = m.join(boiler, "g").select(
+        "g",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _REPL_BOILER_MOD == 0,
+            F.concat(F.col("boiler"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    # per-group buffer = exactly _REPL_GROUP member texts (fixed run size,
+    # corpus-size-independent) — bounded by construction
+    longdocs = member.groupBy("g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    base = (
+        longdocs.select("g", tokens(F.lower(F.col("text"))).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .withColumn("den", F.length(F.array_join("toks", " ")))
+    )
+
+    def _tag(n: int):
+        return lambda s: F.struct(F.lit(n).alias("n"), s.alias("gram"))
+
+    combined = F.concat(
+        *[F.transform(word_shingles(F.col("toks"), n), _tag(n)) for n in _REPL_NS]
+    )
+    grams = base.select("g", F.explode(combined).alias("x")).select(
+        "g", F.col("x.n").alias("n"), F.col("x.gram").alias("gram")
+    )
+    counts = grams.groupBy("g", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_n = counts.groupBy("g", "n").agg(
+        F.sum(
+            F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram")).otherwise(0)
+        ).alias("dup_num")
+    )
+    piv = per_n.groupBy("g").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_num"))).alias(f"d{n}")
+            for n in _REPL_NS
+        ]
+    )
+    q = base.select(
+        "g", F.size("toks").cast("long").alias("n_tokens"), "den"
+    ).join(piv, "g", "left")
+    for n in _REPL_NS:
+        q = q.withColumn(
+            f"dup{n}_q", F.expr(f"coalesce(d{n}, 0) * {_REP_Q} div den")
+        )
+    return q.select(
+        F.col("g").alias("long_doc_id"),
+        "n_tokens",
+        *[f"dup{n}_q" for n in _REPL_NS],
+        F.expr(_REPL_PASS_SQL).alias("rep_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # z_text_bm25 — BM25 top-k retrieval (Robertson & Zaragoza 2009) over the
 # corpus for a fixed literal query, exact-integer end to end:
 #
