@@ -55,6 +55,55 @@ TASK_BYTES_BOUND = 512 * 1024 * 1024  # max input/shuffle-read per task
 TASK_MEM_BOUND = 1024 * 1024 * 1024  # max peak execution memory per task
 
 FLAGSHIPS = ("corpus_pipeline", "z_sim_pipeline", "z_pbp_dag")
+# round-7 additions: the two newest heavy shapes (VERDICT r6 missing #3) —
+# the tfidf posting-list self-join (prove the df<=256 posting cap holds the
+# worst task flat at 10x) and the fuzzy-join non-broadcast fallback with
+# every block a mega-block (prove the id-hash sub-block bound)
+EXTRA_SHAPES = ("z_text_tfidf_topk", "fuzzy_forced_fallback")
+
+
+def _fuzzy_forced_fallback(spark: SparkSession, sf_dir: str):
+    """The fuzzy-join FALLBACK path (broadcast_candidates=False) at both
+    scales: the sf1 variant replicates `part` 10x with replica-suffixed
+    names (decorrelated, same brand blocks), so every p_brand block
+    (~800 rows at sf0.1) becomes ~8000 rows — over FUZZY_MAX_BLOCK=4096,
+    forcing the id-hash sub-block split the bound promises."""
+    from d3d_etl_spark.operators.fuzzy_join import blocked_fuzzy_join
+
+    part = spark.read.parquet(os.path.join(SRC, "part.parquet")).select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    if sf_dir == DST:
+        r = spark.range(REPS).select(F.col("id").alias("rep"))
+        part = part.crossJoin(r).select(
+            (F.col("p_partkey") + F.col("rep") * F.lit(100_000_000)).alias(
+                "p_partkey"
+            ),
+            F.col("p_brand"),
+            F.when(F.col("rep") == 0, F.col("p_name"))
+            .otherwise(F.concat(F.col("p_name"), F.lit(" r"), F.col("rep")))
+            .alias("p_name"),
+        )
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.expr("substr(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("probe_name"),
+    )
+    return blocked_fuzzy_join(
+        probes,
+        part,
+        block_keys=["p_brand"],
+        probe_id="probe_id",
+        probe_name="probe_name",
+        cand_id="p_partkey",
+        cand_name="p_name",
+        broadcast_candidates=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -201,16 +250,21 @@ def main() -> int:
     app = _app_id()
     qs = mod.queries()
 
+    runnables = {name: qs[name] for name in FLAGSHIPS}
+    runnables["z_text_tfidf_topk"] = qs["z_text_tfidf_topk"]
+    runnables["fuzzy_forced_fallback"] = _fuzzy_forced_fallback
+
     out: dict = {"build_s": round(build_s, 1), "sf_pairs": {}}
     violations: list[str] = []
-    for name in FLAGSHIPS:
+    for name in (*FLAGSHIPS, *EXTRA_SHAPES):
+        fn = runnables[name]
         out["sf_pairs"][name] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
             before = set(_completed_stages(app))
             walls = []
             for _ in range(2):  # run twice: [0] pays JIT/cache warmup, [1] is steady-state
                 t0 = time.time()
-                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 walls.append(time.time() - t0)
             wall = min(walls)
             after = _completed_stages(app)
