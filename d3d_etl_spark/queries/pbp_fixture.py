@@ -124,16 +124,21 @@ def _seg_levels(inner: str, p: str, seg: str, gate: str, i: str, o: str) -> str:
     """Three derived-table levels applying runner segment column `seg` to
     state columns {i}1..{i}3, producing {o}1..{o}3 — the SQL form of
     state._apply_runner_segment, gated by `gate` (passthrough when false
-    or when the segment doesn't parse as a runner action)."""
+    or when the segment doesn't parse as a runner action). Pinch-run
+    segments rename the OLD runner's base slot to the new name in place;
+    a pinch naming a runner not on base is a no-op (same as the engine —
+    e.g. the pinch target is this play's batter, not yet placed)."""
     lvl_parse = f"""SELECT *,
       nullif(trim(regexp_extract({seg}, '{_q(_RUNNER_PAT)}', 1)), '') AS {p}nm,
-      lower(regexp_extract({seg}, '{_q(_RUNNER_PAT)}', 2)) AS {p}act
+      lower(regexp_extract({seg}, '{_q(_RUNNER_PAT)}', 2)) AS {p}act,
+      nullif(trim(regexp_extract({seg}, '(?i)pinch ran for\\s+(.*)$', 1)), '') AS {p}old
     FROM ({inner})"""
+    lookup = f"COALESCE({p}old, {p}nm)"
     lvl_locate = f"""SELECT *,
       CASE WHEN NOT ({gate}) OR {p}nm IS NULL THEN NULL
-           WHEN {i}3 IS NOT NULL AND lower(trim({i}3)) = lower({p}nm) THEN 3
-           WHEN {i}2 IS NOT NULL AND lower(trim({i}2)) = lower({p}nm) THEN 2
-           WHEN {i}1 IS NOT NULL AND lower(trim({i}1)) = lower({p}nm) THEN 1
+           WHEN {i}3 IS NOT NULL AND lower(trim({i}3)) = lower({lookup}) THEN 3
+           WHEN {i}2 IS NOT NULL AND lower(trim({i}2)) = lower({lookup}) THEN 2
+           WHEN {i}1 IS NOT NULL AND lower(trim({i}1)) = lower({lookup}) THEN 1
            END AS {p}at,
       ({p}act LIKE 'scor%' OR {p}act LIKE 'out at%'
        OR {p}act LIKE 'caught stealing%' OR {p}act LIKE 'picked off%') AS {p}rm,
@@ -144,13 +149,79 @@ def _seg_levels(inner: str, p: str, seg: str, gate: str, i: str, o: str) -> str:
     FROM ({lvl_parse})"""
     outs = ",\n      ".join(
         f"""CASE
-        WHEN {p}at IS NULL OR ({p}rm = FALSE AND {p}dest IS NULL) THEN {i}{k}
+        WHEN {p}at IS NULL THEN {i}{k}
+        WHEN {p}old IS NOT NULL THEN
+             CASE WHEN {p}at = {k} THEN {p}nm ELSE {i}{k} END
+        WHEN ({p}rm = FALSE AND {p}dest IS NULL) THEN {i}{k}
         WHEN {p}dest = {k} THEN {p}nm
         WHEN {p}at = {k} THEN NULL
         ELSE {i}{k} END AS {o}{k}"""
         for k in (1, 2, 3)
     )
     return f"SELECT *,\n      {outs}\n    FROM ({lvl_locate})"
+
+
+def _pke_levels(inner: str, i: str, o: str) -> str:
+    """Pickoff-error handling (state.fsm_step's PKE branch): the runner is
+    SAFE — stays put unless segment 1 also narrates an advance or score.
+    Passthrough for every other event."""
+    lvl = f"""SELECT *,
+      nullif(trim(regexp_extract(seg1, '(?i)^\\s*(.*?)\\s+picked off', 1)), '') AS pknm,
+      regexp_extract(lower(seg1), 'advanc(?:ed|es) to (second|third|home)', 1) AS pkadv,
+      regexp_matches(lower(seg1), 'scor(?:ed|es)') AS pksc
+    FROM ({inner})"""
+    lvl2 = f"""SELECT *,
+      CASE WHEN event <> 'PKE' OR pknm IS NULL THEN NULL
+           WHEN {i}3 IS NOT NULL AND lower(trim({i}3)) = lower(pknm) THEN 3
+           WHEN {i}2 IS NOT NULL AND lower(trim({i}2)) = lower(pknm) THEN 2
+           WHEN {i}1 IS NOT NULL AND lower(trim({i}1)) = lower(pknm) THEN 1
+           END AS pkat,
+      CASE WHEN pkadv = 'second' THEN 2 WHEN pkadv = 'third' THEN 3
+           WHEN pkadv = 'home' THEN 4 WHEN pksc THEN 4 END AS pkdest
+    FROM ({lvl})"""
+    occ = f"CASE pkat WHEN 1 THEN {i}1 WHEN 2 THEN {i}2 WHEN 3 THEN {i}3 END"
+    outs = ",\n      ".join(
+        f"""CASE
+        WHEN pkat IS NULL OR pkdest IS NULL THEN {i}{k}
+        WHEN pkdest = {k} THEN {occ}
+        WHEN pkat = {k} THEN NULL
+        ELSE {i}{k} END AS {o}{k}"""
+        for k in (1, 2, 3)
+    )
+    return f"SELECT *,\n      {outs}\n    FROM ({lvl2})"
+
+
+def _extra_advance_levels(inner: str, runner_only_sql: str) -> str:
+    """Batter extra-advance narrated in segment 1 ('reached on a throwing
+    error, advanced to second'): applied AFTER placement, engine regex
+    mirrored literally ('advanced to ...', state.fsm_step:187-189).
+    n1..n3 -> g1..g3."""
+    gate = (
+        "event NOT IN ('NP', 'SUB', 'FOUL_ERR') AND event <> 'HR' "
+        f"AND event <> 'PKE' AND event NOT IN ({runner_only_sql}) "
+        "AND batter IS NOT NULL"
+    )
+    lvl = f"""SELECT *,
+      regexp_extract(lower(seg1), 'advanced to (second|third|home)', 1) AS xadv
+    FROM ({inner})"""
+    lvl2 = f"""SELECT *,
+      CASE WHEN NOT ({gate}) OR xadv = '' THEN NULL
+           WHEN n3 IS NOT NULL AND lower(trim(n3)) = lower(batter) THEN 3
+           WHEN n2 IS NOT NULL AND lower(trim(n2)) = lower(batter) THEN 2
+           WHEN n1 IS NOT NULL AND lower(trim(n1)) = lower(batter) THEN 1
+           END AS xat,
+      CASE WHEN xadv = 'second' THEN 2 WHEN xadv = 'third' THEN 3
+           WHEN xadv = 'home' THEN 4 END AS xdest
+    FROM ({lvl})"""
+    outs = ",\n      ".join(
+        f"""CASE
+        WHEN xat IS NULL THEN n{k}
+        WHEN xdest = {k} AND xdest <= 3 THEN batter
+        WHEN xat = {k} THEN NULL
+        ELSE n{k} END AS g{k}"""
+        for k in (1, 2, 3)
+    )
+    return f"SELECT *,\n      {outs}\n    FROM ({lvl2})"
 
 
 def _batter_levels(inner: str, i: str) -> str:
@@ -195,16 +266,24 @@ def _code(c1: str, c2: str, c3: str) -> str:
     )
 
 
-def _fixture_oracle() -> str:
+def _fixture_oracle(game: list[tuple[int, str, str]]) -> str:
     vals = ",\n    ".join(
         f"(CAST({seq + 1} AS BIGINT), {inning}, "
         f"'{'Top' if half == 'T' else 'Bottom'}', '{text.replace(chr(39), chr(39) * 2)}')"
-        for seq, (inning, half, text) in enumerate(FIXTURE_GAME)
+        for seq, (inning, half, text) in enumerate(game)
     )
     seg_gate = "event NOT IN ('NP', 'SUB', 'FOUL_ERR')"
     runner_only = ", ".join(f"'{c}'" for c in sorted(_RUNNER_ONLY))
+    # PKE is handled by its own stay-unless-advanced branch (engine
+    # fsm_step checks it before the runner-only dispatch), so segment 1
+    # must NOT be applied as a plain runner action for it — 'picked off'
+    # would wrongly remove the safe runner
+    seg1_runner_only = ", ".join(
+        f"'{c}'" for c in sorted(_RUNNER_ONLY) if c != "PKE"
+    )
     # the fsm_step order: reset -> narrated runner segments 2..4 -> (segment
-    # 1 as a runner action for runner-only events) -> batter placement
+    # 1 as a runner action for runner-only events | the PKE safe branch) ->
+    # batter placement -> batter extra-advance from segment 1
     chain = (
         "SELECT p.play_id, p.inning, p.half, p.event, p.batter,"
         " p.seg1, p.seg2, p.seg3, p.seg4,"
@@ -217,8 +296,12 @@ def _fixture_oracle() -> str:
     chain = _seg_levels(chain, "s2", "seg2", seg_gate, "a", "b")
     chain = _seg_levels(chain, "s3", "seg3", seg_gate, "b", "c")
     chain = _seg_levels(chain, "s4", "seg4", seg_gate, "c", "d")
-    chain = _seg_levels(chain, "s1", "seg1", f"event IN ({runner_only})", "d", "e")
+    chain = _seg_levels(
+        chain, "s1", "seg1", f"event IN ({seg1_runner_only})", "d", "dd"
+    )
+    chain = _pke_levels(chain, "dd", "e")
     chain = _batter_levels(chain, "e")
+    chain = _extra_advance_levels(chain, runner_only)
     return f"""
 WITH RECURSIVE fx(play_id, inning, half, text) AS (
   VALUES
@@ -244,7 +327,7 @@ st AS (
          CAST(NULL AS VARCHAR) AS r1, CAST(NULL AS VARCHAR) AS r2,
          CAST(NULL AS VARCHAR) AS r3, '' AS bases_before
   UNION ALL
-  SELECT f.play_id, f.inning, f.half, f.n1, f.n2, f.n3,
+  SELECT f.play_id, f.inning, f.half, f.g1, f.g2, f.g3,
          {_code("f.a1", "f.a2", "f.a3")}
   FROM ({chain}) f
 ),
@@ -276,29 +359,77 @@ FROM trace
 """
 
 
-_FIXTURE_ORACLE = _fixture_oracle()
+# Game 2: the REST of the grammar — WP/PB/BK/DI/ERR/ADV runner events,
+# PK and both PKE variants (safe-stays, safe-advances), SO_PB/SO_SAFE,
+# ROE with the batter extra-advance, CI (a force event), SH, non-ground
+# DP and TP with narrated runner outs, LO/FO/PO/FOUL/IF batter outs,
+# FOUL_ERR and NP and SUB no-ops, pinch-run renames (one that no-ops
+# because the target is this play's batter, one live rename whose NEW
+# name must resolve a later 'scored' segment), and a bases-loaded walk
+# force cascade. Every transition hand-traced (tests/test_textops_r7.py
+# pins the novel ones; the driver hash pins all 39).
+FIXTURE_GAME2: list[tuple[int, str, str]] = [
+    (1, "T", "ADAMS, J. singled to center"),
+    (1, "T", "ADAMS, J. advanced to second on a wild pitch"),
+    (1, "T", "ADAMS, J. advanced to third on a passed ball"),
+    (1, "T", "BAKER, L. walked"),
+    (1, "T", "QUINN, Z. singled; PEREZ, Y. pinch ran for BAKER, L."),
+    (1, "T", "CARTER, M. walked, RBI; ADAMS, J. scored"),
+    (1, "T", "DIAZ, N. fouled out to c"),
+    (1, "T", "EVANS, O. lined into a double play; CARTER, M. out at first"),
+    (1, "B", "FORD, P. struck out, reached first on a passed ball"),
+    (1, "B", "GRANT, Q. reached on a throwing error, advanced to second; FORD, P. advanced to third"),
+    (1, "B", "IRVING, S. reached on catcher's interference"),
+    (1, "B", "JAMES, T. lined into a triple play; IRVING, S. out at second; GRANT, Q. out at third"),
+    (2, "T", "LOPEZ, V. doubled down the line"),
+    (2, "T", "LOPEZ, V. advanced to third"),
+    (2, "T", "MARSH, K. walked"),
+    (2, "T", "MARSH, K. picked off"),
+    (2, "T", "NOLAN, W. hit by pitch"),
+    (2, "T", "NOLAN, W. picked off, safe on an error by 1b"),
+    (2, "T", "NOLAN, W. picked off, safe on an error by 1b, advanced to second"),
+    (2, "T", "OWENS, X. struck out, safe at first on a dropped third strike; LOPEZ, V. scored"),
+    (2, "T", "Mound visit"),
+    (2, "T", "BENCH, R. pinch hit for DIAZ, N."),
+    (2, "T", "PRICE, A. fouled, dropped foul by 1b"),
+    (2, "T", "PRICE, A. grounded out to 2b; NOLAN, W. advanced to third; OWENS, X. advanced to second"),
+    (2, "T", "ROSS, B. flied out to cf, sacrifice fly, RBI; NOLAN, W. scored"),
+    (2, "B", "SCOTT, C. singled up the middle"),
+    (2, "B", "SCOTT, C. advanced to second on defensive indifference"),
+    (2, "B", "balk; SCOTT, C. advanced to third"),
+    (2, "B", "SCOTT, C. scored on an error by c"),
+    (2, "B", "TATE, D. infield fly to ss"),
+    (2, "B", "UPTON, E. lined out to 3b"),
+    (2, "B", "VANCE, F. doubled; WALSH, G. pinch ran for VANCE, F."),
+    (2, "B", "YORK, I. walked; WALSH, G. pinch ran for VANCE, F."),
+    (2, "B", "ZINN, K. singled; WALSH, G. scored; YORK, I. advanced to second"),
+    (2, "B", "AVERY, L. flied out to rf"),
+    (3, "T", "HARRIS, R. singled"),
+    (3, "T", "BAKER, L. sacrificed, bunt to p; HARRIS, R. advanced to second"),
+    (3, "T", "CARTER, M. struck out swinging"),
+    (3, "T", "DIAZ, N. popped out to ss"),
+]
+
+_FIXTURE_ORACLE = _fixture_oracle(FIXTURE_GAME)
+_FIXTURE2_ORACLE = _fixture_oracle(FIXTURE_GAME2)
 
 
-@register("z_pbp_fixture_trace", _FIXTURE_ORACLE, tags=("stateful", "domain"))
-def z_pbp_fixture_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION parse_pbp (classifier cascade + outs/runs counting +
-    window layer + mapInPandas base-state FSM) over the hand-traced
-    fixture game, driver-hashed against the rule-table-generated SQL
-    recomputation of every transition. `sf_dir` is unused — the fixture is
-    the planted input by design (bounded-scale FSM oracle)."""
+def _run_fixture(
+    spark: SparkSession, game: list[tuple[int, str, str]], contest: int
+) -> DataFrame:
     from d3d_etl_spark.pbp.parser import parse_pbp
 
     rows = [
         (
             2024,
             "ncaa_3",
-            100,
+            contest,
             inning,
             text if half == "T" else None,
             text if half == "B" else None,
             seq,
         )
-        for seq, (inning, half, text) in enumerate(FIXTURE_GAME)
+        for seq, (inning, half, text) in enumerate(game)
     ]
     raw = spark.createDataFrame(
         rows,
@@ -319,3 +450,22 @@ def z_pbp_fixture_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("runs_this_inn").cast("int").alias("runs_this_inn"),
         F.col("runs_roi").cast("int").alias("runs_roi"),
     )
+
+
+@register("z_pbp_fixture_trace", _FIXTURE_ORACLE, tags=("stateful", "domain"))
+def z_pbp_fixture_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION parse_pbp (classifier cascade + outs/runs counting +
+    window layer + mapInPandas base-state FSM) over the hand-traced
+    fixture game, driver-hashed against the rule-table-generated SQL
+    recomputation of every transition. `sf_dir` is unused — the fixture is
+    the planted input by design (bounded-scale FSM oracle)."""
+    return _run_fixture(spark, FIXTURE_GAME, 100)
+
+
+@register("z_pbp_fixture_trace2", _FIXTURE2_ORACLE, tags=("stateful", "domain"))
+def z_pbp_fixture_trace2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Game 2 of the FSM fixture oracle: the grammar classes game 1
+    doesn't reach (see FIXTURE_GAME2's comment) — with this row the whole
+    narration grammar the engine implements is driver-hashed at fixture
+    scale, not just pytest-pinned."""
+    return _run_fixture(spark, FIXTURE_GAME2, 200)

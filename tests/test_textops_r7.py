@@ -141,3 +141,53 @@ def test_pbp_fixture_trace_matches_hand_trace(spark):
     assert len(got) == 17
     for pid, want in expected.items():
         assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_pbp_fixture_trace2_novel_grammar(spark):
+    """Game 2's hand-traced expectations for the grammar classes game 1
+    doesn't reach: pinch-run renames (live and no-op), both PKE variants,
+    the batter extra-advance, TP/DP narrated-out accounting, and the
+    NP/SUB/FOUL_ERR no-ops."""
+    from d3d_etl_spark.queries.pbp_fixture import z_pbp_fixture_trace2
+
+    expected = {  # play_id -> (event, bases_before, outs_before, runs, bases_after)
+        2: ("WP", "YNN", 0, 0, "NYN"),
+        5: ("1B", "YNY", 0, 0, "YYY"),  # pinch rename at 1st + single cascade
+        6: ("BB", "YYY", 0, 1, "YYY"),  # bases-loaded walk force chain
+        8: ("DP", "YYY", 1, 0, "NYY"),  # lined DP: batter + narrated runner out
+        10: ("ROE", "YNN", 0, 0, "NYY"),  # batter extra-advance to 2nd
+        11: ("CI", "NYY", 0, 0, "YYY"),
+        12: ("TP", "YYY", 0, 0, "NNY"),  # 3 outs on one play from 0
+        16: ("PK", "YNY", 0, 0, "NNY"),
+        18: ("PKE", "YNY", 1, 0, "YNY"),  # picked off, SAFE: stays put
+        19: ("PKE", "YNY", 1, 0, "NYY"),  # safe + narrated advance: moves
+        20: ("SO_SAFE", "NYY", 1, 1, "YYN"),
+        21: ("NP", "YYN", 1, 0, "YYN"),
+        22: ("SUB", "YYN", 1, 0, "YYN"),
+        23: ("FOUL_ERR", "YYN", 1, 0, "YYN"),
+        28: ("BK", "NYN", 0, 0, "NNY"),
+        29: ("ERR", "NNY", 0, 1, "NNN"),
+        32: ("2B", "NNN", 2, 0, "NYN"),  # pinch targets this play's batter: no-op
+        33: ("BB", "NYN", 2, 0, "YYN"),  # live rename VANCE -> WALSH at 2nd
+        34: ("1B", "YYN", 2, 1, "YYN"),  # WALSH scores under the NEW name
+        37: ("SH", "YNN", 0, 0, "NYN"),
+    }
+    got = {
+        r.play_id: (
+            r.event_type,
+            r.bases_before,
+            r.outs_before,
+            r.runs_on_play,
+            r.bases_after,
+        )
+        for r in z_pbp_fixture_trace2(spark, "unused").collect()
+    }
+    assert len(got) == 39
+    for pid, want in expected.items():
+        assert got[pid] == want, (pid, got[pid], want)
+    # outs never exceed 3 and every half ends exactly at 3 except none
+    df = z_pbp_fixture_trace2(spark, "unused").toPandas()
+    assert (df.outs_after <= 3).all()
+    assert (
+        df.groupby(["inning", "half"]).outs_after.max() == 3
+    ).all()  # every fixture half-inning closes
