@@ -469,6 +469,36 @@ def ivf_probe_labels(
     )
 
 
+def ivf_ranked_cells(
+    centroids: DataFrame, query: DataFrame, label_col: str
+) -> DataFrame:
+    """Every coarse cell with its closeness rank to the query:
+    (label, rn), rn=1 nearest — ivf_probe_labels without the cut, for
+    nprobe sweeps. The window runs over the dimension-grain cell table
+    (k rows), the sanctioned bounded-global-window case."""
+    from pyspark.sql import Window
+
+    qc = query.select(F.posexplode("q_vec").alias("pos", "qx")).select(
+        "pos", F.col("qx").cast("double").alias("qx")
+    )
+    scores = (
+        centroids.join(F.broadcast(qc), "pos")
+        .groupBy(label_col)
+        .agg(
+            F.sum(F.col("qx") * F.col("c")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("nc2"),
+            F.sum(F.col("qx") * F.col("qx")).alias("nq2"),
+        )
+    )
+    sim = F.round(F.col("dot") / (F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6)
+    w = Window.orderBy(F.desc("sim"), F.asc(label_col))
+    return (
+        scores.select(F.col(label_col), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .select(label_col, "rn")
+    )
+
+
 def ivf_search_quantized(
     emb: DataFrame,
     query_id: int,

@@ -105,21 +105,33 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh — signatures -> bands -> candidate pairs -> verified
 # ---------------------------------------------------------------------------
 
+_SIG_EXPRS = ",\n  ".join(
+    f"COALESCE(list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min'), 'EMPTY') AS sig{j}"
+    for j in range(_N_HASHES)
+)
+
+
+def _band_exprs(rows_per_band: int) -> str:
+    """Band bucket keys over the 16 sigs at the given band width —
+    mirrors lsh_band_keys' md5(concat_ws) exactly."""
+    n_bands = _N_HASHES // rows_per_band
+    return ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"sig{j}" for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+        )
+        + "))"
+        for i in range(n_bands)
+    )
+
+
 def _lsh_cand_ctes() -> str:
     """Oracle CTEs mirroring lsh_band_keys + lsh_candidates exactly
     (same md5 hash family), appended after _SHINGLE_CTES. Yields `cand`
     (doc_a < doc_b candidate pairs) and a candidate-gated `inter`."""
     n_bands = _N_HASHES // _ROWS_PER_BAND
-    sig_exprs = ",\n  ".join(
-        f"COALESCE(list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min'), 'EMPTY') AS sig{j}"
-        for j in range(_N_HASHES)
-    )
-    band_exprs = ", ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"sig{j}" for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND))
-        + "))"
-        for i in range(n_bands)
-    )
+    sig_exprs = _SIG_EXPRS
+    band_exprs = _band_exprs(_ROWS_PER_BAND)
     return f"""sigs AS (SELECT doc_id, {sig_exprs} FROM sh_arr),
 bands AS (
   SELECT doc_id,
@@ -163,6 +175,109 @@ def lsh_gated_pairs(sh: DataFrame) -> DataFrame:
     up on any corpus with common shingles)."""
     bands = lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=_ROWS_PER_BAND)
     return jaccard_pairs(sh, _JACCARD_T, candidates=lsh_candidates(bands))
+
+
+# ---------------------------------------------------------------------------
+# z_dedup_recall_sweep — the LSH banding quality/cost curve as a
+# DRIVER-HASHED measured invariant, the text twin of z_sim_recall_sweep:
+# for rows_per_band in {2, 4, 8} over the same 16 minhashes (i.e. 8/4/2
+# bands), the candidate-pair count the banding pays and how many of the
+# TRUE near-dup pairs (exact Jaccard >= tau) it recalls. This is the
+# (b, r) knob every MinHash deployment tunes (the S-curve
+# 1-(1-s^r)^b from Broder / MMDS ch.3): narrower bands -> more buckets
+# per doc -> more candidates AND more recall. Hashing the whole curve
+# makes "this banding recalls everything at this tau on THIS corpus" a
+# measured fact, and a banding regression flips a hash, not a vibe.
+# Scale shape: sigs/bands are map-only per doc; each arm is the
+# hot-bucket-guarded candidate self-join + two 1-row aggs; truth is the
+# exactness baseline (dedup_jaccard_pairs' inverted-index path — at real
+# corpus scale this sweep runs on a sampled shard, like any recall audit).
+# ---------------------------------------------------------------------------
+
+_SWEEP_RPB = (2, 4, 8)
+
+
+def _lsh_sweep_oracle() -> str:
+    per_r = []
+    for r in _SWEEP_RPB:
+        nb = _N_HASHES // r
+        per_r.append(
+            f"""bands{r} AS (
+  SELECT doc_id, unnest([{_band_exprs(r)}]) AS band_key,
+         unnest(range({nb})) AS band_idx
+  FROM sigs
+),
+cand{r} AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands{r} a JOIN bands{r} b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INT) AS rows_per_band,
+       CAST({_N_HASHES // r} AS INT) AS n_bands,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{r}) AS n_cand,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{r} c
+          JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true"""
+        for r in _SWEEP_RPB
+    )
+    per_r_sql = ",\n".join(per_r)
+    return f"""
+WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM sh_arr),
+inter_all AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter_all
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+),
+{per_r_sql}
+{arms}
+"""
+
+
+@register("z_dedup_recall_sweep", _lsh_sweep_oracle(), tags=("dedup",))
+def z_dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate cost and true-pair recall of MinHash LSH per band width
+    (rows_per_band 2/4/8 over 16 hashes) — the banding tuning curve,
+    every point driver-hashed against the exact-Jaccard truth set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()  # one shingle pass feeds truth + all three bandings
+    truth = (
+        jaccard_pairs(sh, _JACCARD_T).select("doc_a", "doc_b").localCheckpoint()
+    )
+    out = None
+    for r in _SWEEP_RPB:
+        cands = lsh_candidates(
+            lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=r)
+        )
+        arm = (
+            cands.agg(F.count("*").cast("long").alias("n_cand"))
+            .crossJoin(
+                cands.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+                    F.count("*").cast("long").alias("hits")
+                )
+            )
+            .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+            .select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(_N_HASHES // r).cast("int").alias("n_bands"),
+                "n_cand",
+                "hits",
+                "n_true",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
 
 
 # --- round-4 fast path: one (doc, shingle-array) base feeds everything ------

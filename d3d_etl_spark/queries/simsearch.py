@@ -1887,6 +1887,119 @@ def z_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# z_sim_recall_sweep — the IVF quality/cost curve as a DRIVER-HASHED
+# measured invariant: recall@K of cell-pruned exact search vs the
+# brute-force top-K, for nprobe in {1, 2, 4, 8}, plus the candidate count
+# each probe level pays. This is the number an ANN deployment actually
+# tunes (FAISS's nprobe knob: recall rises, candidate cost rises); here
+# the whole curve is oracled, so "probing more cells monotonically buys
+# recall on THIS corpus" is a hashed fact, not a docstring claim.
+# Scale shape: per-vector sims are computed ONCE (broadcast query, narrow
+# map) and checkpointed; each arm is a filter (rn <= nprobe) + distributed
+# TakeOrdered(K) + two 1-row aggs — no window ever touches the candidate
+# set (the only window ranks the dimension-grain cell table).
+# ---------------------------------------------------------------------------
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+_SWEEP_K = 10
+
+_SWEEP_ARMS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({n} AS INT) AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sims WHERE rn <= {n}) AS n_cand,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT vec_id FROM sims WHERE rn <= {n}
+           ORDER BY sim DESC, vec_id LIMIT {_SWEEP_K}) a
+          JOIN exact USING (vec_id)) AS hits,
+       CAST({_SWEEP_K} AS INT) AS k"""
+    for n in _SWEEP_NPROBES
+)
+
+_SWEEP_ORACLE = f"""
+WITH comps AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps GROUP BY label, pos
+),
+qv AS (SELECT pos, x AS qx FROM comps WHERE vec_id = {_QUERY_ID}),
+cellrank AS (
+  SELECT label, ROW_NUMBER() OVER (ORDER BY sim DESC, label) AS rn FROM (
+    SELECT c.label,
+           ROUND(SUM(q.qx * c.c) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+    FROM cents c JOIN qv q ON c.pos = q.pos
+    GROUP BY c.label
+  )
+),
+vs AS (
+  SELECT e.vec_id, e.label,
+         ROUND(SUM(e.x * q.qx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+  FROM comps e JOIN qv q ON e.pos = q.pos
+  WHERE e.vec_id != {_QUERY_ID}
+  GROUP BY 1, 2
+),
+sims AS (SELECT v.vec_id, r.rn, v.sim FROM vs v JOIN cellrank r ON v.label = r.label),
+exact AS (SELECT vec_id FROM vs ORDER BY sim DESC, vec_id LIMIT {_SWEEP_K})
+{_SWEEP_ARMS}
+"""
+
+
+@register("z_sim_recall_sweep", _SWEEP_ORACLE, tags=("similarity",))
+def z_sim_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K and candidate cost of IVF cell pruning, per nprobe — the
+    ANN tuning curve, every point driver-hashed against brute force."""
+    from d3d_etl_spark.functions.vectors import cosine
+    from d3d_etl_spark.operators.similarity import ivf_ranked_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_vec")
+    )
+    ranked = ivf_ranked_cells(label_centroids(emb, "label"), query, "label")
+    sims = (
+        emb.where(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("sim"),
+        )
+        .join(F.broadcast(ranked), "label")
+        .localCheckpoint()  # one scoring pass feeds exact + all four arms
+    )
+    exact = F.broadcast(
+        sims.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_SWEEP_K).select("vec_id")
+    )
+    out = None
+    for n in _SWEEP_NPROBES:
+        cand = sims.where(F.col("rn") <= n)
+        ann = (
+            cand.orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(_SWEEP_K)
+            .select("vec_id")
+        )
+        arm = (
+            cand.agg(F.count("*").cast("long").alias("n_cand"))
+            .crossJoin(
+                ann.join(exact, "vec_id", "left_semi").agg(
+                    F.count("*").cast("long").alias("hits")
+                )
+            )
+            .select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "n_cand",
+                "hits",
+                F.lit(_SWEEP_K).cast("int").alias("k"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # z_sim_pq_refine — Lloyd refinement of the PQ codebooks, the WHOLE
 # trajectory oracled (the LR/BPE/power-iteration unroll pattern): publish
 # per-iteration total quantization error and live-code count for the

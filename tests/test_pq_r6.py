@@ -170,6 +170,42 @@ def test_trained_coarse_cells_match_label_cells_recall(spark):
     assert purity == 1.0, purity
 
 
+def test_recall_sweep_monotone(spark, sf_dir):
+    """The z_sim_recall_sweep invariants: candidate cost strictly grows
+    with nprobe, recall never drops, and every hit count is within [0, K]
+    with at least one probe level finding most of the true top-K (the
+    curve is a real trade-off, not a flat line)."""
+    from d3d_etl_spark.queries.simsearch import z_sim_recall_sweep
+
+    out = z_sim_recall_sweep(spark, sf_dir).toPandas().sort_values("nprobe")
+    cands = list(out.n_cand)
+    hits = list(out.hits)
+    assert cands == sorted(cands) and len(set(cands)) == len(cands), cands
+    assert hits == sorted(hits), hits
+    assert all(0 <= h <= out.k.iloc[0] for h in hits)
+    assert hits[-1] >= out.k.iloc[0] // 2, hits  # deep probe recalls most
+    assert hits[0] < hits[-1], hits  # and shallow probe genuinely pays
+
+
+def test_lsh_banding_sweep_monotone(spark, sf_dir):
+    """z_dedup_recall_sweep invariants (the MMDS S-curve, measured):
+    widening bands (fewer buckets) sheds candidates AND recall, narrow
+    bands recall strictly more than wide ones on this corpus, and the
+    production (16, 4) banding recalls the entire truth set at tau."""
+    from d3d_etl_spark.queries.dedup import z_dedup_recall_sweep
+
+    out = z_dedup_recall_sweep(spark, sf_dir).toPandas().sort_values("rows_per_band")
+    cands, hits = list(out.n_cand), list(out.hits)
+    n_true = out.n_true.iloc[0]
+    assert cands == sorted(cands, reverse=True), cands
+    assert hits == sorted(hits, reverse=True), hits
+    assert all(h <= c for h, c in zip(hits, cands))
+    assert all(h <= n_true for h in hits)
+    assert hits[0] > hits[-1], hits  # banding width genuinely moves recall
+    prod = out[out.rows_per_band == 4]
+    assert int(prod.hits.iloc[0]) == int(n_true), "production banding lost pairs"
+
+
 def test_pq_refine_error_monotone(spark, sf_dir):
     """The z_sim_pq_refine trajectory: total quantization error strictly
     drops from the seeded codebook through each Lloyd round (measured ~2x
