@@ -674,23 +674,30 @@ from d3d_etl_spark.queries.domain import sf_tag as _ivf_tag
 
 _INC_MOD = 4
 _INC_NPROBE = 3
-_IVF_CENTS_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_{tag}")
-_IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_{tag}")
-_IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_*", "*.parquet")
-_IVF_ASSIGN_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_*", "*.parquet")
+# "_t" = TRAINED state-family version (round 7): cells learned by k-means
+# on the old batch, not read from the planted label column — a new family
+# name so stale planted-label caches can never serve the trained contract
+_IVF_CENTS_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_t_{tag}")
+_IVF_ASSIGN_TPL = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_t_{tag}")
+_IVF_CENTS_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_cents_t_*", "*.parquet")
+_IVF_ASSIGN_GLOB = _os.path.join(_IVF_CACHE_DIR, "ivf_assign_t_*", "*.parquet")
 
 from d3d_etl_spark.oracle import register_cache_family as _register_family  # noqa: E402
 
-for _fam in ("ivf_cents", "ivf_assign", "pq_cb", "pq_codes"):
+for _fam in ("ivf_cents_t", "ivf_assign_t", "pq_cb", "pq_codes"):
     _register_family(_fam, _ivf_tag)
 
 
 def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignments) of the batch-1 index, persisted per scale.
 
-    Centroids: (label, pos, c) exact-integer-sum components over old
-    vectors; assignments: (vec_id, assigned_label, sim) from the same
-    nearest-centroid rule the steady-state query uses."""
+    Centroids: (label, pos, c) exact-integer-sum components over coarse
+    cells LEARNED from the old vectors alone (two hash-seeded Lloyd
+    iterations — kmeans2_assign_emb; no planted labels anywhere, matching
+    z_sim_ivfpq_trained); assignments: (vec_id, assigned_label, sim) from
+    the same nearest-centroid rule the steady-state query uses. The
+    incremental oracle reads THIS persisted state, so training changes the
+    index content, not the serving contract."""
     tag = _ivf_tag(sf_dir)
     cents_path = _IVF_CENTS_TPL.format(tag=tag)
     assign_path = _IVF_ASSIGN_TPL.format(tag=tag)
@@ -700,7 +707,13 @@ def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         return emb.where(F.col("vec_id") % _INC_MOD != 0)
 
     def build_cents(tmp: str) -> None:
-        label_centroids(old_batch(), "label").write.mode("overwrite").parquet(tmp)
+        old = old_batch()
+        _, asgn2 = kmeans2_assign_emb(old)
+        cells = asgn2.select(
+            "vec_id", F.col("assigned_label").alias("label")
+        ).localCheckpoint()
+        trained = old.drop("label").join(cells.hint("shuffle_hash"), "vec_id")
+        label_centroids(trained, "label").write.mode("overwrite").parquet(tmp)
 
     _ensure_ivf_state(
         cents_path, cents_path + ".done", _IVF_CENTS_TPL.format(tag="*"), build_cents
