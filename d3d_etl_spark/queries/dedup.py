@@ -19,6 +19,7 @@ from d3d_etl_spark.operators.dedup import (
     jaccard_pairs,
     lsh_band_keys,
     lsh_candidates,
+    minhash_signatures,
     shingle_rows,
     simhash_near_pairs,
     simhash_signatures,
@@ -278,6 +279,95 @@ def z_dedup_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# z_dedup_minhash_estimate — the MinHash SKETCH's estimation error as a
+# driver-hashed fact, completing the sketch-quality story (count-min and
+# HLL/GK already carry bound contracts): for every true near-dup pair,
+# the exact Jaccard next to the 16-hash estimate (matching-signature
+# fraction, Broder's unbiased estimator) and their quantized absolute
+# error. The binomial std at J~0.5 and n=16 is ~0.125; the pytest pin
+# holds the measured errors inside that envelope, so a hash-family or
+# signature regression (which silently degrades LSH recall) surfaces as
+# an estimator-error blowup, not a downstream mystery.
+# Scale shape: signatures are the existing grouped pass, the pair table
+# is the LSH-bounded truth set, and the scoring join is pair-dimensional.
+# ---------------------------------------------------------------------------
+
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.sig{j} = b.sig{j} THEN 1 ELSE 0 END" for j in range(_N_HASHES)
+)
+
+_EST_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM sh_arr),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc
+  JOIN sizes sb ON doc_b = sb.doc
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {_JACCARD_T}
+),
+m AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, ({_EST_MATCH_SQL}) AS match_sigs
+  FROM pairs p
+  JOIN sigs a ON p.doc_a = a.doc_id
+  JOIN sigs b ON p.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jacc_q,
+       CAST(match_sigs AS INT) AS match_sigs,
+       CAST(match_sigs * 1000000 // {_N_HASHES} AS BIGINT) AS est_q,
+       CAST(ABS(match_sigs * 1000000 // {_N_HASHES}
+                - CAST(ROUND(jaccard * 1000000) AS BIGINT)) AS BIGINT) AS err_q
+FROM m
+"""
+
+
+@register("z_dedup_minhash_estimate", _EST_ORACLE, tags=("dedup",))
+def z_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard vs the 16-hash MinHash estimate per true near-dup
+    pair, with the quantized absolute error — the sketch's accuracy as a
+    hashed fact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()  # feeds truth pairs + signatures
+    pairs = jaccard_pairs(sh, _JACCARD_T)
+    sigs = minhash_signatures(sh, _N_HASHES)
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"sig{j}").alias(f"a{j}") for j in range(_N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"sig{j}").alias(f"b{j}") for j in range(_N_HASHES)],
+    )
+    match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(_N_HASHES)
+    )
+    jacc_q = F.round(F.col("jaccard") * 1_000_000).cast("long")
+    est_q = (F.col("match_sigs").cast("long") * 1_000_000 / _N_HASHES).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("match_sigs", match.cast("int"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jacc_q.alias("jacc_q"),
+            "match_sigs",
+            est_q.alias("est_q"),
+            F.abs(est_q - jacc_q).alias("err_q"),
+        )
+    )
 
 
 # --- round-4 fast path: one (doc, shingle-array) base feeds everything ------

@@ -206,6 +206,23 @@ def test_lsh_banding_sweep_monotone(spark, sf_dir):
     assert int(prod.hits.iloc[0]) == int(n_true), "production banding lost pairs"
 
 
+def test_minhash_estimator_error_envelope(spark, sf_dir):
+    """z_dedup_minhash_estimate: the 16-hash Jaccard estimator stays
+    inside its binomial envelope on every true pair (std ~0.125 at
+    J~0.5; measured mean |err| ~0.03, max ~0.14 — pinned with 2x
+    headroom). A hash-family or signature regression that would silently
+    degrade LSH recall blows this envelope first."""
+    from d3d_etl_spark.queries.dedup import z_dedup_minhash_estimate
+
+    out = z_dedup_minhash_estimate(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out.match_sigs.between(0, 16).all()
+    assert out.est_q.between(0, 1_000_000).all()
+    assert (out.err_q == (out.est_q - out.jacc_q).abs()).all()
+    assert out.err_q.mean() <= 70_000, out.err_q.mean()
+    assert out.err_q.max() <= 250_000, out.err_q.max()
+
+
 def test_pq_refine_error_monotone(spark, sf_dir):
     """The z_sim_pq_refine trajectory: total quantization error strictly
     drops from the seeded codebook through each Lloyd round (measured ~2x
