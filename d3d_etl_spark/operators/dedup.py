@@ -70,6 +70,17 @@ def jaccard_pairs(
     given, only verifies those pairs (the LSH path); otherwise builds all
     co-occurring pairs from the inverted index.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    Join strategy is EXPLICIT because Catalyst's size estimates here are
+    structurally wrong at scale: shingle rows come from an explode (whose
+    output size estimate tracks the pre-explode child) behind a
+    localCheckpoint (whose LogicalRDD carries the original small stats), so
+    the planner happily auto-broadcasts a CORPUS-sized side — measured at
+    the sf1 stress tier as a 416 MiB hash relation charged to one task,
+    growing linearly with the corpus (the round-7 weak). Only
+    duplicate-rate-bounded sides (the candidate set) may broadcast;
+    everything corpus-grain (shingle rows, per-doc sizes) takes a shuffled
+    hash join with the pair-grain side as the build.
     """
     sizes = shingle_df.groupBy("doc").agg(F.count("*").alias("sz"))
     a = shingle_df.select(F.col("doc").alias("doc_a"), "shingle")
@@ -78,14 +89,27 @@ def jaccard_pairs(
         # Candidate-driven intersection: fan each candidate pair out to
         # doc_a's shingles, then equi-join doc_b's — cost is
         # O(|candidates| · |doc|), never the quadratic inverted-index blowup.
-        joined = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        # Candidates broadcast (duplicate-rate-bounded, same class as the
+        # canonical-dedup drop set); the b-side is corpus-grain, so the
+        # second join shuffle-hashes with the candidate fan-out as build.
+        joined = (
+            F.broadcast(candidates)
+            .join(a, "doc_a")
+            .hint("shuffle_hash")
+            .join(b, ["doc_b", "shingle"])
+        )
     else:
-        joined = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
+        # inverted-index self-join: both sides corpus-grain — never broadcast
+        joined = (
+            a.hint("shuffle_hash").join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
+        )
     inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
+        inter.hint("shuffle_hash")
+        .join(sa, "doc_a")
+        .hint("shuffle_hash")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -235,11 +259,17 @@ def lsh_candidates(band_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
     # driver probe on the bounded hot set (<= n_band_rows/max_bucket rows):
     # a clean corpus — the overwhelmingly common case — takes the original
     # single-key self-join with zero per-row guard overhead
+    # Both self-join sides are corpus-grain (n_bands rows per doc), so the
+    # join must SHUFFLE on the band key — the checkpointed LogicalRDD keeps
+    # the original small size estimate and Catalyst otherwise auto-broadcasts
+    # the whole band table (measured 40 MiB at sf1, linear in the corpus —
+    # the round-7 weak's second site).
     if not hot.limit(1).count():
         a = band_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
         b = band_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
         return (
-            a.join(b, ["band_idx", "band_key"])
+            a.hint("shuffle_hash")
+            .join(b, ["band_idx", "band_key"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
@@ -270,7 +300,7 @@ def lsh_candidates(band_df: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> Data
     # pre-distinct rows); off-diagonal blocks have disjoint doc sets and
     # exactly ONE orientation per pair, so both orders must survive and
     # least/greatest normalizes them
-    pairs = a.join(b, ["band_idx", "band_key", "_bi", "_bj"]).where(
+    pairs = a.hint("shuffle_hash").join(b, ["band_idx", "band_key", "_bi", "_bj"]).where(
         (F.col("_bi") != F.col("_bj")) | (F.col("doc_a") < F.col("doc_b"))
     )
     return (
@@ -366,8 +396,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str, sim_col: str,
     )
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band_idx", "band_val")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band_idx", "band_val")
+    # corpus-grain self-join: shuffle on the band key, never broadcast
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.hint("shuffle_hash")
+        .join(b, ["band_idx", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .distinct()

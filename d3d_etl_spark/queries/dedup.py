@@ -417,9 +417,32 @@ def base_band_keys(base: DataFrame) -> DataFrame:
 def lsh_gated_pairs_base(base: DataFrame) -> DataFrame:
     """lsh_gated_pairs off a shingle-array base: same sub-quadratic gate,
     zero signature shuffles (lsh_candidates barriers the band table, which
-    is consumed by both self-join sides)."""
-    return jaccard_pairs(
-        base_shingle_rows(base), _JACCARD_T, candidates=lsh_candidates(base_band_keys(base))
+    is consumed by both self-join sides).
+
+    The exact-Jaccard verify is ARRAY-NATIVE (round-8, closing the round-7
+    weak): candidates broadcast into the doc-grain base to pick up each
+    side's distinct-shingle ARRAY, and the intersection is
+    size(array_intersect(sh_a, sh_b)) computed map-side — identical values
+    to the exploded-row verify (both operate on distinct shingle sets), but
+    with no corpus×shingle explode on the join path, no inter groupBy, and
+    no doc-grain sizes joins. The only corpus-grain movement left is ONE
+    shuffle of the base arrays on doc_b; per-task state is the pair-grain
+    build side of that shuffled hash join. Parity with jaccard_pairs'
+    row-based verify is pinned in tests/test_corpus_ops_r4.py."""
+    cand = lsh_candidates(base_band_keys(base))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # broadcast the duplicate-rate-bounded candidate set into the corpus
+    # probe; the second join is pair-grain × corpus-grain -> shuffled hash
+    # with the pair side as build (never broadcast a corpus-grain side)
+    withe_a = a.join(F.broadcast(cand), "doc_a")
+    pairs = withe_a.hint("shuffle_hash").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    ).cast("double")
+    return pairs.select("doc_a", "doc_b", jacc.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(_JACCARD_T)
     )
 
 
