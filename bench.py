@@ -44,6 +44,40 @@ from d3d_etl_spark.queries.registry import REGISTRY
 from d3d_etl_spark.session import get_spark
 
 
+def _task_mem_regressions(samples: dict) -> list[str]:
+    """Cross-round task-maxima regression guard (VERDICT r7 #5): diff this
+    run's per-query max-task peak execution memory against the COMMITTED
+    BENCH.json (HEAD — i.e. the previous round's accepted numbers) and
+    flag >2x growth. Task maxima are contention-immune, so a flagged entry
+    is a plan regression, not host noise — this turns the manual
+    "byte-identical to last round" adjudication into machinery. Queries
+    under 32 MB are skipped (hash-map resize granularity dominates there).
+    Empty when git/HEAD copy is unavailable (first run, detached tree)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        raw = subprocess.run(
+            ["git", "show", "HEAD:BENCH.json"],
+            capture_output=True,
+            cwd=repo,
+            timeout=30,
+        ).stdout
+        prev = json.loads(raw) if raw else {}
+    except Exception:
+        return []
+    prev_s = prev.get("samples", {})
+    regs = []
+    for name, s in sorted(samples.items()):
+        cur = (s.get("max_task") or {}).get("peak_exec_mem_mb", 0)
+        old = ((prev_s.get(name) or {}).get("max_task") or {}).get(
+            "peak_exec_mem_mb", 0
+        )
+        if cur > 32 and old > 0 and cur > 2 * old:
+            regs.append(f"{name}: max task peak mem {old} -> {cur} MB (>2x)")
+    return regs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -115,6 +149,7 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
+    regressions = _task_mem_regressions(samples)
     payload = {
         "metric": (
             f"e2e wall-clock, {len(timings)} headline queries "
@@ -127,9 +162,15 @@ def main() -> None:
         "sf": sf,
         "samples_file": "BENCH.json",
     }
+    if regressions:  # keep the printed line compact when clean
+        payload["task_mem_regressions"] = regressions
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
     with open(sidecar, "w") as f:
-        json.dump({**payload, "samples": samples}, f, indent=1)
+        json.dump(
+            {**payload, "task_mem_regressions": regressions, "samples": samples},
+            f,
+            indent=1,
+        )
         f.write("\n")
     print(json.dumps(payload, separators=(",", ":")))
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d3d_etl_spark.pbp.events import EVENT_OUTS, EVENT_RULES
+from d3d_etl_spark.pbp.events import EVENT_OUTS, EVENT_RULES, PA_EVENTS
 from d3d_etl_spark.pbp.state import _BATTER_DEST, _BATTER_VERBS, _RUNNER_ONLY
 from d3d_etl_spark.queries.registry import register
 
@@ -266,7 +266,12 @@ def _code(c1: str, c2: str, c3: str) -> str:
     )
 
 
-def _fixture_oracle(game: list[tuple[int, str, str]]) -> str:
+def _fixture_ctes(game: list[tuple[int, str, str]], sfx: str = "") -> str:
+    """The per-game CTE chain (fx{sfx} .. trace{sfx}) — factored so the
+    full-DAG fixture oracle (z_pbp_fixture_dag) can chain BOTH games'
+    recursions into one statement; the single-game trace oracles use it
+    with an empty suffix."""
+    fx, ev0, ev, st = f"fx{sfx}", f"ev0{sfx}", f"ev{sfx}", f"st{sfx}"
     vals = ",\n    ".join(
         f"(CAST({seq + 1} AS BIGINT), {inning}, "
         f"'{'Top' if half == 'T' else 'Bottom'}', '{text.replace(chr(39), chr(39) * 2)}')"
@@ -287,11 +292,11 @@ def _fixture_oracle(game: list[tuple[int, str, str]]) -> str:
     chain = (
         "SELECT p.play_id, p.inning, p.half, p.event, p.batter,"
         " p.seg1, p.seg2, p.seg3, p.seg4,"
-        " st.inning AS pinning, st.half AS phalf,"
-        " CASE WHEN p.inning = st.inning AND p.half = st.half THEN st.r1 END AS a1,"
-        " CASE WHEN p.inning = st.inning AND p.half = st.half THEN st.r2 END AS a2,"
-        " CASE WHEN p.inning = st.inning AND p.half = st.half THEN st.r3 END AS a3"
-        " FROM st JOIN ev p ON p.play_id = st.play_id + 1"
+        f" {st}.inning AS pinning, {st}.half AS phalf,"
+        f" CASE WHEN p.inning = {st}.inning AND p.half = {st}.half THEN {st}.r1 END AS a1,"
+        f" CASE WHEN p.inning = {st}.inning AND p.half = {st}.half THEN {st}.r2 END AS a2,"
+        f" CASE WHEN p.inning = {st}.inning AND p.half = {st}.half THEN {st}.r3 END AS a3"
+        f" FROM {st} JOIN {ev} p ON p.play_id = {st}.play_id + 1"
     )
     chain = _seg_levels(chain, "s2", "seg2", seg_gate, "a", "b")
     chain = _seg_levels(chain, "s3", "seg3", seg_gate, "b", "c")
@@ -302,12 +307,11 @@ def _fixture_oracle(game: list[tuple[int, str, str]]) -> str:
     chain = _pke_levels(chain, "dd", "e")
     chain = _batter_levels(chain, "e")
     chain = _extra_advance_levels(chain, runner_only)
-    return f"""
-WITH RECURSIVE fx(play_id, inning, half, text) AS (
+    return f"""{fx}(play_id, inning, half, text) AS (
   VALUES
     {vals}
 ),
-ev0 AS (
+{ev0} AS (
   SELECT play_id, inning, half, text, lower(text) AS low,
          {_classifier_case()} AS event,
          nullif(trim(regexp_extract(trim(split_part(text, ';', 1)),
@@ -316,13 +320,13 @@ ev0 AS (
          trim(split_part(text, ';', 2)) AS seg2,
          trim(split_part(text, ';', 3)) AS seg3,
          trim(split_part(text, ';', 4)) AS seg4
-  FROM fx
+  FROM {fx}
 ),
-ev AS (
+{ev} AS (
   SELECT *, {_outs_sql()} AS outs_on_play, {_runs_sql()} AS runs_on_play
-  FROM ev0
+  FROM {ev0}
 ),
-st AS (
+{st} AS (
   SELECT CAST(0 AS BIGINT) AS play_id, 0 AS inning, '' AS half,
          CAST(NULL AS VARCHAR) AS r1, CAST(NULL AS VARCHAR) AS r2,
          CAST(NULL AS VARCHAR) AS r3, '' AS bases_before
@@ -331,13 +335,18 @@ st AS (
          {_code("f.a1", "f.a2", "f.a3")}
   FROM ({chain}) f
 ),
-trace AS (
-  SELECT s.play_id, s.inning, s.half, e.event AS event_type,
+trace{sfx} AS (
+  SELECT s.play_id, s.inning, s.half, e.event AS event_type, e.batter,
          s.bases_before, {_code("s.r1", "s.r2", "s.r3")} AS bases_after,
          e.outs_on_play, e.runs_on_play
-  FROM st s JOIN ev e ON e.play_id = s.play_id
+  FROM {st} s JOIN {ev} e ON e.play_id = s.play_id
   WHERE s.play_id > 0
-)
+)"""
+
+
+def _fixture_oracle(game: list[tuple[int, str, str]]) -> str:
+    return f"""
+WITH RECURSIVE {_fixture_ctes(game)}
 SELECT play_id, CAST(inning AS INT) AS inning, half, event_type,
        bases_before, bases_after,
        CAST(COALESCE(SUM(outs_on_play) OVER (
@@ -469,3 +478,146 @@ def z_pbp_fixture_trace2(spark: SparkSession, sf_dir: str) -> DataFrame:
     narration grammar the engine implements is driver-hashed at fixture
     scale, not just pytest-pinned."""
     return _run_fixture(spark, FIXTURE_GAME2, 200)
+
+
+# ---------------------------------------------------------------------------
+# z_pbp_fixture_dag — the FULL per-play DAG column set at fixture scale
+# (VERDICT r7 #3): everything z_pbp_dag computes per play beyond the FSM
+# trace — batting-order slot (W8 cumcount + modular, W9 grouped ffill to
+# non-PA rows), running team scores (W4 segmented running sums), the
+# pooled RE24 matrix (A1 grouped mean over BOTH games) and the
+# before/after expectancy joins with the end-of-inning key rewrite (J7) —
+# driver-hashed over the two hand-traced fixture games in ONE query (both
+# games flow through one multi-game mapInPandas FSM run). With this row,
+# every column class of the rows-only pipelines (z_pbp_dag / z_pbp_war
+# upstream) is hash-verified at fixture scale; the corpus-scale stages
+# stay oracled over the materialized FSM output (domain_*).
+# ---------------------------------------------------------------------------
+
+_PA_SQL = ", ".join(f"'{c}'" for c in sorted(PA_EVENTS))
+
+_W_IH = "PARTITION BY contest_id, inning, half ORDER BY play_id"
+_W_G = "PARTITION BY contest_id ORDER BY play_id"
+_W_H = "PARTITION BY contest_id, half ORDER BY play_id"
+_B4 = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+_CUM = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+_DAG_ORACLE = f"""
+WITH RECURSIVE {_fixture_ctes(FIXTURE_GAME, "1")},
+{_fixture_ctes(FIXTURE_GAME2, "2")},
+plays0 AS (
+  SELECT CAST(100 AS BIGINT) AS contest_id, * FROM trace1
+  UNION ALL
+  SELECT CAST(200 AS BIGINT) AS contest_id, * FROM trace2
+),
+p1 AS (
+  SELECT contest_id, play_id, inning, half, event_type, batter,
+         bases_before, bases_after,
+         CAST(COALESCE(SUM(outs_on_play) OVER ({_W_IH} {_B4}), 0) AS INT)
+           AS outs_before,
+         CAST(COALESCE(SUM(outs_on_play) OVER ({_W_IH} {_B4}), 0)
+           + outs_on_play AS INT) AS outs_after,
+         CAST(runs_on_play AS INT) AS runs_on_play,
+         CAST(SUM(runs_on_play) OVER (PARTITION BY contest_id, inning, half)
+           AS INT) AS runs_this_inn,
+         CAST(SUM(runs_on_play) OVER ({_W_IH}
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS INT)
+           AS runs_roi,
+         CASE WHEN event_type IN ({_PA_SQL}) THEN
+           ((SUM(CASE WHEN event_type IN ({_PA_SQL}) THEN 1 ELSE 0 END)
+               OVER ({_W_H} {_CUM}) - 1) % 9) + 1 END AS slot,
+         CAST(COALESCE(SUM(CASE WHEN half = 'Bottom' THEN runs_on_play
+                                ELSE 0 END) OVER ({_W_G} {_B4}), 0) AS INT)
+           AS home_score_before,
+         CAST(COALESCE(SUM(CASE WHEN half = 'Top' THEN runs_on_play
+                                ELSE 0 END) OVER ({_W_G} {_B4}), 0) AS INT)
+           AS away_score_before,
+         CAST(SUM(CASE WHEN half = 'Bottom' THEN runs_on_play ELSE 0 END)
+           OVER ({_W_G} {_CUM}) AS INT) AS home_score_after,
+         CAST(SUM(CASE WHEN half = 'Top' THEN runs_on_play ELSE 0 END)
+           OVER ({_W_G} {_CUM}) AS INT) AS away_score_after
+  FROM plays0
+),
+p2 AS (
+  SELECT *,
+         CAST(COALESCE(last_value(slot IGNORE NULLS)
+           OVER ({_W_H} {_CUM}), 1) AS INT) AS bat_order
+  FROM p1
+),
+er AS (
+  SELECT bases_before AS b, outs_before AS o,
+         CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
+  FROM p2 WHERE outs_before <= 2 GROUP BY 1, 2
+)
+SELECT p.contest_id, p.play_id, CAST(p.inning AS INT) AS inning, p.half,
+       p.event_type, p.batter AS batter_name,
+       p.bases_before, p.bases_after, p.outs_before, p.outs_after,
+       p.runs_on_play, p.runs_this_inn, p.runs_roi, p.bat_order,
+       p.away_score_before, p.home_score_before,
+       p.away_score_after, p.home_score_after,
+       eb.erv AS re_before,
+       CASE WHEN p.outs_after >= 3 THEN CAST(0.0 AS DOUBLE)
+            ELSE COALESCE(ea.erv, 0.0) END AS re_after,
+       (CASE WHEN p.outs_after >= 3 THEN CAST(0.0 AS DOUBLE)
+             ELSE COALESCE(ea.erv, 0.0) END)
+         - COALESCE(eb.erv, 0.0) + CAST(p.runs_on_play AS DOUBLE) AS re24
+FROM p2 p
+LEFT JOIN er eb ON eb.b = p.bases_before AND eb.o = p.outs_before
+LEFT JOIN er ea ON ea.b = p.bases_after AND ea.o = p.outs_after
+"""
+
+
+@register("z_pbp_fixture_dag", _DAG_ORACLE, tags=("stateful", "domain"))
+def z_pbp_fixture_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production parse + RE24 chain (parse_pbp -> expected_runs_long
+    -> add_re24) over BOTH fixture games in one run, emitting the complete
+    per-play DAG column set. `sf_dir` is unused — the fixtures are the
+    planted input by design (bounded-scale full-DAG oracle)."""
+    from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long
+    from d3d_etl_spark.pbp.parser import parse_pbp
+
+    rows = [
+        (
+            2024,
+            "ncaa_3",
+            contest,
+            inning,
+            text if half == "T" else None,
+            text if half == "B" else None,
+            seq,
+        )
+        for contest, game in ((100, FIXTURE_GAME), (200, FIXTURE_GAME2))
+        for seq, (inning, half, text) in enumerate(game)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+    # localCheckpoint, not cache: the ER broadcast subtree is planned
+    # eagerly and would re-derive the parse (the round-2 pbp_dag fix)
+    parsed = parse_pbp(raw).localCheckpoint()
+    plays = add_re24(parsed, expected_runs_long(parsed))
+    return plays.select(
+        "contest_id",
+        "play_id",
+        F.col("inning").cast("int").alias("inning"),
+        "half",
+        "event_type",
+        "batter_name",
+        "bases_before",
+        "bases_after",
+        F.col("outs_before").cast("int").alias("outs_before"),
+        F.col("outs_after").cast("int").alias("outs_after"),
+        F.col("runs_on_play").cast("int").alias("runs_on_play"),
+        F.col("runs_this_inn").cast("int").alias("runs_this_inn"),
+        F.col("runs_roi").cast("int").alias("runs_roi"),
+        "bat_order",
+        "away_score_before",
+        "home_score_before",
+        "away_score_after",
+        "home_score_after",
+        "re_before",
+        "re_after",
+        "re24",
+    )

@@ -1450,6 +1450,9 @@ def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall on a planted clustered corpus at the same 64-bit budget.
 _PQ_M = 16       # sub-quantizers (64-dim -> 16 x 4-dim subspaces)
 _PQ_KS = 16      # codes per subspace
+# vectors per task in the residual-PQ encode fan-out (bounds the
+# (vec, sub, code) partial-agg state per task — see _ivfpq_residual_search)
+_VECS_PER_ENCODE_TASK = 150
 _PQ_DSUB = _DIM // _PQ_M
 _PQ_KSEL = 25    # published top-K flag
 
@@ -1790,7 +1793,19 @@ def _ivfpq_residual_search(emb: DataFrame) -> DataFrame:
     from d3d_etl_spark.operators.similarity import ivf_probe_labels, label_centroids
 
     icents, res = residual_comps(emb)
-    res = res.localCheckpoint()  # feeds codebook training AND encoding
+    # Scale the residual table's task count with the VECTOR count before
+    # the checkpoint: the encode chain fans each (vec, sub) out to ks
+    # candidate codes and partial-aggregates on (vec, sub, code), so
+    # per-task state is proportional to vectors per task — inheriting the
+    # scan's fixed partitioning held it flat only until the corpus grew
+    # (measured 49 -> 161 MB task peak at the 10x stress pair). The count
+    # is a checkpoint/parquet-metadata action — no recompute.
+    n_vec = emb.count()
+    n_parts = max(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        -(-n_vec // _VECS_PER_ENCODE_TASK),
+    )
+    res = res.repartition(n_parts).localCheckpoint()  # feeds codebook training AND encoding
     rcb = pq_codebooks_from_comps(
         res.select("vec_id", "sub", "pos", "xs"), _PQ_KS
     ).localCheckpoint()
@@ -1823,8 +1838,14 @@ def _ivfpq_residual_search(emb: DataFrame) -> DataFrame:
         .groupBy("label", "sub", "code")
         .agg(F.sum((F.col("qrs") - F.col("c_q")) * (F.col("qrs") - F.col("c_q"))).alias("d"))
     )
+    # both sides are corpus-grain (codes = m rows per vector off the res
+    # checkpoint; cand = the probed-cells fraction of the corpus): the join
+    # must SHUFFLE on vec_id — the checkpointed LogicalRDD keeps the
+    # original small size estimate and Catalyst otherwise auto-broadcasts a
+    # side that grows linearly with the corpus (measured 49 -> 161 MB task
+    # peak at the 10x stress pair before this hint)
     scores = (
-        rcodes.join(cand, "vec_id")
+        rcodes.hint("shuffle_hash").join(cand, "vec_id")
         .join(F.broadcast(radc), ["label", "sub", "code"])
         .groupBy("vec_id", "label")
         .agg(F.sum("d").cast("long").alias("adist"))

@@ -24,6 +24,7 @@ What it does:
      The dir name carries the sf token ("sf1") so the pbp game-count rule
      (queries/domain.py:_games_for) scales to 3000 games by itself.
   2. Runs the three flagships (corpus_pipeline, z_sim_pipeline, z_pbp_dag)
+     plus the EXTRA_SHAPES heavy tier
      at sf0.1 and sf1 IN THE SAME SESSION (noop sink, no driver collect),
      attributing completed stages to each run via before/after snapshots of
      the UI REST API, and records per-query wall clock + max-task input /
@@ -58,8 +59,28 @@ FLAGSHIPS = ("corpus_pipeline", "z_sim_pipeline", "z_pbp_dag")
 # round-7 additions: the two newest heavy shapes (VERDICT r6 missing #3) —
 # the tfidf posting-list self-join (prove the df<=256 posting cap holds the
 # worst task flat at 10x) and the fuzzy-join non-broadcast fallback with
-# every block a mega-block (prove the id-hash sub-block bound)
-EXTRA_SHAPES = ("z_text_tfidf_topk", "fuzzy_forced_fallback")
+# every block a mega-block (prove the id-hash sub-block bound).
+# round-8 additions (VERDICT r7 #2): the two newest most-expensive benched
+# shapes — the published-width Gopher dup-gram pass (largest bench task
+# peak: the (g,n,gram) hash agg) and the trained residual IVF-PQ index
+# build (two Lloyd iterations + PQ at 10x).
+EXTRA_SHAPES = (
+    "z_text_tfidf_topk",
+    "fuzzy_forced_fallback",
+    "z_corpus_repetition_long",
+    "z_sim_ivfpq_trained",
+)
+
+# Per-task peak execution memory must stay ~FLAT across the 10x pair for
+# every shape except the forced fuzzy fallback (which deliberately grows
+# the block size 10x to prove the sub-block BOUND holds — its memory is
+# bounded, not flat, by design). A shape whose task memory scales with
+# corpus size is exactly the round-7 corpus_pipeline weak; this assertion
+# is the machinery that keeps it closed. Factor 3 absorbs hash-map
+# resize granularity and AQE partition-count steps.
+MEM_FLAT_FACTOR = 3.0
+MEM_FLAT_FLOOR_MB = 64.0  # ignore ratios below this absolute size
+MEM_FLAT_EXEMPT = ("fuzzy_forced_fallback",)
 
 
 def _fuzzy_forced_fallback(spark: SparkSession, sf_dir: str):
@@ -250,8 +271,7 @@ def main() -> int:
     app = _app_id()
     qs = mod.queries()
 
-    runnables = {name: qs[name] for name in FLAGSHIPS}
-    runnables["z_text_tfidf_topk"] = qs["z_text_tfidf_topk"]
+    runnables = {name: qs[name] for name in (*FLAGSHIPS, *EXTRA_SHAPES) if name in qs}
     runnables["fuzzy_forced_fallback"] = _fuzzy_forced_fallback
 
     out: dict = {"build_s": round(build_s, 1), "sf_pairs": {}}
@@ -297,6 +317,19 @@ def main() -> int:
             if p["sf0.1"]["wall_s"] > 0
             else None
         )
+        lo = p["sf0.1"]["max_task_peak_exec_mem_mb"]
+        hi = p["sf1"]["max_task_peak_exec_mem_mb"]
+        p["mem_ratio"] = round(hi / lo, 2) if lo > 0 else None
+        if (
+            name not in MEM_FLAT_EXEMPT
+            and hi > MEM_FLAT_FLOOR_MB
+            and lo > 0
+            and hi > MEM_FLAT_FACTOR * lo
+        ):
+            violations.append(
+                f"{name}: task peak exec memory scales with corpus size "
+                f"({lo} MB @ sf0.1 -> {hi} MB @ sf1, > {MEM_FLAT_FACTOR}x)"
+            )
     out["violations"] = violations
     with open(os.path.join(REPO, "STRESS_sf1.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -414,6 +414,28 @@ def test_no_single_partition_window(spark, sf_dir):
     )
 
 
+def test_committed_bench_no_task_mem_regressions():
+    """Round-8 machinery (VERDICT r7 #5): bench.py now diffs each run's
+    per-query max-task peak execution memory against the committed previous
+    round's (git HEAD copy of BENCH.json) and records >2x growth in
+    `task_mem_regressions`. The committed bench state must be clean — a
+    non-empty list at HEAD means a plan regression shipped (task maxima are
+    contention-immune, so this is never host noise)."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "BENCH.json"
+    if not p.exists():
+        import pytest
+
+        pytest.skip("no BENCH.json at HEAD (bench not yet run)")
+    d = json.loads(p.read_text())
+    assert d.get("task_mem_regressions", []) == [], (
+        "committed bench carries task-memory regressions: "
+        + "; ".join(d["task_mem_regressions"])
+    )
+
+
 def test_no_empty_partitionby_in_package():
     """Package-wide source pin: `Window.partitionBy()` with no columns is
     banned — the A6 1-row-agg + broadcast shape replaces it. Global
