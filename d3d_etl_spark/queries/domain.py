@@ -288,11 +288,20 @@ def _lw_class_sql() -> str:
     return f"CASE {whens} END"
 
 
-_LW_CTES = f"""
+#: default oracle source for the play table — the materialized parse
+_PARSED_SRC = f"read_parquet('{_PARSED_GLOB}')"
+
+
+def _lw_ctes(src: str = _PARSED_SRC) -> str:
+    """Quantized linear-weights CTE chain over the play source `src` —
+    parametrized (round 8) so the fixture-scale WAR twin
+    (queries/pbp_fixture.py: z_pbp_fixture_war) can run the identical
+    chain over the rule-table-generated fixture plays CTE."""
+    return f"""
 er AS (
   SELECT division, year, bases_before AS bases, outs_before AS outs,
          CAST(ROUND(1000000 * (CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*))) AS BIGINT) AS erv_u
-  FROM read_parquet('{_PARSED_GLOB}')
+  FROM {src}
   WHERE outs_before <= 2
   GROUP BY 1, 2, 3, 4
 ),
@@ -302,7 +311,7 @@ plays_u AS (
          (CASE WHEN p.outs_after >= 3 THEN 0 ELSE COALESCE(a.erv_u, 0) END)
            - COALESCE(b.erv_u, 0)
            + CAST(p.runs_on_play AS BIGINT) * 1000000 AS re24_u
-  FROM read_parquet('{_PARSED_GLOB}') p
+  FROM {src} p
   LEFT JOIN er b ON p.division = b.division AND p.year = b.year
                 AND p.bases_before = b.bases AND p.outs_before = b.outs
   LEFT JOIN er a ON p.division = a.division AND p.year = a.year
@@ -337,6 +346,9 @@ scale AS (
   GROUP BY 1, 2
 )
 """
+
+
+_LW_CTES = _lw_ctes()
 
 _LW_ORACLE = f"""
 WITH {_LW_CTES}
@@ -489,8 +501,10 @@ LEFT JOIN out_lw o ON l.division = o.division AND l.year = o.year
 
 
 # full batting-WAR chain as CTEs ending in `batwar` — shared by
-# domain_war_batting and the team/SoS chain (queries/war_chain.py)
-_WAR_CTES_CHAIN = f"""{_LW_CTES},
+# domain_war_batting, the team/SoS chain (queries/war_chain.py), and (as
+# the parametrized form) the fixture-scale WAR twin (z_pbp_fixture_war)
+def _war_ctes_chain(src: str = _PARSED_SRC) -> str:
+    return f"""{_lw_ctes(src)},
 normw AS (
   SELECT q.division, q.year, q.events, q.lw_above_outs * s.woba_scale AS w
   FROM quant q
@@ -511,7 +525,7 @@ league AS (
   SELECT division, year,
          CAST(SUM(runs_on_play) AS BIGINT) AS lg_runs,
          CAST(SUM(outs_on_play) AS BIGINT) AS lg_outs
-  FROM read_parquet('{_PARSED_GLOB}')
+  FROM {src}
   GROUP BY 1, 2
 ),
 consts AS (
@@ -538,7 +552,7 @@ counting AS (
          CAST(SUM(CASE WHEN event_type = 'HBP' THEN 1 ELSE 0 END) AS BIGINT) AS hbp,
          CAST(SUM(CASE WHEN event_type = 'SF' THEN 1 ELSE 0 END) AS BIGINT) AS sf,
          CAST(SUM(CASE WHEN event_type = 'SH' THEN 1 ELSE 0 END) AS BIGINT) AS sh
-  FROM read_parquet('{_PARSED_GLOB}')
+  FROM {src}
   WHERE batter_name IS NOT NULL
   GROUP BY 1, 2, 3
   HAVING SUM(CASE WHEN event_type IN {_sql_in(_PA_EVENTS)} THEN 1 ELSE 0 END) >= 1
@@ -547,7 +561,7 @@ running AS (
   SELECT division, year, r1_name AS batter_name,
          CAST(SUM(CASE WHEN event_type = 'SB' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
          CAST(SUM(CASE WHEN event_type = 'CS' THEN 1 ELSE 0 END) AS BIGINT) AS cs
-  FROM read_parquet('{_PARSED_GLOB}')
+  FROM {src}
   WHERE event_type IN ('SB', 'CS') AND r1_name IS NOT NULL
   GROUP BY 1, 2, 3
 ),
@@ -585,6 +599,9 @@ batwar AS (
   FROM war
 )"""
 
+
+_WAR_CTES_CHAIN = _war_ctes_chain()
+
 _WAR_ORACLE = f"""
 WITH {_WAR_CTES_CHAIN}
 SELECT division, year, batter_name, pa, ab, sb, cs, woba, wraa, rar, war
@@ -593,16 +610,23 @@ FROM batwar
 
 
 def _war_batting_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batting-WAR arithmetic end-to-end over the materialized plays:
+    """Batting-WAR arithmetic end-to-end over the materialized plays —
+    see war_batting_from_parsed (the chain, extracted in round 8 so the
+    fixture-scale twin z_pbp_fixture_war can run it over the fixture
+    parse instead of the materialized corpus)."""
+    return war_batting_from_parsed(materialized_parsed(spark, sf_dir))
+
+
+def war_batting_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Batting-WAR arithmetic end-to-end over a parsed play table:
     counting stats -> quantized wOBA weights -> wRAA -> SB runs -> RAR ->
     WAR (reference war_calculation/batting.py:363-418, calculator.py:124-224).
     Every double is a fixed expression tree over exact integer aggregates —
-    the oracle recomputes the identical chain in SQL (_WAR_CTES_CHAIN).
+    the oracle recomputes the identical chain in SQL (_war_ctes_chain).
     Returns the full chain incl. team_id and bsr for the team/SoS layer."""
     from d3d_etl_spark.functions import saber
     from d3d_etl_spark.functions.math import safe_div
 
-    parsed = materialized_parsed(spark, sf_dir)
     ev = F.col("event_type")
     bat_team = F.concat(
         F.lit("T_"),

@@ -329,15 +329,19 @@ def _fixture_ctes(game: list[tuple[int, str, str]], sfx: str = "") -> str:
 {st} AS (
   SELECT CAST(0 AS BIGINT) AS play_id, 0 AS inning, '' AS half,
          CAST(NULL AS VARCHAR) AS r1, CAST(NULL AS VARCHAR) AS r2,
-         CAST(NULL AS VARCHAR) AS r3, '' AS bases_before
+         CAST(NULL AS VARCHAR) AS r3, '' AS bases_before,
+         CAST(NULL AS VARCHAR) AS p_r1, CAST(NULL AS VARCHAR) AS p_r2,
+         CAST(NULL AS VARCHAR) AS p_r3
   UNION ALL
   SELECT f.play_id, f.inning, f.half, f.g1, f.g2, f.g3,
-         {_code("f.a1", "f.a2", "f.a3")}
+         {_code("f.a1", "f.a2", "f.a3")},
+         f.a1, f.a2, f.a3
   FROM ({chain}) f
 ),
 trace{sfx} AS (
   SELECT s.play_id, s.inning, s.half, e.event AS event_type, e.batter,
          s.bases_before, {_code("s.r1", "s.r2", "s.r3")} AS bases_after,
+         s.p_r1 AS r1_name, s.p_r2 AS r2_name, s.p_r3 AS r3_name,
          e.outs_on_play, e.runs_on_play
   FROM {st} s JOIN {ev} e ON e.play_id = s.play_id
   WHERE s.play_id > 0
@@ -496,23 +500,46 @@ def z_pbp_fixture_trace2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PA_SQL = ", ".join(f"'{c}'" for c in sorted(PA_EVENTS))
 
+
+def _both_games_raw(spark: SparkSession) -> DataFrame:
+    """Both fixture games as one raw narration frame (contests 100/200)."""
+    rows = [
+        (
+            2024,
+            "ncaa_3",
+            contest,
+            inning,
+            text if half == "T" else None,
+            text if half == "B" else None,
+            seq,
+        )
+        for contest, game in ((100, FIXTURE_GAME), (200, FIXTURE_GAME2))
+        for seq, (inning, half, text) in enumerate(game)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "year int, division string, contest_id long, inning int, "
+        "away_text string, home_text string, source_seq long",
+    )
+
 _W_IH = "PARTITION BY contest_id, inning, half ORDER BY play_id"
 _W_G = "PARTITION BY contest_id ORDER BY play_id"
 _W_H = "PARTITION BY contest_id, half ORDER BY play_id"
 _B4 = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
 _CUM = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
-_DAG_ORACLE = f"""
-WITH RECURSIVE {_fixture_ctes(FIXTURE_GAME, "1")},
-{_fixture_ctes(FIXTURE_GAME2, "2")},
-plays0 AS (
+# Shared fixture-plays CTE block (both games unioned, all window-derived
+# columns, plus the division/year literals the downstream LW/WAR chains
+# group by) — consumed by the full-DAG oracle and the WAR-chain oracle.
+_FIXTURE_PLAYS_CTES = f"""plays0 AS (
   SELECT CAST(100 AS BIGINT) AS contest_id, * FROM trace1
   UNION ALL
   SELECT CAST(200 AS BIGINT) AS contest_id, * FROM trace2
 ),
 p1 AS (
   SELECT contest_id, play_id, inning, half, event_type, batter,
-         bases_before, bases_after,
+         r1_name, r2_name, r3_name,
+         bases_before, bases_after, outs_on_play,
          CAST(COALESCE(SUM(outs_on_play) OVER ({_W_IH} {_B4}), 0) AS INT)
            AS outs_before,
          CAST(COALESCE(SUM(outs_on_play) OVER ({_W_IH} {_B4}), 0)
@@ -538,19 +565,25 @@ p1 AS (
            OVER ({_W_G} {_CUM}) AS INT) AS away_score_after
   FROM plays0
 ),
-p2 AS (
+fxplays AS (
   SELECT *,
+         'ncaa_3' AS division, 2024 AS year, batter AS batter_name,
          CAST(COALESCE(last_value(slot IGNORE NULLS)
            OVER ({_W_H} {_CUM}), 1) AS INT) AS bat_order
   FROM p1
-),
+)"""
+
+_DAG_ORACLE = f"""
+WITH RECURSIVE {_fixture_ctes(FIXTURE_GAME, "1")},
+{_fixture_ctes(FIXTURE_GAME2, "2")},
+{_FIXTURE_PLAYS_CTES},
 er AS (
   SELECT bases_before AS b, outs_before AS o,
          CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
-  FROM p2 WHERE outs_before <= 2 GROUP BY 1, 2
+  FROM fxplays WHERE outs_before <= 2 GROUP BY 1, 2
 )
 SELECT p.contest_id, p.play_id, CAST(p.inning AS INT) AS inning, p.half,
-       p.event_type, p.batter AS batter_name,
+       p.event_type, p.batter_name,
        p.bases_before, p.bases_after, p.outs_before, p.outs_after,
        p.runs_on_play, p.runs_this_inn, p.runs_roi, p.bat_order,
        p.away_score_before, p.home_score_before,
@@ -561,7 +594,7 @@ SELECT p.contest_id, p.play_id, CAST(p.inning AS INT) AS inning, p.half,
        (CASE WHEN p.outs_after >= 3 THEN CAST(0.0 AS DOUBLE)
              ELSE COALESCE(ea.erv, 0.0) END)
          - COALESCE(eb.erv, 0.0) + CAST(p.runs_on_play AS DOUBLE) AS re24
-FROM p2 p
+FROM fxplays p
 LEFT JOIN er eb ON eb.b = p.bases_before AND eb.o = p.outs_before
 LEFT JOIN er ea ON ea.b = p.bases_after AND ea.o = p.outs_after
 """
@@ -576,27 +609,9 @@ def z_pbp_fixture_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long
     from d3d_etl_spark.pbp.parser import parse_pbp
 
-    rows = [
-        (
-            2024,
-            "ncaa_3",
-            contest,
-            inning,
-            text if half == "T" else None,
-            text if half == "B" else None,
-            seq,
-        )
-        for contest, game in ((100, FIXTURE_GAME), (200, FIXTURE_GAME2))
-        for seq, (inning, half, text) in enumerate(game)
-    ]
-    raw = spark.createDataFrame(
-        rows,
-        "year int, division string, contest_id long, inning int, "
-        "away_text string, home_text string, source_seq long",
-    )
     # localCheckpoint, not cache: the ER broadcast subtree is planned
     # eagerly and would re-derive the parse (the round-2 pbp_dag fix)
-    parsed = parse_pbp(raw).localCheckpoint()
+    parsed = parse_pbp(_both_games_raw(spark)).localCheckpoint()
     plays = add_re24(parsed, expected_runs_long(parsed))
     return plays.select(
         "contest_id",
@@ -620,4 +635,57 @@ def z_pbp_fixture_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re_before",
         "re_after",
         "re24",
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_pbp_fixture_war — the COMPLETE z_pbp_war chain driver-hashed at fixture
+# scale: raw narration -> production parse (FSM) -> quantized linear
+# weights -> wOBA weights + scale -> league constants -> per-batter
+# counting (incl. SB/CS credited to the pre-play runner on first) -> wRAA
+# -> SB runs -> RAR -> WAR. The oracle chains BOTH games'
+# rule-table-generated recursive CTEs into the SAME parametrized WAR CTE
+# chain the corpus-scale oracles use (queries/domain.py:_war_ctes_chain,
+# src = the fixture plays CTE) — so the entire rows-only pipeline class is
+# now hash-verified end-to-end from raw text at fixture scale, including
+# the runner-NAME state (r1_name feeds the SB/CS split), which the
+# bases-code traces alone never pinned.
+# ---------------------------------------------------------------------------
+
+
+def _war_fixture_oracle() -> str:
+    from d3d_etl_spark.queries.domain import _war_ctes_chain
+
+    return f"""
+WITH RECURSIVE {_fixture_ctes(FIXTURE_GAME, "1")},
+{_fixture_ctes(FIXTURE_GAME2, "2")},
+{_FIXTURE_PLAYS_CTES},
+{_war_ctes_chain("fxplays")}
+SELECT division, year, batter_name, pa, ab, sb, cs, woba, wraa, rar, war
+FROM batwar
+"""
+
+
+@register("z_pbp_fixture_war", _war_fixture_oracle(), tags=("stateful", "domain", "war"))
+def z_pbp_fixture_war(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production batting-WAR chain (war_batting_from_parsed — the same
+    code path domain_war_players' batting arm runs over the corpus) over
+    the fixture parse. `sf_dir` is unused — the fixtures are the planted
+    input by design (bounded-scale end-to-end WAR oracle)."""
+    from d3d_etl_spark.pbp.parser import parse_pbp
+    from d3d_etl_spark.queries.domain import war_batting_from_parsed
+
+    parsed = parse_pbp(_both_games_raw(spark)).localCheckpoint()
+    return war_batting_from_parsed(parsed).select(
+        "division",
+        "year",
+        "batter_name",
+        F.col("pa").cast("long").alias("pa"),
+        F.col("ab").cast("long").alias("ab"),
+        F.col("sb").cast("long").alias("sb"),
+        F.col("cs").cast("long").alias("cs"),
+        "woba",
+        "wraa",
+        "rar",
+        "war",
     )
