@@ -36,14 +36,16 @@ def levenshtein_sim(a: Column, b: Column) -> Column:
     return 1.0 - F.levenshtein(a, b).cast("double") / F.greatest(F.length(a), F.length(b))
 
 
-def fits_broadcast(df: DataFrame, cap_bytes: int = 64 << 20) -> bool:
+def fits_broadcast(df: DataFrame, cap_bytes: int = 16 << 20) -> bool:
     """Whether a file-backed DataFrame is safely broadcast-sized.
 
     Sums the on-disk size of the scan's input files (driver-side metadata
-    only — no job). Parquet on-disk is compressed, so the in-memory relation
-    is larger; the default 64 MiB cap leaves that headroom under a typical
-    executor budget. Falls back to False (the safe, shuffle/AQE path) when
-    the plan has no file scan to measure.
+    only — no job). Parquet on-disk is compressed and the hash relation
+    carries per-row overhead: MEASURED expansion on the part table at the
+    sf1 stress tier is ~30x (1.9 MB disk -> ~60 MB relation), so the
+    16 MiB default cap bounds the worst-case relation near 512 MB under a
+    typical executor budget. Falls back to False (the safe, shuffle/AQE
+    path) when the plan has no file scan to measure.
     """
     import os
 
@@ -423,19 +425,24 @@ def variation_tier(
 
     from d3d_etl_spark.functions.strings import normalize_name
 
+    # The name equality is IN the join key (block + normalized name), not a
+    # post-join filter: a block-key-only join materializes each block's
+    # probe x variant cross product — O(|block|^2) work that grows with the
+    # corpus — and the exploded variant side (|candidates| x ~6 rows) is
+    # corpus-grain, so it shuffle-hashes rather than broadcast (Catalyst
+    # auto-broadcast of it measured a 320 MB task relation at the 10x
+    # stress pair).
     cand_exploded = candidates.select(
-        *block_keys, F.col(cand_id), F.explode(name_variations(F.col(cand_name))).alias("_variant")
+        *block_keys,
+        F.col(cand_id),
+        F.explode(name_variations(F.col(cand_name))).alias("_nm_jk"),
     )
     probe_norm = probes.select(
-        *block_keys, F.col(probe_id), normalize_name(F.col(probe_name)).alias("_pname")
+        *block_keys, F.col(probe_id), normalize_name(F.col(probe_name)).alias("_nm_jk")
     )
     w = Window.partitionBy(probe_id).orderBy(F.asc(cand_id))
     return (
-        probe_norm.join(
-            cand_exploded,
-            [*block_keys],
-        )
-        .where(F.col("_pname") == F.col("_variant"))
+        probe_norm.join(cand_exploded.hint("shuffle_hash"), [*block_keys, "_nm_jk"])
         .withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .select(

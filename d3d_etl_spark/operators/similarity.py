@@ -281,6 +281,71 @@ def hyperplane_band_buckets(
 ANN_MAX_BUCKET = 4096  # hot-bucket guard: max rows per GEMM block (see below)
 
 
+def _banded_block_tagged(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """(vid, vec, band, bucket, _blk, _bi, _bj) rows: hyperplane band
+    buckets + the hot-bucket id-hash sub-block replication — the shared
+    front half of the gated GEMM operators (pair emission and contrastive
+    row emission differ only in what the Arrow worker returns).
+
+    Hot-bucket detection is a WINDOW count over (band, bucket): stays
+    inside the one plan (no checkpoint barrier, no separate probe job —
+    measured cheaper than the agg+join-back form, which either recomputes
+    the banding lineage on both sides or pays two extra jobs for a
+    barrier+driver probe). One extra exchange of the n_bands-rows-per-id
+    band table; _nsub is 1 everywhere on a clean corpus, so the explode
+    emits exactly one row per input and the block keys are constant.
+    Each unordered pair of rows meets in exactly one (bi, bj) task per
+    band."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.functions.strings import md5_int
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands bands")
+    spark = emb.sparkSession
+    planes = hyperplane_table(spark, n_planes, dim)
+    bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
+    w_bkt = Window.partitionBy("band", "bucket")
+    bb = bb.withColumn(
+        "_nsub",
+        F.greatest(
+            F.lit(1), F.ceil(F.count("*").over(w_bkt) / F.lit(max_bucket))
+        ).cast("int"),
+    )
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    # bucket membership lists are corpus-sized: this join shuffles both
+    # sides on the id — one exchange, then the grouped GEMM reuses the
+    # (band, bucket, block-pair) clustering from the groupBy
+    return (
+        base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
+        .withColumn(
+            "_blk",
+            F.pmod(md5_int(F.col("vid").cast("string")), F.col("_nsub")).cast("int"),
+        )
+        .withColumn("_j", F.explode(F.expr("sequence(0, _nsub - 1)")))
+        .select(
+            "vid",
+            "vec",
+            "band",
+            "bucket",
+            "_blk",
+            F.least("_blk", "_j").alias("_bi"),
+            F.greatest("_blk", "_j").alias("_bj"),
+        )
+    )
+
+
 def ann_gated_near_pairs(
     emb: DataFrame,
     threshold: float,
@@ -328,55 +393,8 @@ def ann_gated_near_pairs(
     """
     import pyarrow as pa
 
-    from d3d_etl_spark.functions.strings import md5_int
-
-    if n_planes % n_bands:
-        raise ValueError("n_planes must divide evenly into n_bands bands")
-    from pyspark.sql import Window
-
-    spark = emb.sparkSession
-    planes = hyperplane_table(spark, n_planes, dim)
-    bb = hyperplane_band_buckets(emb, planes, n_planes // n_bands, id_col, vec_col)
-    # hot-bucket detection as a WINDOW count over (band, bucket): stays
-    # inside the one plan (no checkpoint barrier, no separate probe job —
-    # measured cheaper than the agg+join-back form, which either recomputes
-    # the banding lineage on both sides or pays two extra jobs for a
-    # barrier+driver probe). One extra exchange of the n_bands-rows-per-id
-    # band table; _nsub is 1 everywhere on a clean corpus, so the explode
-    # emits exactly one row per input and the block keys are constant.
-    w_bkt = Window.partitionBy("band", "bucket")
-    bb = bb.withColumn(
-        "_nsub",
-        F.greatest(
-            F.lit(1), F.ceil(F.count("*").over(w_bkt) / F.lit(max_bucket))
-        ).cast("int"),
-    )
-    base = emb.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-    # bucket membership lists are corpus-sized: this join shuffles both
-    # sides on the id — one exchange, then the grouped GEMM reuses the
-    # (band, bucket, block-pair) clustering from the groupBy
-    tagged = (
-        base.join(bb.withColumnRenamed(id_col, "vid"), "vid")
-        .withColumn(
-            "_blk",
-            F.pmod(md5_int(F.col("vid").cast("string")), F.col("_nsub")).cast("int"),
-        )
-        # replicate each row to every block pair it participates in:
-        # (min(_blk, j), max(_blk, j)) for j in 0.._nsub-1 — each unordered
-        # pair of rows meets in exactly one (bi, bj) task per band
-        .withColumn("_j", F.explode(F.expr("sequence(0, _nsub - 1)")))
-        .select(
-            "vid",
-            "vec",
-            "band",
-            "bucket",
-            "_blk",
-            F.least("_blk", "_j").alias("_bi"),
-            F.greatest("_blk", "_j").alias("_bj"),
-        )
+    tagged = _banded_block_tagged(
+        emb, dim, n_planes, n_bands, id_col, vec_col, max_bucket
     )
 
     out_schema = pa.schema(
@@ -436,6 +454,120 @@ def ann_gated_near_pairs(
         .applyInArrow(gemm_bucket_pairs, "vec_a long, vec_b long, sim double")
     )
     return pairs.groupBy("vec_a", "vec_b").agg(F.max("sim").alias("sim"))
+
+
+def ann_gated_contrastive_rows(
+    emb: DataFrame,
+    tau: float,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = ANN_MAX_BUCKET,
+) -> DataFrame:
+    """Per-anchor contrastive rows over the band-bucket candidate pool:
+    for every vector, ALL gated partners with sim >= tau (positives,
+    duplicate-rate bounded) plus the single hardest sub-tau partner per
+    GEMM task (negative candidate; tie sim desc, other-id asc).
+
+    This exists because mining triplets through the pair operator with
+    threshold -1 materializes EVERY bucket pair — output (and the
+    downstream dedup agg's state) is bucket-size-QUADRATIC, measured as a
+    4.6 GiB task at the sf1 stress tier (the round-8 scope=all audit's
+    worst finding). Here the quadratic sims matrix still exists inside
+    each task (bounded at max_bucket^2 by the hot-bucket guard), but only
+    O(positives + 1) rows per vector per task LEAVE it, so shuffle volume
+    and downstream state track the duplicate rate, never bucket^2.
+
+    Result equivalence with the all-pairs form (pinned in
+    tests/test_contrastive_r5.py): positives are emitted from both
+    orientations in every shared bucket and deduped downstream; the global
+    hardest negative per anchor is the (sim desc, id asc)-argmax over the
+    per-task argmaxes, which equals the argmax over all gated partners
+    because every partner appears in some task and the order is total.
+    Columns are id-sorted before the GEMM so numpy's first-max argmax IS
+    the min-id tiebreak."""
+    import pyarrow as pa
+
+    tagged = _banded_block_tagged(
+        emb, dim, n_planes, n_bands, id_col, vec_col, max_bucket
+    )
+
+    out_schema = pa.schema(
+        [
+            ("anchor", pa.int64()),
+            ("other", pa.int64()),
+            ("sim", pa.float64()),
+            ("is_pos", pa.bool_()),
+        ]
+    )
+
+    def _gemm(np, A, B):
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return _np_round6_half_away((A @ B.T) / np.outer(na, nb))
+
+    def _emit(np, ids_a, ids_b, sims, out):
+        """Rows of `sims` anchor on ids_a, columns on ids_b (id-ascending).
+        Appends positive cells and the per-row best sub-tau cell to out."""
+        finite = np.isfinite(sims)
+        pi, pj = np.nonzero(finite & (sims >= tau))
+        for k in range(pi.size):
+            out[0].append(ids_a[pi[k]])
+            out[1].append(ids_b[pj[k]])
+            out[2].append(sims[pi[k], pj[k]])
+            out[3].append(True)
+        masked = np.where(finite & (sims < tau), sims, -np.inf)
+        best_j = np.argmax(masked, axis=1)  # first max = min id (sorted cols)
+        best_v = masked[np.arange(masked.shape[0]), best_j]
+        has = np.isfinite(best_v)
+        for i in np.nonzero(has)[0]:
+            out[0].append(ids_a[i])
+            out[1].append(ids_b[best_j[i]])
+            out[2].append(best_v[i])
+            out[3].append(False)
+
+    def gemm_contrastive(tbl: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        if tbl.num_rows < 2:
+            return out_schema.empty_table()
+        c = tbl.column("vec").combine_chunks()
+        M = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+        ids = tbl.column("vid").combine_chunks().to_numpy()
+        order = np.argsort(ids, kind="stable")
+        M, ids = M[order], ids[order]
+        bi = tbl.column("_bi")[0].as_py()
+        bj = tbl.column("_bj")[0].as_py()
+        out: tuple = ([], [], [], [])
+        if bi == bj:
+            sims = _gemm(np, M, M)
+            np.fill_diagonal(sims, -np.inf)  # a vector never partners itself
+            _emit(np, ids, ids, sims, out)
+        else:
+            blk = tbl.column("_blk").combine_chunks().to_numpy()[order]
+            a_ix = np.nonzero(blk == bi)[0]
+            b_ix = np.nonzero(blk == bj)[0]
+            if a_ix.size and b_ix.size:
+                sims = _gemm(np, M[a_ix], M[b_ix])
+                _emit(np, ids[a_ix], ids[b_ix], sims, out)
+                _emit(np, ids[b_ix], ids[a_ix], sims.T, out)
+        if not out[0]:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "anchor": out[0],
+                "other": out[1],
+                "sim": out[2],
+                "is_pos": out[3],
+            },
+            schema=out_schema,
+        )
+
+    return tagged.groupBy("band", "bucket", "_bi", "_bj").applyInArrow(
+        gemm_contrastive, "anchor long, other long, sim double, is_pos boolean"
+    )
 
 
 def ivf_probe_labels(

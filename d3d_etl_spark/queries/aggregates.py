@@ -158,9 +158,9 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # part='count_distinct' (A3) — broadcast dim join feeding the agg
+    # part='count_distinct' (A3) — customer scales with the corpus: shuffle-hash
     count_distinct = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_custkey").alias("_b"),
@@ -177,7 +177,9 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # part='global_ratio' (A6) — group metric / broadcast global scalar
     per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with the corpus (round-8 doctrine): shuffle-hash;
+        # nation is a true dimension and stays broadcast
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))

@@ -100,9 +100,11 @@ def z_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = z_corpus_span_dedup(spark, sf_dir).select("doc_id", "would_trim")
 
     d = mixing_doc_grain(docs, materialize=False)  # surv below carries the barrier
+    # lm/span are DOC-grain gate frames (grow with the corpus): shuffle on
+    # doc_id, never broadcast (round-8 corpus-grain-broadcast doctrine)
     surv = (
-        d.join(lm, "doc_id")
-        .join(span, "doc_id", "left")
+        d.join(lm.hint("shuffle_hash"), "doc_id")
+        .join(span.hint("shuffle_hash"), "doc_id", "left")
         .where(
             (F.col("nll") <= _LM_REVIEW_T)
             & ~F.coalesce(F.col("would_trim"), F.lit(False))

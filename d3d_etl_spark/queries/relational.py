@@ -113,9 +113,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    # customer scales WITH the corpus (it is not a dimension): the round-8
+    # scope=all stress audit measured its forced broadcast growing 3.3x
+    # per 10x data — shuffle-hash with the filtered customer side as build
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
         .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -157,11 +160,18 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    # Only nation/region are TRUE dimensions (fixed cardinality at any
+    # corpus size) — they broadcast. orders/customer/supplier scale with
+    # the SF, so their joins shuffle-hash with the smaller (filtered) side
+    # as build: the round-1 all-broadcast plan won the toy-scale benchmark
+    # but the round-8 scope=all stress audit measured its relations growing
+    # linearly (the q3 twin breached the flatness bound) — at 100 TB a
+    # customer broadcast is a multi-GB relation on every executor.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp.hint("shuffle_hash"),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -1395,25 +1395,30 @@ def z_sim_contrastive_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond-reference LLM-pipeline operator."""
     from pyspark.sql import Window
 
-    from d3d_etl_spark.operators.similarity import ann_gated_near_pairs
+    from d3d_etl_spark.operators.similarity import ann_gated_contrastive_rows
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # one unthresholded gated pass feeds positives AND negatives (threshold
-    # -1 admits every band-colliding pair with its exact verified sim)
-    allp = ann_gated_near_pairs(
-        emb, -1.0, _DIM, _GATE_PLANES, _GATE_BANDS
+    # One gated GEMM pass emits per-anchor rows DIRECTLY: all >=tau
+    # positives + each task's hardest sub-tau negative candidate. The
+    # previous form (threshold -1 through the pair operator) materialized
+    # every bucket pair — bucket-size-QUADRATIC output whose dedup agg
+    # measured a 4.6 GiB task at the sf1 stress tier (round-8 scope=all
+    # audit); this one's shuffle volume tracks the duplicate rate.
+    rows = ann_gated_contrastive_rows(
+        emb, float(_SEMDEDUP_TAU), _DIM, _GATE_PLANES, _GATE_BANDS
     ).localCheckpoint()
-    sym = allp.select(
-        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"), "sim"
-    ).unionByName(
-        allp.select(F.col("vec_b").alias("anchor"), F.col("vec_a").alias("other"), "sim")
+    # positives: dedupe the per-band/per-block copies (sims identical)
+    pos = (
+        rows.where(F.col("is_pos"))
+        .groupBy("anchor", F.col("other").alias("positive"))
+        .agg(F.max("sim").alias("pos_sim"))
     )
-    pos = sym.where(F.col("sim") >= _SEMDEDUP_TAU).select(
-        "anchor", F.col("other").alias("positive"), F.col("sim").alias("pos_sim")
-    )
+    # hardest negative: global (sim desc, id asc) top-1 over the per-task
+    # winners — <= n_bands x n_sub candidate rows per anchor, so the
+    # window's per-key state is banding-bounded, never bucket-sized
     w = Window.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("other"))
     neg = (
-        sym.where(F.col("sim") < _SEMDEDUP_TAU)
+        rows.where(~F.col("is_pos"))
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("anchor", F.col("other").alias("negative"), F.col("sim").alias("neg_sim"))

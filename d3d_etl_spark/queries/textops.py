@@ -663,8 +663,13 @@ def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.select(F.explode("w").alias("tok")).agg(
         F.countDistinct("tok").alias("vocab")
     )
+    # the LM tables (c1 = unigram grain, stats = bigram grain) GROW with
+    # the corpus — behind the bi checkpoint Catalyst's stats say "tiny"
+    # and it auto-broadcasts them (measured 384 MB task peak at the 10x
+    # stress pair). Model-sized joins shuffle-hash; only the 1-row vocab
+    # scalar broadcasts.
     stats = (
-        c12.join(c1, "w1")
+        c12.join(c1.hint("shuffle_hash"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "w1",
@@ -678,7 +683,7 @@ def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        bi.join(stats, ["w1", "w2"])
+        bi.join(stats.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("t").cast("long").alias("s_sum"))
     )
@@ -772,8 +777,12 @@ def z_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sp.groupBy("sh").agg(F.count("*").alias("c"))
     is_dup = (F.col("c") >= 2).cast("long")
     frac = F.sum(is_dup).cast("double") / F.count("*")
+    # the count table is span-cardinality-sized (GROWS with the corpus):
+    # the join back must shuffle on the span hash as the docstring
+    # promises — Catalyst's estimate behind the thin scan otherwise
+    # auto-broadcasts it (measured 296 MB task peak at the 10x pair)
     return (
-        sp.join(counts, "sh")
+        sp.join(counts.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -1966,8 +1975,11 @@ def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p", md5_int(F.col("s"), 15).alias("sh"))
     )
     own = spp.groupBy("sh").agg(F.min("doc_id").alias("own"))
+    # owner table and coverage set are corpus-grown (span-cardinality and
+    # duplicated-POSITION grain): both joins shuffle — auto-broadcast here
+    # measured 272 MB task peak at the 10x stress pair
     cov = (
-        spp.join(own, "sh")
+        spp.join(own.hint("shuffle_hash"), "sh")
         .where(F.col("own") < F.col("doc_id"))
         .select(
             "doc_id",
@@ -1977,7 +1989,7 @@ def z_corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    kept = tk.join(cov, ["doc_id", "pos"], "left_anti")
+    kept = tk.join(cov.hint("shuffle_hash"), ["doc_id", "pos"], "left_anti")
     # two-level chunked reconstruction: per-chunk buffer <= _SCRUB_CHUNK
     # tokens, per-doc buffer = one 32-byte hash per chunk
     chagg = kept.groupBy(

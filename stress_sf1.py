@@ -80,7 +80,16 @@ EXTRA_SHAPES = (
 # resize granularity and AQE partition-count steps.
 MEM_FLAT_FACTOR = 3.0
 MEM_FLAT_FLOOR_MB = 64.0  # ignore ratios below this absolute size
-MEM_FLAT_EXEMPT = ("fuzzy_forced_fallback",)
+MEM_FLAT_EXEMPT = (
+    # deliberately grows every block 10x — the sub-block BOUND holding is
+    # the demonstration, not flatness
+    "fuzzy_forced_fallback",
+    # the within-bucket GEMM's sims scratch grows with bucket occupancy
+    # but SATURATES at the hot-bucket guard ceiling: ANN_MAX_BUCKET^2
+    # doubles = 134 MB << TASK_MEM_BOUND (measured 34.8 -> 109 MB at the
+    # 10x pair, buckets ~3000 rows — one more 10x splits at 4096)
+    "sim_near_dedup",
+)
 
 
 def _fuzzy_forced_fallback(spark: SparkSession, sf_dir: str):
@@ -132,11 +141,14 @@ def _fuzzy_forced_fallback(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_MARKER_TAG = "v2-tpch"  # bumped when the slice gains tables
+
+
 def build_sf1(spark: SparkSession) -> float:
     """Replicate sf0.1 -> sf1 with per-replica decorrelation. Idempotent
-    (marker file); returns build seconds (0.0 when memoized)."""
+    (versioned marker file); returns build seconds (0.0 when memoized)."""
     marker = os.path.join(DST, ".built")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and _MARKER_TAG in open(marker).read():
         return 0.0
     t0 = time.time()
     os.makedirs(DST, exist_ok=True)
@@ -209,8 +221,77 @@ def build_sf1(spark: SparkSession) -> float:
         os.path.join(DST, "events.parquet")
     )
 
+    # TPC-H side (round 8, scope=all): consistent key SHIFTS preserve the
+    # FK structure inside each replica (replicated lineitem rows reference
+    # replicated orders/parts/suppliers; customers keep their original
+    # nations), and block/name keys (p_brand, p_name) are replica-suffixed
+    # so blocked work grows linearly — MORE blocks, never BIGGER blocks
+    # (the same decorrelation philosophy as the token-suffixed documents).
+    # nation/region are dimensions and are copied verbatim.
+    _OK, _CK, _PK, _SK = 10_000_000, 1_000_000, 1_000_000, 100_000
+
+    def rep_shift(col, step):
+        return (F.col(col) + F.col("rep") * F.lit(step)).alias(col)
+
+    def rep_suffix(col):
+        return (
+            F.when(F.col("rep") == 0, F.col(col))
+            .otherwise(F.concat(F.col(col), F.lit(" r"), F.col("rep")))
+            .alias(col)
+        )
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    li.crossJoin(reps).select(
+        rep_shift("l_orderkey", _OK),
+        rep_shift("l_partkey", _PK),
+        rep_shift("l_suppkey", _SK),
+        *[F.col(c) for c in li.columns if c not in ("l_orderkey", "l_partkey", "l_suppkey")],
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "lineitem.parquet")
+    )
+
+    od = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    od.crossJoin(reps).select(
+        rep_shift("o_orderkey", _OK),
+        rep_shift("o_custkey", _CK),
+        *[F.col(c) for c in od.columns if c not in ("o_orderkey", "o_custkey")],
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "orders.parquet")
+    )
+
+    cu = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+    cu.crossJoin(reps).select(
+        rep_shift("c_custkey", _CK),
+        *[F.col(c) for c in cu.columns if c != "c_custkey"],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(DST, "customer.parquet")
+    )
+
+    pt = spark.read.parquet(os.path.join(SRC, "part.parquet"))
+    pt.crossJoin(reps).select(
+        rep_shift("p_partkey", _PK),
+        rep_suffix("p_brand"),
+        rep_suffix("p_name"),
+        *[F.col(c) for c in pt.columns if c not in ("p_partkey", "p_brand", "p_name")],
+    ).repartition(8).write.mode("overwrite").parquet(
+        os.path.join(DST, "part.parquet")
+    )
+
+    sp = spark.read.parquet(os.path.join(SRC, "supplier.parquet"))
+    sp.crossJoin(reps).select(
+        rep_shift("s_suppkey", _SK),
+        *[F.col(c) for c in sp.columns if c != "s_suppkey"],
+    ).repartition(4).write.mode("overwrite").parquet(
+        os.path.join(DST, "supplier.parquet")
+    )
+
+    for dim in ("nation", "region"):
+        spark.read.parquet(os.path.join(SRC, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST, f"{dim}.parquet"))
+
     with open(marker, "w") as f:
-        f.write(f"src={SRC} reps={REPS}\n")
+        f.write(f"src={SRC} reps={REPS} {_MARKER_TAG}\n")
     return time.time() - t0
 
 
@@ -271,12 +352,25 @@ def main() -> int:
     app = _app_id()
     qs = mod.queries()
 
-    runnables = {name: qs[name] for name in (*FLAGSHIPS, *EXTRA_SHAPES) if name in qs}
-    runnables["fuzzy_forced_fallback"] = _fuzzy_forced_fallback
+    # scope=core (default): flagships + the synthetic fallback + the
+    # heavy EXTRA_SHAPES. scope=all (round 8): EVERY bench-tagged query —
+    # the complete "would each benched plan survive 10x" audit, enabled
+    # by the slice now carrying the TPC-H tables too.
+    scope = os.environ.get("SPARK_GRAFT_STRESS_SCOPE", "core")
+    shapes = [*FLAGSHIPS, *EXTRA_SHAPES]
+    if scope == "all":
+        from d3d_etl_spark.queries.registry import REGISTRY
 
-    out: dict = {"build_s": round(build_s, 1), "sf_pairs": {}}
+        shapes += [
+            n for n, q in sorted(REGISTRY.items()) if q.bench and n not in shapes
+        ]
+
+    runnables = {name: qs[name] for name in shapes if name in qs}
+    runnables["fuzzy_forced_fallback"] = _fuzzy_forced_fallback  # synthetic
+
+    out: dict = {"build_s": round(build_s, 1), "scope": scope, "sf_pairs": {}}
     violations: list[str] = []
-    for name in (*FLAGSHIPS, *EXTRA_SHAPES):
+    for name in shapes:
         fn = runnables[name]
         out["sf_pairs"][name] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
