@@ -494,39 +494,7 @@ def ann_gated_contrastive_rows(
         emb, dim, n_planes, n_bands, id_col, vec_col, max_bucket
     )
 
-    out_schema = pa.schema(
-        [
-            ("anchor", pa.int64()),
-            ("other", pa.int64()),
-            ("sim", pa.float64()),
-            ("is_pos", pa.bool_()),
-        ]
-    )
-
-    def _gemm(np, A, B):
-        na = np.sqrt(np.einsum("ij,ij->i", A, A))
-        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        return _np_round6_half_away((A @ B.T) / np.outer(na, nb))
-
-    def _emit(np, ids_a, ids_b, sims, out):
-        """Rows of `sims` anchor on ids_a, columns on ids_b (id-ascending).
-        Appends positive cells and the per-row best sub-tau cell to out."""
-        finite = np.isfinite(sims)
-        pi, pj = np.nonzero(finite & (sims >= tau))
-        for k in range(pi.size):
-            out[0].append(ids_a[pi[k]])
-            out[1].append(ids_b[pj[k]])
-            out[2].append(sims[pi[k], pj[k]])
-            out[3].append(True)
-        masked = np.where(finite & (sims < tau), sims, -np.inf)
-        best_j = np.argmax(masked, axis=1)  # first max = min id (sorted cols)
-        best_v = masked[np.arange(masked.shape[0]), best_j]
-        has = np.isfinite(best_v)
-        for i in np.nonzero(has)[0]:
-            out[0].append(ids_a[i])
-            out[1].append(ids_b[best_j[i]])
-            out[2].append(best_v[i])
-            out[3].append(False)
+    out_schema = _contrastive_schema(pa)
 
     def gemm_contrastive(tbl: "pa.Table") -> "pa.Table":
         import numpy as np
@@ -542,31 +510,120 @@ def ann_gated_contrastive_rows(
         bj = tbl.column("_bj")[0].as_py()
         out: tuple = ([], [], [], [])
         if bi == bj:
-            sims = _gemm(np, M, M)
+            sims = _gemm_cos(np, M, M)
             np.fill_diagonal(sims, -np.inf)  # a vector never partners itself
-            _emit(np, ids, ids, sims, out)
+            _contrastive_emit(np, ids, ids, sims, tau, out)
         else:
             blk = tbl.column("_blk").combine_chunks().to_numpy()[order]
             a_ix = np.nonzero(blk == bi)[0]
             b_ix = np.nonzero(blk == bj)[0]
             if a_ix.size and b_ix.size:
-                sims = _gemm(np, M[a_ix], M[b_ix])
-                _emit(np, ids[a_ix], ids[b_ix], sims, out)
-                _emit(np, ids[b_ix], ids[a_ix], sims.T, out)
+                sims = _gemm_cos(np, M[a_ix], M[b_ix])
+                _contrastive_emit(np, ids[a_ix], ids[b_ix], sims, tau, out)
+                _contrastive_emit(np, ids[b_ix], ids[a_ix], sims.T, tau, out)
         if not out[0]:
             return out_schema.empty_table()
         return pa.table(
-            {
-                "anchor": out[0],
-                "other": out[1],
-                "sim": out[2],
-                "is_pos": out[3],
-            },
+            {"anchor": out[0], "other": out[1], "sim": out[2], "is_pos": out[3]},
             schema=out_schema,
         )
 
     return tagged.groupBy("band", "bucket", "_bi", "_bj").applyInArrow(
         gemm_contrastive, "anchor long, other long, sim double, is_pos boolean"
+    )
+
+
+def _contrastive_schema(pa):
+    return pa.schema(
+        [
+            ("anchor", pa.int64()),
+            ("other", pa.int64()),
+            ("sim", pa.float64()),
+            ("is_pos", pa.bool_()),
+        ]
+    )
+
+
+def _gemm_cos(np, A, B):
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    return _np_round6_half_away((A @ B.T) / np.outer(na, nb))
+
+
+def _contrastive_emit(np, ids_a, ids_b, sims, tau, out):
+    """Rows of `sims` anchor on ids_a, columns on ids_b (id-ascending).
+    Appends positive cells (sim >= tau) and the per-row best sub-tau cell
+    (tie: first max = min id, columns are id-sorted) to `out`."""
+    finite = np.isfinite(sims)
+    pi, pj = np.nonzero(finite & (sims >= tau))
+    for k in range(pi.size):
+        out[0].append(ids_a[pi[k]])
+        out[1].append(ids_b[pj[k]])
+        out[2].append(sims[pi[k], pj[k]])
+        out[3].append(True)
+    masked = np.where(finite & (sims < tau), sims, -np.inf)
+    best_j = np.argmax(masked, axis=1)
+    best_v = masked[np.arange(masked.shape[0]), best_j]
+    for i in np.nonzero(np.isfinite(best_v))[0]:
+        out[0].append(ids_a[i])
+        out[1].append(ids_b[best_j[i]])
+        out[2].append(best_v[i])
+        out[3].append(False)
+
+
+def within_cluster_contrastive_rows(
+    clustered: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    label_col: str = "cluster",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-anchor contrastive rows over the CLUSTER-LOCAL candidate pool
+    (the k-means twin of :func:`ann_gated_contrastive_rows`): one GEMM
+    task per cluster emits every >=tau partner (positives) and each row's
+    hardest sub-tau partner — O(positives + 1) rows per vector leave the
+    task instead of the cluster^2 pair set (mining through the pair
+    operator with threshold -1 measured a 754 MB-input task at the sf1
+    registry audit). Each vector lives in exactly one cluster, so the
+    emitted negative IS the scope-global hardest and positives need no
+    cross-task dedup."""
+    import pyarrow as pa
+
+    id_type = dict(clustered.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"GEMM contrastive engine requires an integral {id_col} (got {id_type})"
+        )
+    out_schema = _contrastive_schema(pa)
+
+    def work(tbl: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        if tbl.num_rows < 2:
+            return out_schema.empty_table()
+        c = tbl.column("vec").combine_chunks()
+        M = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+        ids = tbl.column("vid").combine_chunks().to_numpy()
+        order = np.argsort(ids, kind="stable")
+        M, ids = M[order], ids[order]
+        sims = _gemm_cos(np, M, M)
+        np.fill_diagonal(sims, -np.inf)
+        out: tuple = ([], [], [], [])
+        _contrastive_emit(np, ids, ids, sims, tau, out)
+        if not out[0]:
+            return out_schema.empty_table()
+        return pa.table(
+            {"anchor": out[0], "other": out[1], "sim": out[2], "is_pos": out[3]},
+            schema=out_schema,
+        )
+
+    base = clustered.select(
+        F.col(label_col).alias("_lbl"),
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return base.groupBy("_lbl").applyInArrow(
+        work, "anchor long, other long, sim double, is_pos boolean"
     )
 
 

@@ -674,6 +674,8 @@ from d3d_etl_spark.queries.domain import sf_tag as _ivf_tag
 
 _INC_MOD = 4
 _INC_NPROBE = 3
+# candidate pairs per verify task (bounds the array-dot stage's partitions)
+_INC_PAIRS_PER_TASK = 50_000
 # "_t" = TRAINED state-family version (round 7): cells learned by k-means
 # on the old batch, not read from the planted label column — a new family
 # name so stale planted-label caches can never serve the trained contract
@@ -731,8 +733,11 @@ def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return cents, spark.read.parquet(assign_path)
 
 
-_INC_ORACLE = f"""
-WITH newv AS (
+# The IVF-state probe -> candidate CTE chain, shared by z_sim_incremental
+# (exact-cosine verify) and z_sim_pq_incremental (ADC verify over stored
+# codes) — one definition so the two incremental serving paths can never
+# drift in WHO is a candidate.
+_INC_PROBE_CTES = f"""newv AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS pos
   FROM embeddings WHERE vec_id % {_INC_MOD} = 0
@@ -757,7 +762,10 @@ pranked AS (
 probe AS (SELECT vec_id, label, rn FROM pranked WHERE rn <= {_INC_NPROBE}),
 cand AS (
   SELECT p.vec_id, a.old_id FROM probe p JOIN assign a ON p.label = a.label
-),
+)"""
+
+_INC_ORACLE = f"""
+WITH {_INC_PROBE_CTES},
 oldv AS (
   SELECT vec_id AS old_id, CAST(unnest(embedding) AS DOUBLE) AS y,
          unnest(range(len(embedding))) AS pos
@@ -795,21 +803,22 @@ WHERE s.rn = 1
 """
 
 
-@register("z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"))
-def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest existing neighbor for each new-batch vector, via the stored
-    IVF state: new-side work only + selective candidate fetch."""
+def _inc_probe_cand(
+    spark: SparkSession, emb: DataFrame, cents: DataFrame, assign: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """probe (vec_id, label, rn) and candidate pairs (vec_id, old_id) off
+    the persisted IVF state — the engine twin of _INC_PROBE_CTES, shared
+    by the exact-cosine and the ADC incremental serving paths. `cand`
+    comes back checkpointed with pair-count-scaled partitioning (bounds
+    every downstream per-task state; fixed-width partitioning of a
+    pair-grain table was the round-8 registry audit's 2.2 GB-task
+    finding)."""
     from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents, assign = ivf_index_state(spark, sf_dir)
-    assign = assign.select(F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label"))
 
     new_comps = (
         emb.where(F.col("vec_id") % _INC_MOD == 0)
         .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
-        .localCheckpoint()  # probe + norms + pair dots all reuse it
     )
     pscore = (
         new_comps.join(F.broadcast(cents), "pos")
@@ -829,33 +838,62 @@ def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "rn")
         .localCheckpoint()
     )
-    cand = probe.join(assign, "label").select("vec_id", "old_id").localCheckpoint()
+    # Fan the (tiny, 1-partition-after-checkpoint) probe out BEFORE the
+    # candidate fan-out: the cell join multiplies each probe row by its
+    # cell's occupancy, and a single map task buffering the whole |cand|
+    # exchange write measured a 1.38 GB task at sf1. With the probe spread
+    # over session parallelism, every map task buffers |cand|/n rows.
+    probe_fan = probe.repartition(spark.sparkContext.defaultParallelism)
+    cand = probe_fan.join(assign, "label").select("vec_id", "old_id")
+    n_pairs = cand.count()
+    cand_parts = max(
+        spark.sparkContext.defaultParallelism, -(-n_pairs // _INC_PAIRS_PER_TASK)
+    )
+    return probe, cand.repartition(cand_parts, "vec_id").localCheckpoint()
 
+
+@register("z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"))
+def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest existing neighbor for each new-batch vector, via the stored
+    IVF state: new-side work only + selective candidate fetch."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assign = ivf_index_state(spark, sf_dir)
+    assign = assign.select(F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label"))
+
+    # The pair verify is ARRAY-NATIVE (round-8 registry audit finding):
+    # the old exploded-components triple join materialized |cand| x dim
+    # rows (measured: a 2.2 GB checkpoint partition read by ONE task at
+    # sf1, query timed out). One zip_with dot per pair keeps the
+    # intermediate at pair grain; the 6-dp rounding contract absorbs the
+    # <1e-13 fold divergence vs the oracle's exploded SUM, exactly as in
+    # the brute-force arm.
+    probe, cand = _inc_probe_cand(spark, emb, cents, assign)
+
+    new_vecs = (
+        emb.where(F.col("vec_id") % _INC_MOD == 0)
+        .select("vec_id", F.col("embedding").alias("xv"))
+    )
     # selective fetch: only candidate old vectors are ever read back
-    old_comps = (
+    old_vecs = (
         emb.where(F.col("vec_id") % _INC_MOD != 0)
-        .join(cand.select(F.col("old_id").alias("vec_id")).distinct(), "vec_id", "left_semi")
-        .select(
-            F.col("vec_id").alias("old_id"), F.posexplode("embedding").alias("pos", "y")
+        .join(
+            cand.select(F.col("old_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_semi",
         )
-        .select("old_id", "pos", F.col("y").cast("double").alias("y"))
-        .localCheckpoint()  # norms + pair dots
+        .select(F.col("vec_id").alias("old_id"), F.col("embedding").alias("yv"))
     )
-    nnorm = new_comps.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nx2"))
-    onorm = old_comps.groupBy("old_id").agg(F.sum(F.col("y") * F.col("y")).alias("ny2"))
-    dots = (
-        cand.join(new_comps, "vec_id")
-        .join(old_comps, ["old_id", "pos"])
-        .groupBy("vec_id", "old_id")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
-    )
+    from d3d_etl_spark.functions.vectors import cosine
+
     sims = (
-        dots.join(nnorm, "vec_id")
-        .join(onorm, "old_id")
+        cand.join(new_vecs.hint("shuffle_hash"), "vec_id")
+        .join(old_vecs.hint("shuffle_hash"), "old_id")
         .select(
             "vec_id",
             "old_id",
-            F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("ny2")), 6).alias("sim"),
+            F.round(cosine(F.col("xv"), F.col("yv")), 6).alias("sim"),
         )
     )
     sw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
@@ -1299,34 +1337,31 @@ def z_sim_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedding-model training-pair mining)."""
     from pyspark.sql import Window
 
-    from d3d_etl_spark.operators.similarity import within_cluster_near_pairs_gemm
+    from d3d_etl_spark.operators.similarity import within_cluster_contrastive_rows
 
     clustered, _ = _semdedup_parts(spark, sf_dir)
-    # one unthresholded cluster-local pass feeds positives AND negatives;
-    # same runaway-cluster guard as the dedup pair stage (no-op here, the
-    # memory bound on a skewed corpus)
-    allp = within_cluster_near_pairs_gemm(
-        _semdedup_pair_scope(clustered), -1.0, label_col="_pair_lbl"
+    # One cluster-local GEMM pass emits per-anchor rows directly (all
+    # >=tau positives + each task's hardest sub-tau negative) — the
+    # previous unthresholded pair pass materialized every cluster pair,
+    # measured as a 754 MB-input task at the sf1 registry audit. Same
+    # runaway-cluster re-split scope (_pair_lbl) as the dedup pair stage.
+    rows = within_cluster_contrastive_rows(
+        _semdedup_pair_scope(clustered),
+        float(_SEMDEDUP_TAU),
+        label_col="_pair_lbl",
     ).localCheckpoint()
-    sym = allp.select(
-        F.col("id_a").alias("anchor"), F.col("id_b").alias("other"), "pair_sim"
-    ).unionByName(
-        allp.select(
-            F.col("id_b").alias("anchor"), F.col("id_a").alias("other"), "pair_sim"
-        )
+    pos = rows.where(F.col("is_pos")).select(
+        "anchor", F.col("other").alias("positive"), F.col("sim").alias("pos_sim")
     )
-    pos = sym.where(F.col("pair_sim") >= _SEMDEDUP_TAU).select(
-        "anchor", F.col("other").alias("positive"), F.col("pair_sim").alias("pos_sim")
-    )
-    w = Window.partitionBy("anchor").orderBy(F.desc("pair_sim"), F.asc("other"))
+    w = Window.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("other"))
     neg = (
-        sym.where(F.col("pair_sim") < _SEMDEDUP_TAU)
+        rows.where(~F.col("is_pos"))
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select(
             "anchor",
             F.col("other").alias("negative"),
-            F.col("pair_sim").alias("neg_sim"),
+            F.col("sim").alias("neg_sim"),
         )
     )
     return pos.join(neg.hint("shuffle_hash"), "anchor")
@@ -2493,8 +2528,16 @@ def pq_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return cb, spark.read.parquet(codes_path)
 
 
+# Candidates come from the persisted IVF cell state (the _INC_PROBE_CTES
+# chain — FAISS's IVFADC serving recipe), NOT from code collisions: with
+# ks=16 codes per subspace, "shares ANY code" admits ~1-(15/16)^M of the
+# ENTIRE old corpus as candidates (all-pairs-grade — the round-8 registry
+# audit measured a 3.5 GiB task and a timeout at sf1 before this change).
+# The cell gate bounds candidates at nprobe x cell occupancy, and the ADC
+# half still never reads an old float.
 _PQ_INC_ORACLE = f"""
-WITH cb AS (SELECT sub, code, pos, c_q FROM read_parquet('{_PQ_CB_GLOB}')),
+WITH {_INC_PROBE_CTES},
+cb AS (SELECT sub, code, pos, c_q FROM read_parquet('{_PQ_CB_GLOB}')),
 oldc AS (SELECT vec_id AS old_id, sub, code FROM read_parquet('{_PQ_CODES_GLOB}')),
 newe AS (
   SELECT vec_id,
@@ -2508,17 +2551,6 @@ dt AS (
          SUM((n.xs - cb.c_q) * (n.xs - cb.c_q)) AS d
   FROM newe n JOIN cb ON n.sub = cb.sub AND n.pos = cb.pos
   GROUP BY 1, 2, 3
-),
-enc AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
-    FROM dt
-  ) WHERE rn = 1
-),
-cand AS (
-  SELECT DISTINCT e.vec_id, o.old_id
-  FROM enc e JOIN oldc o ON e.sub = o.sub AND e.code = o.code
 ),
 scored AS (
   SELECT c.vec_id, c.old_id, CAST(SUM(dt.d) AS BIGINT) AS adist
@@ -2538,23 +2570,37 @@ SELECT vec_id, old_id AS nn_id, adist FROM (
 @register("z_sim_pq_incremental", _PQ_INC_ORACLE, tags=("similarity", "incremental"))
 def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest indexed neighbor (by exact-integer ADC over stored codes)
-    for each new-batch vector: encode vs stored codebooks, code-collision
-    candidates, ADC scoring — old floats never read. Beyond-reference
-    LLM-pipeline operator (compressed-index maintenance + serving)."""
+    for each new-batch vector — the FAISS IVFADC serving recipe over TWO
+    persisted states: the coarse-cell index gates candidates (probe
+    nprobe cells, fetch their members), the PQ codes score them (per-new
+    ADC table, M integer adds per candidate) — old floats never read.
+    Beyond-reference LLM-pipeline operator (compressed-index maintenance
+    + serving).
+
+    Round-8 registry audit: the previous candidate rule ("shares ANY code
+    with the new vector's encoding") admits ~1-(15/16)^M of the ENTIRE
+    old corpus at ks=16 — all-pairs-grade, measured as a 3.5 GiB task +
+    timeout at sf1. The cell gate bounds candidates at nprobe x cell
+    occupancy and shares its definition (engine helper + oracle CTEs)
+    with z_sim_incremental."""
     from pyspark.sql import Window
 
     from d3d_etl_spark.operators.pq import pq_subspace_comps
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb, old_codes = pq_index_state(spark, sf_dir)
-    old_codes = old_codes.select(
-        F.col("vec_id").alias("old_id"), "sub", "code"
-    ).localCheckpoint()  # candidates + scoring both read it
+    old_codes = old_codes.select(F.col("vec_id").alias("old_id"), "sub", "code")
+    cents, assign = ivf_index_state(spark, sf_dir)
+    assign = assign.select(
+        F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label")
+    )
+    _, cand = _inc_probe_cand(spark, emb, cents, assign)
 
     new = emb.where(F.col("vec_id") % _INC_MOD == 0)
     qc = pq_subspace_comps(new, _DIM, _PQ_M)
-    # per-new-vector ADC table (|new| x M x ks integer rows) — feeds the
-    # new-code argmin AND candidate scoring
+    # per-new-vector ADC table (|new| x M x ks integer rows) — INGEST-BATCH
+    # grain (bounded by the batch size x M x ks, never by the corpus), so
+    # it broadcasts; a huge ingest batch would shard itself upstream
     dt = (
         qc.join(F.broadcast(cb), ["sub", "pos"])
         .groupBy("vec_id", "sub", "code")
@@ -2563,18 +2609,22 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    w_enc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
-    enc = (
-        dt.withColumn("rn", F.row_number().over(w_enc))
-        .where("rn = 1")
-        .select("vec_id", "sub", "code")
+    # The whole scoring chain rides ONE candidate-count-scaled old_id
+    # partitioning: cand repartitions by old_id (pair-grain, scaled in
+    # _inc_probe_cand), the corpus-grain old_codes shuffle-hashes to match,
+    # the ADC lookup is a broadcast probe, and the (vec, old) aggregate's
+    # clustering is satisfied by the old_id partitioning — no further
+    # exchange, so per-task state stays at the pairs-per-task grain at any
+    # corpus size (a fixed 128-partition scoring shuffle measured 144 MB
+    # and growing at the sf1 pair).
+    score_parts = max(
+        spark.sparkContext.defaultParallelism,
+        -(-cand.count() // _INC_PAIRS_PER_TASK),  # checkpoint count — cheap
     )
-    cand = enc.join(old_codes.hint("shuffle_hash"), ["sub", "code"]).select(
-        "vec_id", "old_id"
-    ).distinct()
     scored = (
-        cand.join(old_codes, "old_id")
-        .join(dt.hint("shuffle_hash"), ["vec_id", "sub", "code"])
+        cand.repartition(score_parts, "old_id")
+        .join(old_codes.hint("shuffle_hash"), "old_id")
+        .join(F.broadcast(dt), ["vec_id", "sub", "code"])
         .groupBy("vec_id", "old_id")
         .agg(F.sum("d").cast("long").alias("adist"))
     )
