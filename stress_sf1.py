@@ -326,6 +326,72 @@ def _task_maxima(app: str, stages: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
+    """scope=registry: every NON-benched registered query once at the sf1
+    slice under the absolute task bounds + a wall cap — the single-scale
+    bound audit for the long tail the paired scopes don't cover (benched
+    queries get the stronger sf-pair flatness treatment). Round-8's first
+    run of this audit found the incremental-serving redesigns; this keeps
+    it reproducible. Writes STRESS_registry.json; exit 1 on any bound
+    breach or non-timeout error (a documented-linear query hitting the
+    wall cap is recorded, not failed — task bounds are the contract,
+    walls are advisory here)."""
+    import threading
+
+    from d3d_etl_spark.queries.registry import REGISTRY
+
+    cap_s = int(os.environ.get("SPARK_GRAFT_REGISTRY_CAP_S", "240"))
+    sc = spark.sparkContext
+    skip = {n for n, q in REGISTRY.items() if q.bench}
+    # fixture queries are sf-independent planted inputs
+    skip |= {n for n in REGISTRY if n.startswith("z_pbp_fixture")}
+    out: dict = {"cap_s": cap_s, "queries": {}}
+    violations: list[str] = []
+    for n in sorted(set(REGISTRY) - skip):
+        before = set(_completed_stages(app))
+        group = f"audit_{n}"
+        sc.setJobGroup(group, n)
+        timer = threading.Timer(cap_s, lambda g=group: sc.cancelJobGroup(g))
+        timer.start()
+        t0 = time.time()
+        try:
+            qs[n](spark, DST).write.mode("overwrite").format("noop").save()
+            status = "ok"
+        except Exception as e:
+            timed_out = time.time() - t0 > cap_s - 5
+            status = "wall_cap" if timed_out else f"error: {str(e)[:120]}"
+            if not timed_out:
+                violations.append(f"{n}: {status}")
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        wall = round(time.time() - t0, 1)
+        new = {k: v for k, v in _completed_stages(app).items() if k not in before}
+        mx = _task_maxima(app, new)
+        rec = {
+            "status": status,
+            "wall_s": wall,
+            "max_task_peak_exec_mem_mb": round(mx["peak_exec_mem"] / 2**20, 1),
+            "max_task_input_mb": round(mx["input_bytes"] / 2**20, 1),
+            "max_task_shuffle_read_mb": round(mx["shuffle_read_bytes"] / 2**20, 1),
+        }
+        out["queries"][n] = rec
+        print(f"  {n}: {rec}", file=sys.stderr)
+        for key, bound in (
+            ("peak_exec_mem", TASK_MEM_BOUND),
+            ("input_bytes", TASK_BYTES_BOUND),
+            ("shuffle_read_bytes", TASK_BYTES_BOUND),
+        ):
+            if mx[key] > bound:
+                violations.append(f"{n}: task {key} {mx[key]} over bound")
+    out["violations"] = violations
+    with open(os.path.join(REPO, "STRESS_registry.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"stress": "registry", "n": len(out["queries"]),
+                      "violations": violations}))
+    return 1 if violations else 0
+
+
 def main() -> int:
     if os.environ.get("SPARK_GRAFT_STRESS") != "1":
         print("refusing: set SPARK_GRAFT_STRESS=1 to run the stress tier")
@@ -355,8 +421,12 @@ def main() -> int:
     # scope=core (default): flagships + the synthetic fallback + the
     # heavy EXTRA_SHAPES. scope=all (round 8): EVERY bench-tagged query —
     # the complete "would each benched plan survive 10x" audit, enabled
-    # by the slice now carrying the TPC-H tables too.
+    # by the slice now carrying the TPC-H tables too. scope=registry
+    # (round 8): the remaining NON-benched registry tail, single-scale
+    # absolute-bound audit (run_registry_audit).
     scope = os.environ.get("SPARK_GRAFT_STRESS_SCOPE", "core")
+    if scope == "registry":
+        return run_registry_audit(spark, qs, app)
     shapes = [*FLAGSHIPS, *EXTRA_SHAPES]
     if scope == "all":
         from d3d_etl_spark.queries.registry import REGISTRY
