@@ -365,3 +365,52 @@ def test_fuzzy_fallback_hot_block_bound(spark, monkeypatch):
         (r.pid, r.matched_id, round(r.score, 6), r.tier) for r in whole.collect()
     }
     assert got2 == want
+
+
+def test_contrastive_rows_hot_bucket_guard(spark):
+    """Round-8 guard pin for the contrastive GEMM emitter: a planted
+    low-entropy embedding set (every vector in a handful of band buckets)
+    must yield IDENTICAL downstream triplets whether or not the hot-bucket
+    sub-block split engages. This is the only path that exercises the
+    operator's off-diagonal block-pair emission (both orientations +
+    per-task negative candidates re-ranked globally) — at gate scale no
+    bucket ever splits, so without this test that branch ships unexercised."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.operators.similarity import ann_gated_contrastive_rows
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(120):
+        proto = base[i % 4]
+        vec = [x + rng.uniform(-0.05, 0.05) for x in proto]
+        rows.append((i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau = 0.995
+
+    def triplets(max_bucket):
+        r = ann_gated_contrastive_rows(
+            emb, tau, 8, n_planes=8, n_bands=4, max_bucket=max_bucket
+        )
+        pos = (
+            r.where(F.col("is_pos"))
+            .groupBy("anchor", F.col("other").alias("positive"))
+            .agg(F.max("sim").alias("pos_sim"))
+        )
+        w = Window.partitionBy("anchor").orderBy(F.desc("sim"), F.asc("other"))
+        neg = (
+            r.where(~F.col("is_pos"))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("anchor", F.col("other").alias("negative"), F.col("sim").alias("neg_sim"))
+        )
+        out = pos.join(neg, "anchor")
+        return {tuple(x) for x in out.collect()}
+
+    # premise: with 4 bands of 2 bits there are at most 4 buckets per band,
+    # so a cap of 16 forces every bucket to sub-block
+    unsplit = triplets(10**9)
+    split = triplets(16)
+    assert unsplit, "planted clusters produced no triplets — test premise broken"
+    assert split == unsplit
