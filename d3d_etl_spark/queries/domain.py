@@ -58,6 +58,9 @@ def _games_for(sf_dir: str) -> int:
 
 register_cache_family("parsed_pbp", lambda sf_dir: str(_games_for(sf_dir)))
 register_cache_family("bucketed_spine", lambda sf_dir: str(_games_for(sf_dir)))
+# the RAW narration family too: the corpus-scale FSM oracle
+# (z_pbp_corpus_fsm) recomputes every transition in SQL from the raw glob
+register_cache_family("raw_games", lambda sf_dir: str(_games_for(sf_dir)))
 
 
 def sf_tag(sf_dir: str) -> str:

@@ -528,15 +528,11 @@ _W_H = "PARTITION BY contest_id, half ORDER BY play_id"
 _B4 = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
 _CUM = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
-# Shared fixture-plays CTE block (both games unioned, all window-derived
-# columns, plus the division/year literals the downstream LW/WAR chains
-# group by) — consumed by the full-DAG oracle and the WAR-chain oracle.
-_FIXTURE_PLAYS_CTES = f"""plays0 AS (
-  SELECT CAST(100 AS BIGINT) AS contest_id, * FROM trace1
-  UNION ALL
-  SELECT CAST(200 AS BIGINT) AS contest_id, * FROM trace2
-),
-p1 AS (
+# Window-derived play columns over a `plays0` CTE (contest_id + the trace
+# columns) — shared by the fixture full-DAG/WAR oracles AND the corpus-scale
+# FSM oracle (round 9), which differ only in where plays0 comes from (two
+# hand-traced VALUES games vs the whole materialized synthetic corpus).
+_PLAYS_WINDOW_CTES = f"""p1 AS (
   SELECT contest_id, play_id, inning, half, event_type, batter,
          r1_name, r2_name, r3_name,
          bases_before, bases_after, outs_on_play,
@@ -572,6 +568,14 @@ fxplays AS (
            OVER ({_W_H} {_CUM}), 1) AS INT) AS bat_order
   FROM p1
 )"""
+
+# the two-fixture-games plays0 + the shared window block
+_FIXTURE_PLAYS_CTES = f"""plays0 AS (
+  SELECT CAST(100 AS BIGINT) AS contest_id, * FROM trace1
+  UNION ALL
+  SELECT CAST(200 AS BIGINT) AS contest_id, * FROM trace2
+),
+{_PLAYS_WINDOW_CTES}"""
 
 _DAG_ORACLE = f"""
 WITH RECURSIVE {_fixture_ctes(FIXTURE_GAME, "1")},
@@ -688,4 +692,162 @@ def z_pbp_fixture_war(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wraa",
         "rar",
         "war",
+    )
+
+
+# ---------------------------------------------------------------------------
+# z_pbp_corpus_fsm — the FSM + window DAG oracled at CORPUS scale (VERDICT
+# r8 #4): the fixture recursion generalized from two hand-written VALUES
+# games to the WHOLE materialized synthetic corpus at sf_dir's scale. The
+# engine side reads the materialized FSM parquet (the exact table every
+# domain_* oracle consumes — queries/domain.py:materialized_parsed); the
+# oracle re-derives every per-play transition from the RAW narration
+# parquet with the same rule-table-generated recursive step function the
+# fixture traces use, all games advancing in lockstep (one recursion
+# iteration = one play per game). With this row the corpus-scale FSM
+# output itself is hash-verified — the last computation class that was
+# rows-only-by-proxy (fixture traces + downstream oracles) is closed.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_ctes() -> str:
+    """fxc .. tracec: the per-game CTE chain over the raw_games glob, with
+    contest_id threaded through the recursion (seed = one row per game,
+    step joins on (contest_id, play_id + 1))."""
+    import os as _os
+
+    from d3d_etl_spark.queries.domain import _CACHE_DIR
+
+    raw_glob = _os.path.join(_CACHE_DIR, "raw_games_*", "*.parquet")
+    seg_gate = "event NOT IN ('NP', 'SUB', 'FOUL_ERR')"
+    runner_only = ", ".join(f"'{c}'" for c in sorted(_RUNNER_ONLY))
+    seg1_runner_only = ", ".join(
+        f"'{c}'" for c in sorted(_RUNNER_ONLY) if c != "PKE"
+    )
+    chain = (
+        "SELECT p.contest_id, p.play_id, p.inning, p.half, p.event, p.batter,"
+        " p.seg1, p.seg2, p.seg3, p.seg4,"
+        " stc.inning AS pinning, stc.half AS phalf,"
+        " CASE WHEN p.inning = stc.inning AND p.half = stc.half THEN stc.r1 END AS a1,"
+        " CASE WHEN p.inning = stc.inning AND p.half = stc.half THEN stc.r2 END AS a2,"
+        " CASE WHEN p.inning = stc.inning AND p.half = stc.half THEN stc.r3 END AS a3"
+        " FROM stc JOIN evc p"
+        " ON p.contest_id = stc.contest_id AND p.play_id = stc.play_id + 1"
+    )
+    chain = _seg_levels(chain, "s2", "seg2", seg_gate, "a", "b")
+    chain = _seg_levels(chain, "s3", "seg3", seg_gate, "b", "c")
+    chain = _seg_levels(chain, "s4", "seg4", seg_gate, "c", "d")
+    chain = _seg_levels(
+        chain, "s1", "seg1", f"event IN ({seg1_runner_only})", "d", "dd"
+    )
+    chain = _pke_levels(chain, "dd", "e")
+    chain = _batter_levels(chain, "e")
+    chain = _extra_advance_levels(chain, runner_only)
+    return f"""fxc AS (
+  SELECT contest_id,
+         row_number() OVER (PARTITION BY contest_id ORDER BY source_seq)
+           AS play_id,
+         inning,
+         CASE WHEN away_text IS NOT NULL AND away_text <> ''
+              THEN 'Top' ELSE 'Bottom' END AS half,
+         COALESCE(away_text, home_text) AS text
+  FROM read_parquet('{raw_glob}')
+  WHERE COALESCE(away_text, home_text) IS NOT NULL
+    AND COALESCE(away_text, home_text) <> ''
+),
+ev0c AS (
+  SELECT contest_id, play_id, inning, half, text, lower(text) AS low,
+         {_classifier_case()} AS event,
+         nullif(trim(regexp_extract(trim(split_part(text, ';', 1)),
+                                    '{_q(_BATTER_PAT)}', 1)), '') AS batter,
+         trim(split_part(text, ';', 1)) AS seg1,
+         trim(split_part(text, ';', 2)) AS seg2,
+         trim(split_part(text, ';', 3)) AS seg3,
+         trim(split_part(text, ';', 4)) AS seg4
+  FROM fxc
+),
+evc AS (
+  SELECT *, {_outs_sql()} AS outs_on_play, {_runs_sql()} AS runs_on_play
+  FROM ev0c
+),
+stc AS (
+  SELECT contest_id, CAST(0 AS BIGINT) AS play_id, 0 AS inning, '' AS half,
+         CAST(NULL AS VARCHAR) AS r1, CAST(NULL AS VARCHAR) AS r2,
+         CAST(NULL AS VARCHAR) AS r3, '' AS bases_before,
+         CAST(NULL AS VARCHAR) AS p_r1, CAST(NULL AS VARCHAR) AS p_r2,
+         CAST(NULL AS VARCHAR) AS p_r3
+  FROM (SELECT DISTINCT contest_id FROM fxc)
+  UNION ALL
+  SELECT f.contest_id, f.play_id, f.inning, f.half, f.g1, f.g2, f.g3,
+         {_code("f.a1", "f.a2", "f.a3")},
+         f.a1, f.a2, f.a3
+  FROM ({chain}) f
+),
+tracec AS (
+  SELECT s.contest_id, s.play_id, s.inning, s.half, e.event AS event_type,
+         e.batter, s.bases_before, {_code("s.r1", "s.r2", "s.r3")} AS bases_after,
+         s.p_r1 AS r1_name, s.p_r2 AS r2_name, s.p_r3 AS r3_name,
+         e.outs_on_play, e.runs_on_play
+  FROM stc s JOIN evc e
+    ON e.contest_id = s.contest_id AND e.play_id = s.play_id
+  WHERE s.play_id > 0
+)"""
+
+
+_CORPUS_FSM_ORACLE = f"""
+WITH RECURSIVE {_corpus_ctes()},
+plays0 AS (
+  SELECT contest_id, play_id, inning, half, event_type, batter,
+         bases_before, bases_after, r1_name, r2_name, r3_name,
+         outs_on_play, runs_on_play
+  FROM tracec
+),
+{_PLAYS_WINDOW_CTES}
+SELECT contest_id, play_id, CAST(inning AS INT) AS inning, half, event_type,
+       batter_name, bases_before, bases_after, r1_name, r2_name, r3_name,
+       outs_before, outs_after, runs_on_play, runs_this_inn, runs_roi,
+       bat_order, away_score_before, home_score_before,
+       away_score_after, home_score_after
+FROM fxplays
+"""
+
+
+@register("z_pbp_corpus_fsm", _CORPUS_FSM_ORACLE, tags=("stateful", "domain"))
+def z_pbp_corpus_fsm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized corpus FSM output — every play of every synthetic
+    game at sf_dir's scale, with the full state column set (bases codes,
+    runner NAMES, outs/runs windows, bat_order, team scores) — hashed
+    against the rule-table-generated recursive recomputation over the raw
+    narration parquet. Closes the 'FSM parquet itself is only
+    smoke-checked at corpus scale' gap (the fixture traces pin the grammar
+    at bounded scale; this pins the production output the domain_* oracles
+    consume). Reference parity: pbp_parser/columns.py:332-529."""
+    from d3d_etl_spark.queries.domain import materialized_parsed, materialized_raw
+
+    # ensure the RAW parquet exists (the oracle's scan) even when the
+    # parsed family is already memoized — the two families LRU separately
+    materialized_raw(spark, sf_dir)
+    parsed = materialized_parsed(spark, sf_dir)
+    return parsed.select(
+        "contest_id",
+        "play_id",
+        F.col("inning").cast("int").alias("inning"),
+        "half",
+        "event_type",
+        "batter_name",
+        "bases_before",
+        "bases_after",
+        "r1_name",
+        "r2_name",
+        "r3_name",
+        F.col("outs_before").cast("int").alias("outs_before"),
+        F.col("outs_after").cast("int").alias("outs_after"),
+        F.col("runs_on_play").cast("int").alias("runs_on_play"),
+        F.col("runs_this_inn").cast("int").alias("runs_this_inn"),
+        F.col("runs_roi").cast("int").alias("runs_roi"),
+        F.col("bat_order").cast("int").alias("bat_order"),
+        F.col("away_score_before").cast("int").alias("away_score_before"),
+        F.col("home_score_before").cast("int").alias("home_score_before"),
+        F.col("away_score_after").cast("int").alias("away_score_after"),
+        F.col("home_score_after").cast("int").alias("home_score_after"),
     )

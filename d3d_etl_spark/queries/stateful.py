@@ -165,11 +165,13 @@ def z_pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain pipeline end-to-end: generated narration (the testdata has
     no baseball tables) -> parse (classifier + windows + base-state FSM) ->
     RE24 -> batting board. Game count scales with the SF in `sf_dir`; no
-    SQL oracle HERE (the FSM is not SQL-expressible — rows-only check):
-    verification is split instead — pytest proves the FSM against
-    hand-traced fixtures, and queries/domain.py materializes the FSM output
-    and hash-checks every downstream stage (ER matrix, linear weights,
-    boards, guts, WAR) against DuckDB oracles over that parquet."""
+    SQL oracle HERE (the board's re24_total is a raw double sum — the one
+    column the float-parity rule excludes from hashing): every computation
+    it runs IS hashed elsewhere — the corpus-scale FSM output itself since
+    round 9 (z_pbp_corpus_fsm: every play of every game, full state column
+    set, vs the rule-table recursive recomputation), and every downstream
+    stage (ER matrix, linear weights, boards, guts, WAR) via the domain_*
+    oracles over the same materialized parquet."""
     from d3d_etl_spark.pbp.pipeline import run_analytics
     from d3d_etl_spark.queries.domain import materialized_raw
 
@@ -255,9 +257,11 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAR end-to-end on generated narration: parse -> RE24 -> linear
     weights -> guts constants -> per-batter season counting stats (the
     cube_batting shape, derived from the same plays) -> batting WAR ->
-    team rollup join-back. Rows-only (the FSM upstream is not
-    SQL-expressible); the WAR arithmetic itself is pytest-verified against
-    hand-computed fixtures (tests/test_war.py) AND oracled end-to-end over
+    team rollup join-back. Rows-only (the crc32-derived synthetic team ids
+    have no DuckDB mirror); the FSM upstream is hashed at corpus scale
+    since round 9 (z_pbp_corpus_fsm), the WAR arithmetic is pytest-verified
+    against hand-computed fixtures (tests/test_war.py), hashed end-to-end
+    from raw text at fixture scale (z_pbp_fixture_war), AND oracled over
     the materialized FSM output (queries/war_chain.py: domain_war_players
     batting arm)."""
     from pyspark.sql import functions as F
