@@ -845,36 +845,74 @@ def _inc_probe_cand(
         .select("vec_id", "label", "rn")
         .localCheckpoint()
     )
-    # DETERMINISTIC fan-out (round-9, ADVICE r8): the cell join multiplies
-    # each probe row by its cell's occupancy, and with only K=8 labels
-    # neither a label-hash shuffle (8 active tasks) nor a planner-chosen
-    # broadcast of the probe (spread nullified, one map task buffering the
-    # whole |cand| exchange write — measured 1.38 GB at sf1) bounds the
-    # write. Explicit fan instead: every probe row replicates to S fan
-    # slices, every assign row hashes into ONE — each (label, fan) join
-    # task emits probes(label) x occ(label)/S pairs, each (probe, old)
-    # pair meets exactly once (old_id's single slice), and the plan no
-    # longer depends on unhinted size estimates. The hint side (probe) is
-    # the shuffled-hash BUILD side: per-task build = probes of one label,
-    # ingest-batch grain.
+    # DETERMINISTIC, SKEW-PROOF fan-out (round 9, ADVICE r8 + two audit
+    # findings). The cell join multiplies each probe row by its cell's
+    # occupancy, and k-means cells are NOT balanced — at the sf1 slice the
+    # isometry replicas collapse most vectors into a few cells, so neither
+    # a label-hash shuffle (K=8 active tasks), a planner-chosen broadcast
+    # (spread nullified — one map task buffered the whole |cand| exchange
+    # write, 1.38 GB measured), nor a FIXED per-label fan (this round's
+    # first attempt: the hot cell's slices still emitted ~7M pairs each,
+    # 608 MB opportunistic sort buffers + a 917 MB single-task checkpoint
+    # read) bounds the worst task.
+    #
+    # The per-label pair load is EXACTLY probes(l) x occupancy(l) — a
+    # K-row driver scalar from two label-grain aggregates. So slice each
+    # label into nsub(l) = ceil(probes(l)*occ(l) / _INC_PAIRS_PER_TASK)
+    # id-hash sub-slices (the FUZZY_MAX_BLOCK recipe at cell grain):
+    # probes replicate to every slice of their label, old rows hash into
+    # one, each (probe, old) pair meets exactly once, and EVERY join task
+    # emits <= _INC_PAIRS_PER_TASK pairs by construction — the exchange
+    # write, the checkpoint partitions, and the shuffled-hash build
+    # (probes of one label — ingest-batch grain) are all bounded at any
+    # corpus size or cell skew. The count-scaled vec_id repartition then
+    # carries one balanced partitioning through the downstream pair
+    # joins + top-1 window (the ride-one-partitioning pattern).
     fan = spark.sparkContext.defaultParallelism
-    probe_fan = probe.withColumn(
-        "_fan", F.explode(F.sequence(F.lit(0), F.lit(fan - 1)))
+    sizes = (
+        probe.groupBy("label").agg(F.count("*").alias("np"))
+        .join(assign.groupBy("label").agg(F.count("*").alias("no")), "label")
+        .collect()
+    )  # K rows — dimension-bounded driver scalar
+    n_pairs = sum(r.np * r.no for r in sizes)
+    cand_parts = max(fan, -(-n_pairs // _INC_PAIRS_PER_TASK))
+    nsub = spark.createDataFrame(
+        [
+            (r.label, max(1, -(-(r.np * r.no) // _INC_PAIRS_PER_TASK)))
+            for r in sizes
+        ],
+        "label long, _nsub int",
     )
-    assign_fan = assign.withColumn("_fan", F.pmod(F.hash("old_id"), F.lit(fan)))
-    # checkpoint FIRST, then count the checkpoint: the round-8 code counted
-    # the raw join and then checkpointed a repartition of it, running the
-    # fan-out join twice (ADVICE r8).
-    cand0 = (
+    # the explicit numPartitions repartitions are LOAD-BEARING: the fan
+    # sides' shuffled BYTES are tiny (narrow rows — the blow-up is the
+    # join's OUTPUT), so AQE coalesces a planner-made (label, fan)
+    # exchange down to a handful of tasks and re-concentrates the fan-out
+    # (measured: 9 tasks emitting 28M pairs, 272 MB task peak). A
+    # user-specified repartition(N, keys) is exempt from AQE coalescing,
+    # and both sides sharing (N, keys) means the join adds no exchange —
+    # one task per sub-slice, <= _INC_PAIRS_PER_TASK pairs each.
+    n_slices = max(fan, sum(
+        max(1, -(-(r.np * r.no) // _INC_PAIRS_PER_TASK)) for r in sizes
+    ))
+    probe_fan = (
+        probe.join(F.broadcast(nsub), "label")
+        .withColumn("_fan", F.explode(F.expr("sequence(0, _nsub - 1)")))
+        .drop("_nsub")
+        .repartition(n_slices, "label", "_fan")
+    )
+    assign_fan = (
+        assign.join(F.broadcast(nsub), "label")
+        .withColumn("_fan", F.pmod(F.hash("old_id"), F.col("_nsub")).cast("int"))
+        .drop("_nsub")
+        .repartition(n_slices, "label", "_fan")
+    )
+    cand = (
         probe_fan.hint("shuffle_hash")
         .join(assign_fan, ["label", "_fan"])
         .select("vec_id", "old_id")
+        .repartition(cand_parts, "vec_id")
         .localCheckpoint()
     )
-    n_pairs = cand0.count()
-    cand_parts = max(fan, -(-n_pairs // _INC_PAIRS_PER_TASK))
-    cand = cand0.repartition(cand_parts, "vec_id").localCheckpoint()
-    cand0.unpersist()
     return probe, cand
 
 
@@ -1207,14 +1245,19 @@ def z_sim_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg over (cluster, pos), one broadcast k*dim reassignment join).
 # ---------------------------------------------------------------------------
 
-_KM2_CTES = f"""e0 AS (
+def _km2_ctes(k_sql: str) -> str:
+    """The two-Lloyd-iteration CTE chain (e0 .. asgn2), K parametrized as a
+    SQL expression so the corpus-scaled-K sweep can derive K from the
+    corpus itself (a scalar subquery) while the fixed-K queries keep the
+    literal."""
+    return f"""e0 AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          unnest(range(len(embedding))) AS pos
   FROM embeddings
 ),
 comps1 AS (
   SELECT vec_id,
-         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % {_K_CLUSTERS} AS cluster,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % ({k_sql}) AS cluster,
          x, pos
   FROM e0
 ),
@@ -1263,6 +1306,9 @@ ranked2 AS (
 ),
 asgn2 AS (SELECT vec_id, cluster, sim FROM ranked2 WHERE rn = 1)"""
 
+
+_KM2_CTES = _km2_ctes(str(_K_CLUSTERS))
+
 _KMEANS2_ORACLE = f"""
 WITH {_KM2_CTES}
 SELECT CAST(1 AS BIGINT) AS iter, vec_id, cluster, sim FROM asgn1
@@ -1276,15 +1322,16 @@ def _kmeans2_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return kmeans2_assign_emb(load_table(spark, sf_dir, "embeddings"))
 
 
-def kmeans2_assign_emb(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def kmeans2_assign_emb(emb: DataFrame, k: int = _K_CLUSTERS) -> tuple[DataFrame, DataFrame]:
     """Two Lloyd iterations of spherical k-means from a hash-seeded random
     partition (no labels consumed): returns (asgn1, asgn2), each
-    (vec_id, assigned_label, sim). Shared by the oracled iteration query
-    and the trained-coarse-quantizer IVF-PQ index build."""
+    (vec_id, assigned_label, sim). Shared by the oracled iteration query,
+    the trained-coarse-quantizer IVF-PQ index build, and (round 9) the
+    corpus-scaled-K sweep (z_sim_ivf_scaledk)."""
     from d3d_etl_spark.functions.strings import md5_int
 
     seeded = emb.withColumn(
-        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(_K_CLUSTERS))
+        "cluster", F.pmod(md5_int(F.col("vec_id").cast("string")), F.lit(k))
     )
     cents1 = label_centroids(seeded, "cluster")
     # one assignment pass feeds iteration-1 output AND iteration-2 centroids
@@ -2677,3 +2724,159 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("vec_id", F.col("old_id").alias("nn_id"), "adist")
     )
+
+
+# ---------------------------------------------------------------------------
+# z_sim_ivf_scaledk — the FAISS cell-count doctrine as a driver-hashed
+# measured invariant (round 9). The sf1 sweep audit measured recall@nprobe
+# collapsing at 10x corpus under the FIXED K=8 coarse cells
+# (STRESS_registry.json sweeps_sf1: 3/10 at nprobe=4): cells must scale
+# with the corpus. This query BUILDS the scaled index — K = ceil(sqrt(N))
+# cells, two Lloyd iterations from the hash seed (the oracled kmeans2
+# chain, K now corpus-derived on both engines: python sqrt vs SQL
+# CEIL(SQRT(COUNT(*)))) — and publishes the recall/cost curve at
+# nprobe = ceil(K/16 / K/8 / K/4 / K/2): the same sweep contract as
+# z_sim_recall_sweep, with the knob the doctrine actually prescribes.
+# Scale shape: identical to the fixed-K sweep (one broadcast-query scoring
+# pass, checkpointed; arms are filters + TakeOrdered(k) + 1-row aggs;
+# the only windows rank the K-row cell table) — K=sqrt(N) keeps the
+# centroid table broadcastable to ~10^5 cells at 10^10 vectors.
+# ---------------------------------------------------------------------------
+
+_SCALEDK_DIVS = (16.0, 8.0, 4.0, 2.0)
+
+_SCALEDK_ORACLE = f"""
+WITH kq AS (
+  SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kc FROM embeddings
+),
+{_km2_ctes("SELECT kc FROM kq")},
+comps3 AS (
+  SELECT e0.vec_id, a.cluster, e0.x, e0.pos
+  FROM e0 JOIN asgn2 a ON e0.vec_id = a.vec_id
+),
+cents3 AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000 AS c
+  FROM comps3 GROUP BY cluster, pos
+),
+qv AS (SELECT pos, x AS qx FROM e0 WHERE vec_id = {_QUERY_ID}),
+cellrank AS (
+  SELECT cluster, ROW_NUMBER() OVER (ORDER BY sim DESC, cluster) AS rn FROM (
+    SELECT c.cluster,
+           ROUND(SUM(q.qx * c.c) / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+    FROM cents3 c JOIN qv q ON c.pos = q.pos
+    GROUP BY c.cluster
+  )
+),
+vs AS (
+  SELECT e.vec_id,
+         ROUND(SUM(e.x * q.qx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.qx * q.qx))), 6) AS sim
+  FROM e0 e JOIN qv q ON e.pos = q.pos
+  WHERE e.vec_id != {_QUERY_ID}
+  GROUP BY 1
+),
+sims AS (
+  SELECT v.vec_id, r.rn, v.sim
+  FROM vs v JOIN asgn2 a ON v.vec_id = a.vec_id
+  JOIN cellrank r ON a.cluster = r.cluster
+),
+exact AS (SELECT vec_id FROM vs ORDER BY sim DESC, vec_id LIMIT {_SWEEP_K}),
+probes AS (
+  SELECT DISTINCT GREATEST(1, CAST(CEIL(kc / d.d) AS INT)) AS nprobe
+  FROM kq, (SELECT unnest([{", ".join(str(d) for d in _SCALEDK_DIVS)}]) AS d) d
+),
+ranked_c AS (
+  SELECT p.nprobe, s.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY p.nprobe ORDER BY s.sim DESC, s.vec_id) AS rr
+  FROM probes p JOIN sims s ON s.rn <= p.nprobe
+),
+counts AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand FROM ranked_c GROUP BY 1),
+hitc AS (
+  SELECT t.nprobe, CAST(COUNT(e.vec_id) AS BIGINT) AS hits
+  FROM (SELECT nprobe, vec_id FROM ranked_c WHERE rr <= {_SWEEP_K}) t
+  LEFT JOIN exact e ON t.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT p.nprobe,
+       COALESCE(c.n_cand, 0) AS n_cand,
+       COALESCE(h.hits, 0) AS hits,
+       CAST({_SWEEP_K} AS INT) AS k,
+       (SELECT CAST(kc AS INT) FROM kq) AS k_cells
+FROM probes p
+LEFT JOIN counts c ON p.nprobe = c.nprobe
+LEFT JOIN hitc h ON p.nprobe = h.nprobe
+"""
+
+
+@register("z_sim_ivf_scaledk", _SCALEDK_ORACLE, tags=("similarity",))
+def z_sim_ivf_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@K and candidate cost of IVF pruning with CORPUS-SCALED cell
+    count: K = ceil(sqrt(N)) cells trained by two oracled Lloyd
+    iterations, probed at nprobe = ceil(K/16 .. K/2). The constructive
+    answer to the sf1 sweep finding that fixed K=8 cells under-partition
+    a growing corpus."""
+    import math
+
+    from d3d_etl_spark.functions.vectors import cosine
+    from d3d_etl_spark.operators.similarity import ivf_ranked_cells, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # parquet-footer count — drives K on both engines
+    k_cells = math.ceil(math.sqrt(n))
+    _, asgn2 = kmeans2_assign_emb(emb, k=k_cells)
+    relabeled = emb.join(
+        asgn2.select("vec_id", F.col("assigned_label").alias("cluster")).hint(
+            "shuffle_hash"
+        ),
+        "vec_id",
+    )
+    cents3 = label_centroids(relabeled, "cluster")
+    query = emb.where(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_vec")
+    )
+    ranked = ivf_ranked_cells(cents3, query, "cluster")
+    sims = (
+        emb.where(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("sim"),
+        )
+        .join(
+            asgn2.select("vec_id", F.col("assigned_label").alias("cluster")).hint(
+                "shuffle_hash"
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(ranked), "cluster")
+        .localCheckpoint()  # one scoring pass feeds exact + every arm
+    )
+    exact = F.broadcast(
+        sims.orderBy(F.desc("sim"), F.asc("vec_id")).limit(_SWEEP_K).select("vec_id")
+    )
+    nprobes = sorted({max(1, math.ceil(k_cells / d)) for d in _SCALEDK_DIVS})
+    out = None
+    for np_ in nprobes:
+        cand = sims.where(F.col("rn") <= np_)
+        ann = (
+            cand.orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(_SWEEP_K)
+            .select("vec_id")
+        )
+        arm = (
+            cand.agg(F.count("*").cast("long").alias("n_cand"))
+            .crossJoin(
+                ann.join(exact, "vec_id", "left_semi").agg(
+                    F.count("*").cast("long").alias("hits")
+                )
+            )
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_cand",
+                "hits",
+                F.lit(_SWEEP_K).cast("int").alias("k"),
+                F.lit(k_cells).cast("int").alias("k_cells"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
