@@ -44,7 +44,7 @@ from d3d_etl_spark.queries.registry import REGISTRY
 from d3d_etl_spark.session import get_spark
 
 
-def _task_mem_regressions(samples: dict) -> list[str]:
+def _task_mem_regressions(samples: dict, sf: float) -> list[str]:
     """Cross-round task-maxima regression guard (VERDICT r7 #5): diff this
     run's per-query max-task peak execution memory against the COMMITTED
     BENCH.json (HEAD — i.e. the previous round's accepted numbers) and
@@ -65,6 +65,11 @@ def _task_mem_regressions(samples: dict) -> list[str]:
         ).stdout
         prev = json.loads(raw) if raw else {}
     except Exception:
+        return []
+    # task maxima are only comparable at the SAME scale: a run at a
+    # different SPARK_GRAFT_SF_DIR than the committed round would either
+    # write spurious regressions or silently mask real ones (ADVICE r8 #1)
+    if prev.get("sf") != sf:
         return []
     prev_s = prev.get("samples", {})
     regs = []
@@ -149,7 +154,7 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
-    regressions = _task_mem_regressions(samples)
+    regressions = _task_mem_regressions(samples, sf)
     payload = {
         "metric": (
             f"e2e wall-clock, {len(timings)} headline queries "

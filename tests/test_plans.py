@@ -481,3 +481,42 @@ def test_no_empty_partitionby_in_package():
             if _re.search(r"\.partitionBy\(\s*\)", line):
                 offenders.append(f"{py}:{i}: {line.strip()}")
     assert not offenders, "empty Window.partitionBy() found:\n" + "\n".join(offenders)
+
+
+def test_task_mem_comparator_scale_guard():
+    """ADVICE r8 #1: the cross-round task-maxima comparator only compares
+    runs at the SAME scale as the committed BENCH.json — a bench run at a
+    different SPARK_GRAFT_SF_DIR must skip the diff (return []) instead of
+    writing spurious regressions or masking real ones."""
+    import json
+    import pathlib
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = repo / "BENCH.json"
+    if not p.exists():
+        import pytest
+
+        pytest.skip("no BENCH.json at HEAD")
+    _sys.path.insert(0, str(repo))
+    from bench import _task_mem_regressions
+
+    committed = json.loads(p.read_text())
+    name, sample = next(
+        (n, s)
+        for n, s in committed["samples"].items()
+        if (s.get("max_task") or {}).get("peak_exec_mem_mb", 0) > 32
+    )
+    inflated = {
+        name: {
+            "max_task": {
+                "peak_exec_mem_mb": sample["max_task"]["peak_exec_mem_mb"] * 100
+            }
+        }
+    }
+    assert _task_mem_regressions(inflated, committed["sf"]), (
+        "a 100x task-memory jump at the committed scale must flag"
+    )
+    assert _task_mem_regressions(inflated, committed["sf"] * 10) == [], (
+        "a run at a different scale must skip the comparison"
+    )
