@@ -85,22 +85,44 @@ def subblocked_pairs(
     Block sizes via groupBy+join, not a count window: map-side partial
     aggregation, and no WindowExec buffering a whole mega-block in one task
     on the candidate branch.
+
+    The explicit repartition(N, block+salt) on BOTH sides is LOAD-BEARING
+    (round 9, the _inc_probe_cand lesson): the fan sides' shuffled bytes
+    are small name strings while the blow-up is the join's OUTPUT, so AQE
+    would coalesce a planner-made exchange and re-concentrate several
+    sub-blocks into one task — a user-specified repartition is exempt,
+    and sharing (N, keys) means the join adds no further exchange. N = the
+    total sub-slice count (a 1-row driver scalar off the nsub map), so one
+    task ~ one sub-block.
     """
     from d3d_etl_spark.functions.strings import md5_int
 
     nsub_map = candidates.groupBy(*block_keys).agg(
         F.ceil(F.count("*") / FUZZY_MAX_BLOCK).cast("int").alias("_nsub")
     )
-    cands_s = candidates.join(nsub_map, list(block_keys)).withColumn(
-        "_salt",
-        F.pmod(md5_int(F.col(cand_id).cast("string")), F.col("_nsub")).cast("int"),
+    n_slices = int(
+        nsub_map.agg(F.coalesce(F.sum("_nsub"), F.lit(0))).collect()[0][0]
+    )
+    parts = max(probes.sparkSession.sparkContext.defaultParallelism, n_slices)
+    cands_s = (
+        candidates.join(nsub_map, list(block_keys))
+        .withColumn(
+            "_salt",
+            F.pmod(md5_int(F.col(cand_id).cast("string")), F.col("_nsub")).cast("int"),
+        )
+        .drop("_nsub")
+        .repartition(parts, *block_keys, "_salt")
     )
     probes_s = (
         probes.join(nsub_map, block_keys)
         .withColumn("_salt", F.explode(F.expr("sequence(0, _nsub - 1)")))
         .drop("_nsub")
+        .repartition(parts, *block_keys, "_salt")
     )
-    return probes_s.join(cands_s.drop("_nsub"), [*block_keys, "_salt"]).drop("_salt")
+    # build side = one candidate sub-block (<= FUZZY_MAX_BLOCK rows)
+    return probes_s.join(cands_s.hint("shuffle_hash"), [*block_keys, "_salt"]).drop(
+        "_salt"
+    )
 
 
 def length_prune(a: Column, b: Column, cutoff: float) -> Column:

@@ -2683,9 +2683,10 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The scoring chain rides ONE candidate-count-scaled old_id
     # partitioning: cand repartitions by old_id (pair-grain, scaled in
     # _inc_probe_cand), the corpus-grain old_codes shuffle-hashes to match.
+    n_pairs = cand.count()  # checkpoint count — cheap
     score_parts = max(
         spark.sparkContext.defaultParallelism,
-        -(-cand.count() // _INC_PAIRS_PER_TASK),  # checkpoint count — cheap
+        -(-n_pairs // _INC_PAIRS_PER_TASK),
     )
     pair_codes = cand.repartition(score_parts, "old_id").join(
         old_codes.hint("shuffle_hash"), "old_id"
@@ -2695,19 +2696,22 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the batch 25% of the CORPUS, so the broadcast grew linearly with
     # corpus size (measured 230 MB at sf1, the registry tail's largest task
     # peak — VERDICT r8 weak #1). The bound is now ENFORCED, not asserted:
-    # dt's exact row count (n_new x M x ks — the groupBy emits every
-    # (vec, sub, code) cell) broadcasts only under _ADC_BC_ROWS; past the
-    # cap the lookup becomes a count-scaled shuffle-hash join with dt as
-    # the build side, so per-task build state is <= _ADC_ROWS_PER_TASK rows
-    # at ANY batch/corpus size. Same pair set, same sums — oracle-neutral
-    # (parity pinned in tests/test_pq_r5.py::test_pq_incremental_adc_cap).
-    n_new = new.count()  # metadata-cheap parquet filter count
-    dt_rows = n_new * _PQ_M * _PQ_KS
+    # dt's exact row count (|new| x M x ks — the groupBy emits every
+    # (vec, sub, code) cell, and the checkpointed dt's count is a cheap
+    # post-materialization read) broadcasts only under _ADC_BC_ROWS; past
+    # the cap the lookup becomes a shuffle-hash join with dt as the build
+    # side, partitions scaled by BOTH sides' counts (the stream side is
+    # pairs x M rows — pair-grain, so it must drive the partition count too
+    # or per-task stream volume would grow with corpus occupancy). Same
+    # pair set, same sums — oracle-neutral (parity pinned in
+    # tests/test_pq_r5.py::test_pq_incremental_adc_cap).
+    dt_rows = dt.count()
     if dt_rows <= _ADC_BC_ROWS:
         adc_joined = pair_codes.join(F.broadcast(dt), ["vec_id", "sub", "code"])
     else:
         adc_parts = max(
-            spark.sparkContext.defaultParallelism, -(-dt_rows // _ADC_ROWS_PER_TASK)
+            spark.sparkContext.defaultParallelism,
+            -(-max(dt_rows, n_pairs * _PQ_M) // _ADC_ROWS_PER_TASK),
         )
         adc_joined = pair_codes.repartition(
             adc_parts, "vec_id", "sub", "code"

@@ -376,7 +376,13 @@ def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
         status = "ok"
     except Exception as e:
         msg = str(e)
-        cancelled = "cancel" in msg.lower() or group in msg
+        # OUR cancel names the job group in Spark's message ("cancelled
+        # ... job group <group>"); a bare CancellationException from e.g.
+        # an aborted broadcast future must stay an error, so a generic
+        # 'cancel' substring is not enough
+        cancelled = group in msg or (
+            "cancel" in msg.lower() and "job group" in msg.lower()
+        )
         status = "wall_cap" if cancelled else f"error: {msg[:120]}"
     finally:
         timer.cancel()
@@ -384,7 +390,31 @@ def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
     return status, round(time.time() - t0, 1)
 
 
-def _sweep_curves_sf1(spark, qs: dict) -> tuple[dict, list[str]]:
+def _collect_capped(spark, qs: dict, name: str, cap_s: int):
+    """collect() one registry query at the sf1 slice under the same
+    wall-cap job group every audited run gets (a runaway sweep must record
+    wall_cap, not hang the audit). Returns (rows | None, status)."""
+    import threading
+
+    sc = spark.sparkContext
+    group = f"sweep_{name}"
+    sc.setJobGroup(group, group)
+    timer = threading.Timer(cap_s, lambda g=group: sc.cancelJobGroup(g))
+    timer.start()
+    try:
+        return qs[name](spark, DST).collect(), "ok"
+    except Exception as e:
+        msg = str(e)
+        cancelled = group in msg or (
+            "cancel" in msg.lower() and "job group" in msg.lower()
+        )
+        return None, ("wall_cap" if cancelled else f"error: {msg[:120]}")
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
+
+
+def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     """VERDICT r8 #6: the LSH-banding and IVF-nprobe tuning curves at sf1 —
     the same knob invariants tests/test_sweeps_sf01_r8.py pins at sf0.1,
     measured at the scale the bound audit runs at. Curve VALUES are
@@ -393,10 +423,15 @@ def _sweep_curves_sf1(spark, qs: dict) -> tuple[dict, list[str]]:
     entire tau-gated truth set, curves stay monotone, and the production
     nprobe keeps at least half recall at a fraction of brute-force cost."""
     problems: list[str] = []
+    out: dict = {}
+    lsh_rows, st = _collect_capped(spark, qs, "z_dedup_recall_sweep", cap_s)
+    if lsh_rows is None:
+        return out, [f"sf1 sweep z_dedup_recall_sweep: {st}"]
     lsh = {
         int(r["rows_per_band"]): {k: int(v) for k, v in r.asDict().items()}
-        for r in qs["z_dedup_recall_sweep"](spark, DST).collect()
+        for r in lsh_rows
     }
+    out["lsh_banding"] = lsh
     # banding recall is PROBABILISTIC per hash draw: full recall measured
     # at one corpus (the sf0.1 pin) is not scale-invariant — the sf1
     # replicas re-draw every suffixed token's minhash, so a borderline
@@ -409,10 +444,14 @@ def _sweep_curves_sf1(spark, qs: dict) -> tuple[dict, list[str]]:
         problems.append("sf1 sweep: LSH candidate curve not monotone in band width")
     if not (lsh[2]["hits"] >= lsh[4]["hits"] >= lsh[8]["hits"]):
         problems.append("sf1 sweep: LSH recall curve not monotone in band width")
+    ivf_rows, st = _collect_capped(spark, qs, "z_sim_recall_sweep", cap_s)
+    if ivf_rows is None:
+        return out, problems + [f"sf1 sweep z_sim_recall_sweep: {st}"]
     ivf = {
         int(r["nprobe"]): {k: int(v) for k, v in r.asDict().items()}
-        for r in qs["z_sim_recall_sweep"](spark, DST).collect()
+        for r in ivf_rows
     }
+    out["ivf_nprobe"] = ivf
     cands = [ivf[n]["n_cand"] for n in (1, 2, 4, 8)]
     hits = [ivf[n]["hits"] for n in (1, 2, 4, 8)]
     if sorted(cands) != cands or sorted(hits) != hits:
@@ -428,7 +467,7 @@ def _sweep_curves_sf1(spark, qs: dict) -> tuple[dict, list[str]]:
         problems.append(f"sf1 sweep: exhaustive nprobe=8 below half recall: {ivf[8]}")
     if ivf[8]["hits"] <= ivf[1]["hits"]:
         problems.append("sf1 sweep: recall does not climb with nprobe")
-    return {"lsh_banding": lsh, "ivf_nprobe": ivf}, problems
+    return out, problems
 
 
 def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
@@ -482,6 +521,13 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             continue
         before = set(_completed_stages(app))
         status01, wall01 = _run_capped(spark, qs[n], SRC, f"pair_{n}", cap_s)
+        if status01 != "ok":
+            # a failed sf0.1 leg leaves the grower UNADJUDICATED — that is
+            # itself a violation (and no misleading partial-run numbers
+            # are recorded)
+            rec["sf0.1_status"] = status01
+            violations.append(f"{n}: sf0.1 pair leg not ok ({status01})")
+            continue
         new = {k: v for k, v in _completed_stages(app).items() if k not in before}
         lo = round(_task_maxima(app, new)["peak_exec_mem"] / 2**20, 1)
         hi = rec["max_task_peak_exec_mem_mb"]
@@ -491,14 +537,14 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
         print(f"  pair {n}: {lo} MB @ sf0.1 -> {hi} MB @ sf1", file=sys.stderr)
         if n in TAIL_PAIR_EXEMPT:
             rec["mem_flat_exempt"] = TAIL_PAIR_EXEMPT[n]
-        elif status01 == "ok" and lo > 0 and hi > MEM_FLAT_FLOOR_MB and hi > MEM_FLAT_FACTOR * lo:
+        elif lo > 0 and hi > MEM_FLAT_FLOOR_MB and hi > MEM_FLAT_FACTOR * lo:
             violations.append(
                 f"{n}: tail task peak scales with corpus "
                 f"({lo} MB @ sf0.1 -> {hi} MB @ sf1, > {MEM_FLAT_FACTOR}x)"
             )
 
     # (b) tuning-sweep curves at sf1 (VERDICT r8 #6)
-    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs)
+    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs, cap_s)
     violations.extend(sweep_problems)
 
     out["violations"] = violations

@@ -502,11 +502,19 @@ def test_task_mem_comparator_scale_guard():
     from bench import _task_mem_regressions
 
     committed = json.loads(p.read_text())
-    name, sample = next(
-        (n, s)
-        for n, s in committed["samples"].items()
-        if (s.get("max_task") or {}).get("peak_exec_mem_mb", 0) > 32
+    hit = next(
+        (
+            (n, s)
+            for n, s in committed["samples"].items()
+            if (s.get("max_task") or {}).get("peak_exec_mem_mb", 0) > 32
+        ),
+        None,
     )
+    if hit is None:
+        import pytest
+
+        pytest.skip("no committed sample above the 32 MB comparator floor")
+    name, sample = hit
     inflated = {
         name: {
             "max_task": {
