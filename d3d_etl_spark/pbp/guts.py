@@ -60,13 +60,27 @@ def guts_constants(
         lw.where(F.col("events") == "out")
         .select("division", "year", F.col("linear_weights_above_average").alias("_lw_out"))
     )
+    # woba_scale re-derived by the same exact weighted form linear_weights
+    # uses (lgOBP over the count-weighted mean reaching weight, summed as
+    # 1e-9-scaled longs): averaging the per-event normalized/lwao ratios is
+    # the same quantity in real arithmetic, but an order-dependent double
+    # mean in IEEE — the weighted-integer form is identical on any engine
+    from d3d_etl_spark.pbp.metrics import REACHING
+
     scale = (
-        lw.select("division", "year", "linear_weights_above_outs", "normalized_weight", "events")
-        .where((F.col("events") != "out") & (F.col("linear_weights_above_outs") != 0))
+        lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
         .agg(
-            F.avg(
-                F.col("normalized_weight") / F.col("linear_weights_above_outs")
+            (
+                F.lit(lg_obp)
+                / (
+                    F.sum(
+                        F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
+                        * F.col("count")
+                    ).cast("double")
+                    / F.sum("count")
+                    / 1e9
+                )
             ).alias("woba_scale")
         )
     )

@@ -43,7 +43,15 @@ def batting_board(plays: DataFrame, min_pa: int = 1) -> DataFrame:
             _n(ev == "HBP").alias("hbp"),
             _n(ev.isin(*SO_EVENTS)).alias("so"),
             F.sum("runs_on_play").alias("runs_driven"),
-            F.sum("re24").alias("re24_total") if "re24" in plays.columns else F.lit(None).alias("re24_total"),
+            # never-sum-raw-doubles (functions/money.py): per-play re24 is a
+            # fixed expression tree (bit-exact on any engine), but a raw
+            # double SUM of it is partition-order-dependent — aggregate as
+            # 1e-9-scaled longs and convert once, like pbp/war.team_war
+            (
+                F.sum(F.round(F.col("re24") * 1_000_000_000).cast("long")).cast("double") / 1e9
+            ).alias("re24_total")
+            if "re24" in plays.columns
+            else F.lit(None).alias("re24_total"),
         )
         .where(F.col("pa") >= min_pa)
     )

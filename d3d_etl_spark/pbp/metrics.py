@@ -106,9 +106,17 @@ def linear_weights(plays_with_re24: DataFrame, lg_obp: float) -> DataFrame:
             *[F.when(F.col("event_type") == k, v) for k, v in LW_CLASSES.items()]
         ),
     ).where(F.col("events").isNotNull())
+    # never-sum-raw-doubles (functions/money.py): per-play re24 is a fixed
+    # expression tree, but averaging it as a raw double sum is partition-
+    # order-dependent — aggregate 1e-9-scaled longs and divide once, so the
+    # published weight is identical for any shuffle layout (and SQL-mirrorable)
     per_event = classed.groupBy("division", "year", "events").agg(
         F.count("*").alias("count"),
-        F.avg("re24").alias("linear_weights_above_average"),
+        (
+            F.sum(F.round(F.col("re24") * 1_000_000_000).cast("long")).cast("double")
+            / F.count("*")
+            / 1e9
+        ).alias("linear_weights_above_average"),
     )
     out_w = per_event.where(F.col("events") == "out").select(
         "division", "year",
@@ -118,14 +126,20 @@ def linear_weights(plays_with_re24: DataFrame, lg_obp: float) -> DataFrame:
         "linear_weights_above_outs",
         F.col("linear_weights_above_average") - F.coalesce("_out_lw", F.lit(0.0)),
     )
-    # wOBA scale: lgOBP / (Σ lw_above_outs·n / Σ n) over reaching events
+    # wOBA scale: lgOBP / (Σ lw_above_outs·n / Σ n) over reaching events —
+    # the weighted numerator sums as exact 1e-9-scaled long·count products
+    # (order-free), not raw double products
     reach = lw.where(F.col("events").isin(*REACHING))
     scale = reach.groupBy("division", "year").agg(
         (
             F.lit(lg_obp)
             / (
-                F.sum(F.col("linear_weights_above_outs") * F.col("count"))
+                F.sum(
+                    F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
+                    * F.col("count")
+                ).cast("double")
                 / F.sum("count")
+                / 1e9
             )
         ).alias("_woba_scale")
     )

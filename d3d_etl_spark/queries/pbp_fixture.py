@@ -1,8 +1,10 @@
 """z_pbp_fixture_trace — the narration FSM transition itself, driver-hashed
 at fixture scale (VERDICT r6 missing #4).
 
-The real pipelines (z_pbp_dag / z_pbp_war) stay rows-only because the
-base-state FSM over an arbitrary corpus is not SQL-expressible in general.
+The FSM over an arbitrary corpus has no closed relational form, so the
+end-to-end pipelines were long rows-only (both are fully oracled since
+round 9 — queries/stateful.py — via the corpus recursion below plus exact
+integer aggregation of their last raw-double sums).
 This query closes the "downstream-only" argument the bounded way the
 funnel/LR/BPE unrolls did: the ENGINE runs the production parse_pbp — the
 same classifier cascade, outs/runs counting, window layer, and
@@ -493,9 +495,10 @@ def z_pbp_fixture_trace2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # before/after expectancy joins with the end-of-inning key rewrite (J7) —
 # driver-hashed over the two hand-traced fixture games in ONE query (both
 # games flow through one multi-game mapInPandas FSM run). With this row,
-# every column class of the rows-only pipelines (z_pbp_dag / z_pbp_war
-# upstream) is hash-verified at fixture scale; the corpus-scale stages
-# stay oracled over the materialized FSM output (domain_*).
+# every column class of the end-to-end pipelines (z_pbp_dag / z_pbp_war
+# upstream — themselves fully oracled since round 9) is hash-verified at
+# fixture scale; the corpus-scale stages stay oracled over the
+# materialized FSM output (domain_*).
 # ---------------------------------------------------------------------------
 
 _PA_SQL = ", ".join(f"'{c}'" for c in sorted(PA_EVENTS))
@@ -650,8 +653,8 @@ def z_pbp_fixture_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> SB runs -> RAR -> WAR. The oracle chains BOTH games'
 # rule-table-generated recursive CTEs into the SAME parametrized WAR CTE
 # chain the corpus-scale oracles use (queries/domain.py:_war_ctes_chain,
-# src = the fixture plays CTE) — so the entire rows-only pipeline class is
-# now hash-verified end-to-end from raw text at fixture scale, including
+# src = the fixture plays CTE) — so the entire end-to-end pipeline class is
+# hash-verified from raw text at fixture scale, including
 # the runner-NAME state (r1_name feeds the SB/CS split), which the
 # bases-code traces alone never pinned.
 # ---------------------------------------------------------------------------

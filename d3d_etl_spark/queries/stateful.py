@@ -160,21 +160,83 @@ def _multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(with_payload)
 
 
-@register("z_pbp_dag", None, tags=("stateful", "domain"), bench=True)
+def _pbp_dag_oracle() -> str:
+    """Full SQL mirror of the end-to-end board: the ER matrix (one exact
+    integer mean per (division, year, bases, outs) cell), per-play RE24 via
+    the end-of-inning key rewrite (J7), then the counting board with
+    re24_total summed as 1e-9-scaled longs (never-sum-raw-doubles,
+    functions/money.py — the round-9 change that made this pipeline's last
+    column hashable). Reads the materialized FSM parquet, whose content is
+    itself hash-verified against the rule-table recursive recomputation
+    from raw narration (z_pbp_corpus_fsm)."""
+    from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+    from d3d_etl_spark.queries.domain import _PARSED_GLOB
+
+    def _in(evts) -> str:
+        return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
+
+    return f"""
+WITH er AS (
+  SELECT division, year, bases_before AS b, outs_before AS o,
+         CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
+  FROM read_parquet('{_PARSED_GLOB}')
+  WHERE outs_before <= 2
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT pl.division, pl.year, pl.batter_name, pl.event_type, pl.runs_on_play,
+         (CASE WHEN pl.outs_after >= 3 THEN 0.0 ELSE COALESCE(ea.erv, 0.0) END)
+           - COALESCE(eb.erv, 0.0) + CAST(pl.runs_on_play AS DOUBLE) AS re24
+  FROM read_parquet('{_PARSED_GLOB}') pl
+  LEFT JOIN er eb ON eb.division = pl.division AND eb.year = pl.year
+                 AND eb.b = pl.bases_before AND eb.o = pl.outs_before
+  LEFT JOIN er ea ON ea.division = pl.division AND ea.year = pl.year
+                 AND ea.b = pl.bases_after AND ea.o = pl.outs_after
+),
+b AS (
+  SELECT division, year, batter_name,
+         CAST(SUM(CASE WHEN event_type IN {_in(PA_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+         CAST(SUM(CASE WHEN event_type IN ('1B', '2B', '3B', 'HR') THEN 1 ELSE 0 END) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = '1B' THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN event_type = '2B' THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN event_type = '3B' THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+         CAST(SUM(CASE WHEN event_type = 'HR' THEN 1 ELSE 0 END) AS BIGINT) AS hr,
+         CAST(SUM(CASE WHEN event_type IN ('BB', 'IBB') THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+         CAST(SUM(CASE WHEN event_type = 'HBP' THEN 1 ELSE 0 END) AS BIGINT) AS hbp,
+         CAST(SUM(CASE WHEN event_type IN {_in(SO_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS so,
+         CAST(SUM(runs_on_play) AS BIGINT) AS runs_driven,
+         CAST(SUM(CAST(ROUND(re24 * 1000000000) AS BIGINT)) AS DOUBLE) / 1e9 AS re24_total
+  FROM p
+  WHERE batter_name IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT *, CAST(h + bb + hbp AS DOUBLE) / pa AS ob_pct
+FROM b
+WHERE pa >= 1
+"""
+
+
+@register("z_pbp_dag", _pbp_dag_oracle(), tags=("stateful", "domain"), bench=True)
 def z_pbp_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain pipeline end-to-end: generated narration (the testdata has
     no baseball tables) -> parse (classifier + windows + base-state FSM) ->
-    RE24 -> batting board. Game count scales with the SF in `sf_dir`; no
-    SQL oracle HERE (the board's re24_total is a raw double sum — the one
-    column the float-parity rule excludes from hashing): every computation
-    it runs IS hashed elsewhere — the corpus-scale FSM output itself since
-    round 9 (z_pbp_corpus_fsm: every play of every game, full state column
-    set, vs the rule-table recursive recomputation), and every downstream
-    stage (ER matrix, linear weights, boards, guts, WAR) via the domain_*
-    oracles over the same materialized parquet."""
+    RE24 -> batting board. Game count scales with the SF in `sf_dir`.
+    Oracled since round 9: the board's re24_total — formerly the one raw
+    double sum the float-parity rule excluded — now aggregates as
+    1e-9-scaled longs (pbp/leaderboards.batting_board), so the whole board
+    is a fixed expression tree over exact integers and hashes end-to-end.
+    The oracle recomputes the ER matrix + RE24 + board over the
+    materialized FSM parquet; the parquet itself is hash-verified against
+    the rule-table recursive recomputation from raw text (z_pbp_corpus_fsm),
+    so no engine output stands unverified in the chain."""
     from d3d_etl_spark.pbp.pipeline import run_analytics
-    from d3d_etl_spark.queries.domain import materialized_raw
+    from d3d_etl_spark.queries.domain import ensure_parsed, materialized_raw
 
+    # the oracle reads the materialized FSM parquet: ensure it exists (a
+    # marker-file stat after the first build at this scale). The measured
+    # pipeline below still parses in-query, so the compare verifies parse
+    # determinism end-to-end, not a parquet read-back.
+    ensure_parsed(spark, sf_dir)
     out = run_analytics(materialized_raw(spark, sf_dir))
     return out.batting
 
@@ -252,18 +314,234 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(with_payload, _RESIZE_W, _RESIZE_H)
 
 
-@register("z_pbp_war", None, tags=("stateful", "domain"))
+def _pbp_war_oracle() -> str:
+    """Full SQL mirror of the end-to-end WAR pipeline, including the two
+    formerly-unmirrored pieces that kept this query rows-only:
+
+    - **crc32 team ids**: DuckDB 1.0 ships no crc32 — the oracle derives
+      it from first principles as pure SQL: a recursive CTE folds the
+      256-entry IEEE CRC-32 table (polynomial 0xEDB88320, the one
+      java.util.zip.CRC32 / Spark's F.crc32 implements), then a second
+      recursion folds each distinct batter name byte-by-byte (names are
+      ASCII, so ord == UTF-8 byte). Breadth = the dimension-bounded name
+      pool, depth = name length — trivial at any corpus scale.
+    - **linear weights / woba_scale**: production linear_weights +
+      guts_constants aggregate their weight means as 1e-9-scaled longs
+      since round 9 (never-sum-raw-doubles), so every downstream double is
+      a fixed expression tree over exact integers and mirrors verbatim.
+
+    The play source is the materialized FSM parquet (itself hash-verified
+    against the rule-table recursive recomputation — z_pbp_corpus_fsm)."""
+    from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+    from d3d_etl_spark.pbp.metrics import REACHING
+    from d3d_etl_spark.queries.boards import _RUNNER_ACTION_SQL, _RUNNER_ONLY_IN
+    from d3d_etl_spark.queries.domain import _PARSED_GLOB, _lw_class_sql
+
+    def _in(evts) -> str:
+        return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
+
+    lw_events = {"walk": "wbb", "hit_by_pitch": "whbp", "single": "w1b",
+                 "double": "w2b", "triple": "w3b", "home_run": "whr"}
+    weight_cols = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN events = '{ev}' THEN w END), 0.0) AS {alias}"
+        for ev, alias in lw_events.items()
+    )
+    return f"""
+WITH RECURSIVE er AS (
+  SELECT division, year, bases_before AS b, outs_before AS o,
+         CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
+  FROM read_parquet('{_PARSED_GLOB}')
+  WHERE outs_before <= 2
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT pl.*,
+         (CASE WHEN pl.outs_after >= 3 THEN 0.0 ELSE COALESCE(ea.erv, 0.0) END)
+           - COALESCE(eb.erv, 0.0) + CAST(pl.runs_on_play AS DOUBLE) AS re24
+  FROM read_parquet('{_PARSED_GLOB}') pl
+  LEFT JOIN er eb ON eb.division = pl.division AND eb.year = pl.year
+                 AND eb.b = pl.bases_before AND eb.o = pl.outs_before
+  LEFT JOIN er ea ON ea.division = pl.division AND ea.year = pl.year
+                 AND ea.b = pl.bases_after AND ea.o = pl.outs_after
+),
+classed AS (
+  SELECT *, {_lw_class_sql()} AS events FROM p
+),
+per_event AS (
+  SELECT division, year, events,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(re24 * 1000000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1e9 AS lwaa
+  FROM classed WHERE events IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+out_lw AS (
+  SELECT division, year, lwaa AS out_lwaa FROM per_event WHERE events = 'out'
+),
+lw AS (
+  SELECT pe.division, pe.year, pe.events, pe.n,
+         pe.lwaa - COALESCE(o.out_lwaa, 0.0) AS lwao
+  FROM per_event pe
+  LEFT JOIN out_lw o ON pe.division = o.division AND pe.year = o.year
+),
+scale AS (
+  SELECT division, year,
+         0.360 / (CAST(SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) AS DOUBLE)
+                  / SUM(n) / 1e9) AS woba_scale
+  FROM lw WHERE events IN {_in(REACHING)}
+  GROUP BY 1, 2
+),
+wts AS (
+  SELECT l.division, l.year,
+         {weight_cols}
+  FROM (SELECT lw.*, lw.lwao * s.woba_scale AS w
+        FROM lw JOIN scale s ON lw.division = s.division AND lw.year = s.year) l
+  GROUP BY 1, 2
+),
+league AS (
+  SELECT division, year,
+         CAST(SUM(runs_on_play) AS BIGINT) AS lg_runs,
+         CAST(SUM(outs_on_play) AS BIGINT) AS lg_outs
+  FROM read_parquet('{_PARSED_GLOB}')
+  GROUP BY 1, 2
+),
+gutsrow AS (
+  SELECT l.division, l.year, w.wbb, w.whbp, w.w1b, w.w2b, w.w3b, w.whr,
+         s.woba_scale,
+         -(2 * (-COALESCE(o.out_lwaa, -0.1)) + 0.075) AS runs_cs,
+         9.0 * (CASE WHEN l.lg_outs != 0
+                     THEN CAST(l.lg_runs AS DOUBLE) * 3.0 / l.lg_outs
+                     ELSE 0.0 END) * 1.5 + 3.0 AS runs_win
+  FROM league l
+  LEFT JOIN wts w ON l.division = w.division AND l.year = w.year
+  LEFT JOIN scale s ON l.division = s.division AND l.year = s.year
+  LEFT JOIN out_lw o ON l.division = o.division AND l.year = o.year
+),
+counting AS (
+  SELECT division, year, batter_name,
+         CAST(SUM(CASE WHEN event_type IN {_in(PA_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS pa_n,
+         CAST(SUM(CASE WHEN event_type IN ('1B', '2B', '3B', 'HR') THEN 1 ELSE 0 END) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = '2B' THEN 1 ELSE 0 END) AS BIGINT) AS double_,
+         CAST(SUM(CASE WHEN event_type = '3B' THEN 1 ELSE 0 END) AS BIGINT) AS triple_,
+         CAST(SUM(CASE WHEN event_type = 'HR' THEN 1 ELSE 0 END) AS BIGINT) AS hr,
+         CAST(SUM(CASE WHEN event_type = 'BB' THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+         CAST(SUM(CASE WHEN event_type = 'IBB' THEN 1 ELSE 0 END) AS BIGINT) AS ibb,
+         CAST(SUM(CASE WHEN event_type = 'HBP' THEN 1 ELSE 0 END) AS BIGINT) AS hbp,
+         CAST(SUM(CASE WHEN event_type IN {_in(SO_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN event_type = 'SF' THEN 1 ELSE 0 END) AS BIGINT) AS sf,
+         CAST(SUM(CASE WHEN event_type = 'SH' THEN 1 ELSE 0 END) AS BIGINT) AS sh
+  FROM read_parquet('{_PARSED_GLOB}')
+  WHERE batter_name IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+segs AS (
+  SELECT division, year, event_type,
+         unnest(string_split(play_text, ';')) AS seg,
+         unnest(range(len(string_split(play_text, ';')))) AS pos
+  FROM read_parquet('{_PARSED_GLOB}')
+),
+brclassed AS (
+  SELECT division, year,
+         regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 1) AS runner_name,
+         lower(regexp_extract(seg, '{_RUNNER_ACTION_SQL}', 2)) AS action
+  FROM segs
+  WHERE (pos > 0 OR event_type IN {_RUNNER_ONLY_IN})
+),
+bsr AS (
+  SELECT division, year, runner_name AS batter_name,
+         CAST(SUM(CASE WHEN action LIKE 'stole%' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN action = 'caught stealing' THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM brclassed
+  WHERE runner_name != '' AND action != ''
+  GROUP BY 1, 2, 3
+),
+crcbuild(bn, i, c) AS (
+  SELECT r.range::INT, 0, r.range::BIGINT FROM range(256) r
+  UNION ALL
+  SELECT bn, i + 1,
+         CASE WHEN c % 2 = 1 THEN xor(c >> 1, 3988292384) ELSE c >> 1 END
+  FROM crcbuild WHERE i < 8
+),
+crctab AS (SELECT bn, c FROM crcbuild WHERE i = 8),
+crcfold(s, pos, c) AS (
+  SELECT batter_name, 0, CAST(4294967295 AS BIGINT)
+  FROM (SELECT DISTINCT batter_name FROM counting)
+  UNION ALL
+  SELECT f.s, f.pos + 1, xor(f.c >> 8, t.c)
+  FROM crcfold f
+  JOIN crctab t ON t.bn = xor(f.c % 256, ord(substr(f.s, f.pos + 1, 1)))
+  WHERE f.pos < length(f.s)
+),
+crc AS (
+  SELECT s AS batter_name, xor(c, 4294967295) AS crc32
+  FROM crcfold WHERE pos = length(s)
+),
+cube AS (
+  SELECT c.batter_name AS player_id, c.batter_name AS player_name,
+         't' || CAST(cr.crc32 % 4 AS VARCHAR) AS team_id,
+         'conf-x' AS conference, c.division, c.year,
+         c.pa_n - c.bb - c.ibb - c.hbp - c.sf - c.sh AS ab,
+         c.h, c.double_, c.triple_, c.hr, c.bb, c.ibb, c.hbp, c.sf, c.sh,
+         COALESCE(b.sb, 0) AS sb, COALESCE(b.cs, 0) AS cs
+  FROM counting c
+  JOIN crc cr ON cr.batter_name = c.batter_name
+  LEFT JOIN bsr b ON b.division = c.division AND b.year = c.year
+                 AND b.batter_name = c.batter_name
+),
+pw0 AS (
+  SELECT cb.player_id, cb.player_name, cb.team_id, cb.conference,
+         cb.division, cb.year, cb.sb, cb.cs,
+         cb.ab + cb.bb + cb.hbp + cb.sf + cb.sh AS pa,
+         CASE WHEN (cb.ab + cb.bb - cb.ibb + cb.sf + cb.hbp) != 0
+              THEN (g.wbb * (cb.bb - cb.ibb) + g.whbp * cb.hbp
+                    + g.w1b * (cb.h - cb.double_ - cb.triple_ - cb.hr)
+                    + g.w2b * cb.double_ + g.w3b * cb.triple_ + g.whr * cb.hr)
+                   / (cb.ab + cb.bb - cb.ibb + cb.sf + cb.hbp)
+              ELSE 0.0 END AS woba,
+         g.woba_scale, g.runs_cs, g.runs_win
+  FROM cube cb
+  LEFT JOIN gutsrow g ON cb.division = g.division AND cb.year = g.year
+),
+pw1 AS (
+  SELECT *,
+         (CASE WHEN woba_scale != 0 THEN (woba - 0.360) / woba_scale
+               ELSE 0.0 END) * pa AS wraa,
+         sb * 0.2 + cs * runs_cs AS bsr
+  FROM pw0
+),
+pwar AS (
+  SELECT *,
+         wraa + bsr + 0.033 * pa AS rar,
+         CASE WHEN runs_win != 0
+              THEN (wraa + bsr + 0.033 * pa) / runs_win ELSE 0.0 END AS war_raw
+  FROM pw1
+),
+teams AS (
+  SELECT team_id, division, year,
+         CAST(SUM(CAST(ROUND(war_raw * 1000000000) AS BIGINT)) AS DOUBLE) / 1e9 AS team_war
+  FROM pwar GROUP BY 1, 2, 3
+)
+SELECT p.player_id, p.player_name, p.team_id, p.conference, p.division, p.year,
+       p.pa, p.woba, p.wraa, p.bsr, p.rar, p.war_raw, t.team_war
+FROM pwar p
+JOIN teams t ON p.team_id = t.team_id AND p.division = t.division
+            AND p.year = t.year
+"""
+
+
+@register("z_pbp_war", _pbp_war_oracle(), tags=("stateful", "domain"))
 def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAR end-to-end on generated narration: parse -> RE24 -> linear
     weights -> guts constants -> per-batter season counting stats (the
     cube_batting shape, derived from the same plays) -> batting WAR ->
-    team rollup join-back. Rows-only (the crc32-derived synthetic team ids
-    have no DuckDB mirror); the FSM upstream is hashed at corpus scale
-    since round 9 (z_pbp_corpus_fsm), the WAR arithmetic is pytest-verified
-    against hand-computed fixtures (tests/test_war.py), hashed end-to-end
-    from raw text at fixture scale (z_pbp_fixture_war), AND oracled over
-    the materialized FSM output (queries/war_chain.py: domain_war_players
-    batting arm)."""
+    team rollup join-back. Oracled since round 9: the crc32 team ids are
+    recomputed from first principles in SQL (recursive table-build +
+    byte-fold CTEs — see _pbp_war_oracle), and the linear-weight /
+    woba_scale means aggregate as 1e-9-scaled longs on both engines
+    (never-sum-raw-doubles), so the whole chain — weights, wOBA, wRAA,
+    RAR, WAR, exact team rollup — hashes end-to-end at corpus scale. The
+    FSM upstream is hashed independently (z_pbp_corpus_fsm); the fixture
+    twin (z_pbp_fixture_war) pins the same arithmetic from raw text."""
     from pyspark.sql import functions as F
 
     from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
@@ -272,8 +550,11 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.pbp.metrics import add_re24, expected_runs_long, linear_weights
     from d3d_etl_spark.pbp.parser import parse_pbp
     from d3d_etl_spark.pbp.war import batting_war, team_war
-    from d3d_etl_spark.queries.domain import materialized_raw
+    from d3d_etl_spark.queries.domain import ensure_parsed, materialized_raw
 
+    # the oracle reads the materialized FSM parquet (marker-stat after the
+    # first build); the measured pipeline still parses in-query
+    ensure_parsed(spark, sf_dir)
     # localCheckpoint, not cache: cache is lazy, so eagerly-planned
     # broadcast subtrees (lw, guts) would re-derive the parse (the
     # round-2 pbp_dag fix, commit ef41fb6)
