@@ -160,23 +160,22 @@ def _multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(with_payload)
 
 
-def _pbp_dag_oracle() -> str:
-    """Full SQL mirror of the end-to-end board: the ER matrix (one exact
-    integer mean per (division, year, bases, outs) cell), per-play RE24 via
-    the end-of-inning key rewrite (J7), then the counting board with
-    re24_total summed as 1e-9-scaled longs (never-sum-raw-doubles,
-    functions/money.py — the round-9 change that made this pipeline's last
-    column hashable). Reads the materialized FSM parquet, whose content is
-    itself hash-verified against the rule-table recursive recomputation
-    from raw narration (z_pbp_corpus_fsm)."""
-    from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+def _ev_in(evts) -> str:
+    """('A', 'B', ...) literal list for SQL IN, sorted for stability."""
+    return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
+
+
+def _er_re24_ctes() -> str:
+    """Shared oracle CTEs `er` + `p`: the ER matrix (one exact integer mean
+    per (division, year, bases, outs) cell — bit-identical on any engine)
+    and per-play RE24 via the end-of-inning key rewrite (J7), the exact
+    expression tree of pbp/metrics.add_re24. Both end-to-end pipeline
+    oracles (z_pbp_dag / z_pbp_war) build on these — factored so the RE24
+    rewrite can never drift between them (the _lw_ctes(src) precedent of
+    queries/domain.py)."""
     from d3d_etl_spark.queries.domain import _PARSED_GLOB
 
-    def _in(evts) -> str:
-        return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
-
-    return f"""
-WITH er AS (
+    return f"""er AS (
   SELECT division, year, bases_before AS b, outs_before AS o,
          CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
   FROM read_parquet('{_PARSED_GLOB}')
@@ -184,7 +183,7 @@ WITH er AS (
   GROUP BY 1, 2, 3, 4
 ),
 p AS (
-  SELECT pl.division, pl.year, pl.batter_name, pl.event_type, pl.runs_on_play,
+  SELECT pl.*,
          (CASE WHEN pl.outs_after >= 3 THEN 0.0 ELSE COALESCE(ea.erv, 0.0) END)
            - COALESCE(eb.erv, 0.0) + CAST(pl.runs_on_play AS DOUBLE) AS re24
   FROM read_parquet('{_PARSED_GLOB}') pl
@@ -192,7 +191,21 @@ p AS (
                  AND eb.b = pl.bases_before AND eb.o = pl.outs_before
   LEFT JOIN er ea ON ea.division = pl.division AND ea.year = pl.year
                  AND ea.b = pl.bases_after AND ea.o = pl.outs_after
-),
+)"""
+
+
+def _pbp_dag_oracle() -> str:
+    """Full SQL mirror of the end-to-end board: the shared ER/RE24 CTEs,
+    then the counting board with re24_total summed as 1e-9-scaled longs
+    (never-sum-raw-doubles, functions/money.py — the round-9 change that
+    made this pipeline's last column hashable). Reads the materialized FSM
+    parquet, whose content is itself hash-verified against the rule-table
+    recursive recomputation from raw narration (z_pbp_corpus_fsm)."""
+    from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+
+    _in = _ev_in
+    return f"""
+WITH {_er_re24_ctes()},
 b AS (
   SELECT division, year, batter_name,
          CAST(SUM(CASE WHEN event_type IN {_in(PA_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS pa,
@@ -322,48 +335,38 @@ def _pbp_war_oracle() -> str:
       it from first principles as pure SQL: a recursive CTE folds the
       256-entry IEEE CRC-32 table (polynomial 0xEDB88320, the one
       java.util.zip.CRC32 / Spark's F.crc32 implements), then a second
-      recursion folds each distinct batter name byte-by-byte (names are
-      ASCII, so ord == UTF-8 byte). Breadth = the dimension-bounded name
-      pool, depth = name length — trivial at any corpus scale.
+      recursion folds each distinct batter name over its UTF-8 BYTES (the
+      name hex-encoded once via hex(encode(..)), byte i = hex pair i — so
+      the fold matches Spark's byte-level crc32 for ANY unicode input, not
+      just the ASCII pool the generator happens to emit). Breadth = the
+      dimension-bounded name pool, depth = byte length — trivial at any
+      corpus scale.
     - **linear weights / woba_scale**: production linear_weights +
       guts_constants aggregate their weight means as 1e-9-scaled longs
       since round 9 (never-sum-raw-doubles), so every downstream double is
       a fixed expression tree over exact integers and mirrors verbatim.
 
+    Dialect trap (review finding): a bare SQL literal like 0.2 is DECIMAL
+    in DuckDB, so `sb * 0.2` would be computed as EXACT decimal and
+    diverge from Spark's IEEE `long * double(0.2)` product by an ulp
+    (e.g. sb=6: 1.2 vs 1.2000000000000002) — every fractional literal
+    that multiplies an integer column is CAST AS DOUBLE explicitly.
+
     The play source is the materialized FSM parquet (itself hash-verified
     against the rule-table recursive recomputation — z_pbp_corpus_fsm)."""
     from d3d_etl_spark.pbp.events import PA_EVENTS, SO_EVENTS
+    from d3d_etl_spark.pbp.guts import _W_EVENTS
     from d3d_etl_spark.pbp.metrics import REACHING
     from d3d_etl_spark.queries.boards import _RUNNER_ACTION_SQL, _RUNNER_ONLY_IN
     from d3d_etl_spark.queries.domain import _PARSED_GLOB, _lw_class_sql
 
-    def _in(evts) -> str:
-        return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
-
-    lw_events = {"walk": "wbb", "hit_by_pitch": "whbp", "single": "w1b",
-                 "double": "w2b", "triple": "w3b", "home_run": "whr"}
+    _in = _ev_in
     weight_cols = ",\n         ".join(
         f"COALESCE(MAX(CASE WHEN events = '{ev}' THEN w END), 0.0) AS {alias}"
-        for ev, alias in lw_events.items()
+        for alias, ev in _W_EVENTS.items()
     )
     return f"""
-WITH RECURSIVE er AS (
-  SELECT division, year, bases_before AS b, outs_before AS o,
-         CAST(SUM(runs_roi) AS DOUBLE) / COUNT(*) AS erv
-  FROM read_parquet('{_PARSED_GLOB}')
-  WHERE outs_before <= 2
-  GROUP BY 1, 2, 3, 4
-),
-p AS (
-  SELECT pl.*,
-         (CASE WHEN pl.outs_after >= 3 THEN 0.0 ELSE COALESCE(ea.erv, 0.0) END)
-           - COALESCE(eb.erv, 0.0) + CAST(pl.runs_on_play AS DOUBLE) AS re24
-  FROM read_parquet('{_PARSED_GLOB}') pl
-  LEFT JOIN er eb ON eb.division = pl.division AND eb.year = pl.year
-                 AND eb.b = pl.bases_before AND eb.o = pl.outs_before
-  LEFT JOIN er ea ON ea.division = pl.division AND ea.year = pl.year
-                 AND ea.b = pl.bases_after AND ea.o = pl.outs_after
-),
+WITH RECURSIVE {_er_re24_ctes()},
 classed AS (
   SELECT *, {_lw_class_sql()} AS events FROM p
 ),
@@ -424,7 +427,7 @@ counting AS (
          CAST(SUM(CASE WHEN event_type = '2B' THEN 1 ELSE 0 END) AS BIGINT) AS double_,
          CAST(SUM(CASE WHEN event_type = '3B' THEN 1 ELSE 0 END) AS BIGINT) AS triple_,
          CAST(SUM(CASE WHEN event_type = 'HR' THEN 1 ELSE 0 END) AS BIGINT) AS hr,
-         CAST(SUM(CASE WHEN event_type = 'BB' THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+         CAST(SUM(CASE WHEN event_type IN ('BB', 'IBB') THEN 1 ELSE 0 END) AS BIGINT) AS bb,
          CAST(SUM(CASE WHEN event_type = 'IBB' THEN 1 ELSE 0 END) AS BIGINT) AS ibb,
          CAST(SUM(CASE WHEN event_type = 'HBP' THEN 1 ELSE 0 END) AS BIGINT) AS hbp,
          CAST(SUM(CASE WHEN event_type IN {_in(SO_EVENTS)} THEN 1 ELSE 0 END) AS BIGINT) AS k,
@@ -463,24 +466,28 @@ crcbuild(bn, i, c) AS (
   FROM crcbuild WHERE i < 8
 ),
 crctab AS (SELECT bn, c FROM crcbuild WHERE i = 8),
-crcfold(s, pos, c) AS (
-  SELECT batter_name, 0, CAST(4294967295 AS BIGINT)
+crcsrc AS (
+  SELECT batter_name, hex(encode(batter_name)) AS hx
   FROM (SELECT DISTINCT batter_name FROM counting)
+),
+crcfold(s, hx, pos, c) AS (
+  SELECT batter_name, hx, 0, CAST(4294967295 AS BIGINT) FROM crcsrc
   UNION ALL
-  SELECT f.s, f.pos + 1, xor(f.c >> 8, t.c)
+  SELECT f.s, f.hx, f.pos + 1, xor(f.c >> 8, t.c)
   FROM crcfold f
-  JOIN crctab t ON t.bn = xor(f.c % 256, ord(substr(f.s, f.pos + 1, 1)))
-  WHERE f.pos < length(f.s)
+  JOIN crctab t
+    ON t.bn = xor(f.c % 256, ('0x' || substr(f.hx, 2 * f.pos + 1, 2))::BIGINT)
+  WHERE f.pos < length(f.hx) // 2
 ),
 crc AS (
   SELECT s AS batter_name, xor(c, 4294967295) AS crc32
-  FROM crcfold WHERE pos = length(s)
+  FROM crcfold WHERE pos = length(hx) // 2
 ),
 cube AS (
   SELECT c.batter_name AS player_id, c.batter_name AS player_name,
          't' || CAST(cr.crc32 % 4 AS VARCHAR) AS team_id,
          'conf-x' AS conference, c.division, c.year,
-         c.pa_n - c.bb - c.ibb - c.hbp - c.sf - c.sh AS ab,
+         c.pa_n - c.bb - c.hbp - c.sf - c.sh AS ab,
          c.h, c.double_, c.triple_, c.hr, c.bb, c.ibb, c.hbp, c.sf, c.sh,
          COALESCE(b.sb, 0) AS sb, COALESCE(b.cs, 0) AS cs
   FROM counting c
@@ -506,14 +513,15 @@ pw1 AS (
   SELECT *,
          (CASE WHEN woba_scale != 0 THEN (woba - 0.360) / woba_scale
                ELSE 0.0 END) * pa AS wraa,
-         sb * 0.2 + cs * runs_cs AS bsr
+         sb * CAST(0.2 AS DOUBLE) + cs * runs_cs AS bsr
   FROM pw0
 ),
 pwar AS (
   SELECT *,
-         wraa + bsr + 0.033 * pa AS rar,
+         wraa + bsr + CAST(0.033 AS DOUBLE) * pa AS rar,
          CASE WHEN runs_win != 0
-              THEN (wraa + bsr + 0.033 * pa) / runs_win ELSE 0.0 END AS war_raw
+              THEN (wraa + bsr + CAST(0.033 AS DOUBLE) * pa) / runs_win
+              ELSE 0.0 END AS war_raw
   FROM pw1
 ),
 teams AS (
@@ -574,7 +582,11 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
             n(ev == "2B").alias("double_"),
             n(ev == "3B").alias("triple_"),
             n(ev == "HR").alias("hr"),
-            n(ev == "BB").alias("bb"),
+            # bb INCLUDES ibb — saber.woba/pa's contract (uBB = bb - ibb),
+            # the same convention war_batting_from_parsed's bb_all uses; the
+            # round-9 review found the old BB-only count double-subtracted
+            # IBB from the wOBA numerator
+            n(ev.isin("BB", "IBB")).alias("bb"),
             n(ev == "IBB").alias("ibb"),
             n(ev == "HBP").alias("hbp"),
             n(ev.isin(*SO_EVENTS)).alias("k"),
@@ -595,7 +607,7 @@ def z_pbp_war(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("t"), (F.crc32(F.col("batter_name")) % 4).cast("string")).alias("team_id"),
             F.lit("conf-x").alias("conference"),
             "division", "year",
-            (F.col("pa_n") - F.col("bb") - F.col("ibb") - F.col("hbp")
+            (F.col("pa_n") - F.col("bb") - F.col("hbp")
              - F.col("sf") - F.col("sh")).alias("ab"),
             "h", "double_", "triple_", "hr", "bb", "ibb", "hbp", "k", "sf", "sh",
             F.coalesce("sb", F.lit(0)).alias("sb"),

@@ -46,15 +46,16 @@ def test_supplementary_tier_is_z_prefixed():
 
 
 def test_rows_only_queries_are_supplementary():
-    """Rows-only (oracle-less) queries live in the z_ tier and each has a
-    documented reason: the two narration-FSM pipelines (value evidence =
-    the oracled domain_* family over the materialized parse; the base-state
-    FSM's regex parsing is not SQL-replicable without copying the FSM into
-    the oracle, which would prove nothing). The driver-loop trainers
-    graduated to fully-oracled in round 5 (chained-CTE trajectory unrolls)
-    and z_fsm_funnel in round 6 (closed relational form — its 3-state
-    machine reduces to view-segment windows)."""
+    """Every registered query carries a SQL oracle — rows-only = 0 since
+    round 9. The graduation history: the driver-loop trainers in round 5
+    (chained-CTE trajectory unrolls), z_fsm_funnel in round 6 (closed
+    relational form — its 3-state machine reduces to view-segment
+    windows), and the two end-to-end narration-FSM pipelines in round 9
+    (z_pbp_dag: the board's re24 sum became a 1e-9-scaled-long aggregate;
+    z_pbp_war: crc32 team ids recomputed from first principles in
+    recursive SQL, quantized linear-weight/woba_scale means). This pin
+    keeps the registry at full oracle coverage: a new oracle-less
+    registration must either gain an oracle or update this test with its
+    documented reason."""
     rows_only = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
-    assert rows_only == [
-        "z_pbp_dag", "z_pbp_war",
-    ]
+    assert rows_only == []
