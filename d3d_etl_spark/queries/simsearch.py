@@ -674,8 +674,18 @@ from d3d_etl_spark.queries.domain import sf_tag as _ivf_tag
 
 _INC_MOD = 4
 _INC_NPROBE = 3
-# candidate pairs per verify task (bounds the array-dot stage's partitions)
-_INC_PAIRS_PER_TASK = 50_000
+# candidate pairs per verify task — the grain every fan/checkpoint/score
+# partition count is derived from, PER SERVING PATH (a measured sf1 knob
+# sweep, round 9): the exact-cosine verify streams ONE array-dot row per
+# pair, and at 50k its tasks were scheduling-bound — 100k halved the sf1
+# wall (110 -> 62 s) with the task peak unchanged at a fixed 96.4 MB
+# (bit-identical across 50k/100k/200k = saturated allocation, not data
+# state; 200k regressed wall to 127 s on straggling). The ADC path
+# expands each pair to M=8 code rows, so ITS best grain stays 50k —
+# 100k measured 144 s / 144 MB vs 97 s / 96 MB. Partitioning-only knobs:
+# the pair sets are identical, so both oracles are unaffected.
+_INC_PAIRS_PER_TASK = 100_000
+_PQ_INC_PAIRS_PER_TASK = 50_000
 # ADC-table broadcast bound (rows = |new batch| x M x ks): under the cap the
 # per-batch distance table broadcasts (~180 B/row in the hash relation,
 # measured — 262144 rows ~ 47 MB); past it the lookup shuffle-hashes with
@@ -811,7 +821,11 @@ WHERE s.rn = 1
 
 
 def _inc_probe_cand(
-    spark: SparkSession, emb: DataFrame, cents: DataFrame, assign: DataFrame
+    spark: SparkSession,
+    emb: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    pairs_per_task: int = _INC_PAIRS_PER_TASK,
 ) -> tuple[DataFrame, DataFrame]:
     """probe (vec_id, label, rn) and candidate pairs (vec_id, old_id) off
     the persisted IVF state — the engine twin of _INC_PROBE_CTES, shared
@@ -858,11 +872,11 @@ def _inc_probe_cand(
     #
     # The per-label pair load is EXACTLY probes(l) x occupancy(l) — a
     # K-row driver scalar from two label-grain aggregates. So slice each
-    # label into nsub(l) = ceil(probes(l)*occ(l) / _INC_PAIRS_PER_TASK)
+    # label into nsub(l) = ceil(probes(l)*occ(l) / pairs_per_task)
     # id-hash sub-slices (the FUZZY_MAX_BLOCK recipe at cell grain):
     # probes replicate to every slice of their label, old rows hash into
     # one, each (probe, old) pair meets exactly once, and EVERY join task
-    # emits <= _INC_PAIRS_PER_TASK pairs by construction — the exchange
+    # emits <= pairs_per_task pairs by construction — the exchange
     # write, the checkpoint partitions, and the shuffled-hash build
     # (probes of one label — ingest-batch grain) are all bounded at any
     # corpus size or cell skew. The count-scaled vec_id repartition then
@@ -875,10 +889,10 @@ def _inc_probe_cand(
         .collect()
     )  # K rows — dimension-bounded driver scalar
     n_pairs = sum(r.np * r.no for r in sizes)
-    cand_parts = max(fan, -(-n_pairs // _INC_PAIRS_PER_TASK))
+    cand_parts = max(fan, -(-n_pairs // pairs_per_task))
     nsub = spark.createDataFrame(
         [
-            (r.label, max(1, -(-(r.np * r.no) // _INC_PAIRS_PER_TASK)))
+            (r.label, max(1, -(-(r.np * r.no) // pairs_per_task)))
             for r in sizes
         ],
         "label long, _nsub int",
@@ -890,9 +904,9 @@ def _inc_probe_cand(
     # (measured: 9 tasks emitting 28M pairs, 272 MB task peak). A
     # user-specified repartition(N, keys) is exempt from AQE coalescing,
     # and both sides sharing (N, keys) means the join adds no exchange —
-    # one task per sub-slice, <= _INC_PAIRS_PER_TASK pairs each.
+    # one task per sub-slice, <= pairs_per_task pairs each.
     n_slices = max(fan, sum(
-        max(1, -(-(r.np * r.no) // _INC_PAIRS_PER_TASK)) for r in sizes
+        max(1, -(-(r.np * r.no) // pairs_per_task)) for r in sizes
     ))
     probe_fan = (
         probe.join(F.broadcast(nsub), "label")
@@ -2667,7 +2681,9 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = assign.select(
         F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label")
     )
-    _, cand = _inc_probe_cand(spark, emb, cents, assign)
+    _, cand = _inc_probe_cand(
+        spark, emb, cents, assign, pairs_per_task=_PQ_INC_PAIRS_PER_TASK
+    )
 
     new = emb.where(F.col("vec_id") % _INC_MOD == 0)
     qc = pq_subspace_comps(new, _DIM, _PQ_M)
@@ -2686,7 +2702,7 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs = cand.count()  # checkpoint count — cheap
     score_parts = max(
         spark.sparkContext.defaultParallelism,
-        -(-n_pairs // _INC_PAIRS_PER_TASK),
+        -(-n_pairs // _PQ_INC_PAIRS_PER_TASK),
     )
     pair_codes = cand.repartition(score_parts, "old_id").join(
         old_codes.hint("shuffle_hash"), "old_id"
