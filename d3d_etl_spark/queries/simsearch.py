@@ -931,9 +931,14 @@ def _inc_probe_cand(
 
 
 @register("z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"))
-def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z_sim_incremental(
+    spark: SparkSession, sf_dir: str, pairs_per_task: int = _INC_PAIRS_PER_TASK
+) -> DataFrame:
     """Nearest existing neighbor for each new-batch vector, via the stored
-    IVF state: new-side work only + selective candidate fetch."""
+    IVF state: new-side work only + selective candidate fetch.
+    `pairs_per_task` exposes the fan/score grain for the stress tier's
+    serving-grain saturation sweep (partitioning-only; the result set is
+    grain-independent)."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -947,7 +952,7 @@ def z_sim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediate at pair grain; the 6-dp rounding contract absorbs the
     # <1e-13 fold divergence vs the oracle's exploded SUM, exactly as in
     # the brute-force arm.
-    probe, cand = _inc_probe_cand(spark, emb, cents, assign)
+    probe, cand = _inc_probe_cand(spark, emb, cents, assign, pairs_per_task)
 
     new_vecs = (
         emb.where(F.col("vec_id") % _INC_MOD == 0)

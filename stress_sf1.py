@@ -414,7 +414,7 @@ def _collect_capped(spark, qs: dict, name: str, cap_s: int):
         sc.setJobGroup("", "")
 
 
-def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
+def _sweep_curves_sf1(spark, qs: dict, cap_s: int, app: str) -> tuple[dict, list[str]]:
     """VERDICT r8 #6: the LSH-banding and IVF-nprobe tuning curves at sf1 —
     the same knob invariants tests/test_sweeps_sf01_r8.py pins at sf0.1,
     measured at the scale the bound audit runs at. Curve VALUES are
@@ -467,6 +467,41 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
         problems.append(f"sf1 sweep: exhaustive nprobe=8 below half recall: {ivf[8]}")
     if ivf[8]["hits"] <= ivf[1]["hits"]:
         problems.append("sf1 sweep: recall does not climb with nprobe")
+
+    # (round 9) serving-grain saturation sweep: the incremental-serving
+    # task peak must be a FIXED allocation — grain-independent at and
+    # above the production pairs-per-task knob (measured bit-identical
+    # 96.4 MB across 50k/100k/200k when first established). If the peak
+    # grows with the grain, per-task state has become data-proportional
+    # again (the round-8 2.2 GB-task failure mode) and the fixed-profile
+    # saturation argument for the sf-pair memory ratio no longer holds.
+    # Walls are recorded as advisory context (the 100k production grain
+    # halved the sf1 wall when adopted), never asserted — host-noisy.
+    from d3d_etl_spark.queries.simsearch import z_sim_incremental
+
+    grain_out: dict = {}
+    for g in (50_000, 100_000):
+        before = set(_completed_stages(app))
+        status, wall = _run_capped(
+            spark,
+            lambda s, d, g=g: z_sim_incremental(s, d, pairs_per_task=g),
+            DST,
+            f"sweep_grain_{g}",
+            cap_s,
+        )
+        new = {k: v for k, v in _completed_stages(app).items() if k not in before}
+        peak = round(_task_maxima(app, new)["peak_exec_mem"] / 2**20, 1)
+        grain_out[g] = {"status": status, "wall_s": wall, "peak_mb": peak}
+        if status != "ok":
+            problems.append(f"sf1 sweep: serving grain {g} leg not ok ({status})")
+    out["serving_grain"] = grain_out
+    lo = grain_out[50_000]["peak_mb"]
+    hi = grain_out[100_000]["peak_mb"]
+    if lo > 0 and hi > 1.3 * lo:
+        problems.append(
+            f"sf1 sweep: serving task peak grows with grain ({lo} -> {hi} MB) — "
+            "per-task state is data-proportional, not a fixed allocation"
+        )
     return out, problems
 
 
@@ -544,7 +579,7 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             )
 
     # (b) tuning-sweep curves at sf1 (VERDICT r8 #6)
-    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs, cap_s)
+    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs, cap_s, app)
     violations.extend(sweep_problems)
 
     out["violations"] = violations
