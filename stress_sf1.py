@@ -414,7 +414,7 @@ def _collect_capped(spark, qs: dict, name: str, cap_s: int):
         sc.setJobGroup("", "")
 
 
-def _sweep_curves_sf1(spark, qs: dict, cap_s: int, app: str) -> tuple[dict, list[str]]:
+def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     """VERDICT r8 #6: the LSH-banding and IVF-nprobe tuning curves at sf1 —
     the same knob invariants tests/test_sweeps_sf01_r8.py pins at sf0.1,
     measured at the scale the bound audit runs at. Curve VALUES are
@@ -467,20 +467,33 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int, app: str) -> tuple[dict, list
         problems.append(f"sf1 sweep: exhaustive nprobe=8 below half recall: {ivf[8]}")
     if ivf[8]["hits"] <= ivf[1]["hits"]:
         problems.append("sf1 sweep: recall does not climb with nprobe")
+    return out, problems
 
-    # (round 9) serving-grain saturation sweep: the incremental-serving
-    # task peak must be a FIXED allocation — grain-independent at and
-    # above the production pairs-per-task knob (measured bit-identical
-    # 96.4 MB across 50k/100k/200k when first established). If the peak
-    # grows with the grain, per-task state has become data-proportional
-    # again (the round-8 2.2 GB-task failure mode) and the fixed-profile
-    # saturation argument for the sf-pair memory ratio no longer holds.
-    # Walls are recorded as advisory context (the 100k production grain
-    # halved the sf1 wall when adopted), never asserted — host-noisy.
-    from d3d_etl_spark.queries.simsearch import z_sim_incremental
 
+def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> tuple[dict, list[str]]:
+    """(round 9) serving-grain saturation sweep: the incremental-serving
+    task peak must be a FIXED allocation — grain-independent at and above
+    the production pairs-per-task knob (measured bit-identical 96.4 MB
+    across 50k/100k/200k when first established). If the peak grows with
+    the grain, per-task state has become data-proportional again (the
+    round-8 2.2 GB-task failure mode) and the fixed-profile saturation
+    argument for the sf-pair memory ratio no longer holds. Walls are
+    recorded as advisory context (the 100k production grain halved the
+    sf1 wall when adopted), never asserted — host-noisy.
+
+    Runs from run_registry_audit INDEPENDENTLY of the tuning-curve legs
+    (a capped LSH/IVF sweep must not skip this check — review finding).
+    `prod_rec` is the audit loop's own z_sim_incremental row: when it is
+    ok it already measured the production (100k) grain at DST in this
+    session, so only the 50k leg runs — no duplicate sf1 run. The ratio
+    is asserted only when BOTH legs are ok (a wall-capped leg records a
+    partial peak; adjudicating on it would be misleading either way)."""
+    from d3d_etl_spark.queries.simsearch import _INC_PAIRS_PER_TASK, z_sim_incremental
+
+    problems: list[str] = []
     grain_out: dict = {}
-    for g in (50_000, 100_000):
+
+    def _leg(g: int) -> dict:
         before = set(_completed_stages(app))
         status, wall = _run_capped(
             spark,
@@ -491,18 +504,30 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int, app: str) -> tuple[dict, list
         )
         new = {k: v for k, v in _completed_stages(app).items() if k not in before}
         peak = round(_task_maxima(app, new)["peak_exec_mem"] / 2**20, 1)
-        grain_out[g] = {"status": status, "wall_s": wall, "peak_mb": peak}
-        if status != "ok":
-            problems.append(f"sf1 sweep: serving grain {g} leg not ok ({status})")
-    out["serving_grain"] = grain_out
-    lo = grain_out[50_000]["peak_mb"]
-    hi = grain_out[100_000]["peak_mb"]
-    if lo > 0 and hi > 1.3 * lo:
-        problems.append(
-            f"sf1 sweep: serving task peak grows with grain ({lo} -> {hi} MB) — "
-            "per-task state is data-proportional, not a fixed allocation"
-        )
-    return out, problems
+        return {"status": status, "wall_s": wall, "peak_mb": peak}
+
+    grain_out[50_000] = _leg(50_000)
+    if prod_rec is not None and prod_rec.get("status") == "ok":
+        grain_out[_INC_PAIRS_PER_TASK] = {
+            "status": "ok (audit leg reused)",
+            "wall_s": prod_rec["wall_s"],
+            "peak_mb": prod_rec["max_task_peak_exec_mem_mb"],
+        }
+    else:
+        grain_out[_INC_PAIRS_PER_TASK] = _leg(_INC_PAIRS_PER_TASK)
+    for g, rec in grain_out.items():
+        if not rec["status"].startswith("ok"):
+            problems.append(f"sf1 sweep: serving grain {g} leg not ok ({rec['status']})")
+    lo = grain_out[50_000]
+    hi = grain_out[_INC_PAIRS_PER_TASK]
+    if lo["status"].startswith("ok") and hi["status"].startswith("ok"):
+        if lo["peak_mb"] > 0 and hi["peak_mb"] > 1.3 * lo["peak_mb"]:
+            problems.append(
+                f"sf1 sweep: serving task peak grows with grain "
+                f"({lo['peak_mb']} -> {hi['peak_mb']} MB) — per-task state is "
+                "data-proportional, not a fixed allocation"
+            )
+    return grain_out, problems
 
 
 def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
@@ -579,8 +604,15 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             )
 
     # (b) tuning-sweep curves at sf1 (VERDICT r8 #6)
-    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs, cap_s, app)
+    out["sweeps_sf1"], sweep_problems = _sweep_curves_sf1(spark, qs, cap_s)
     violations.extend(sweep_problems)
+    # independent of the curve legs: a capped LSH/IVF sweep must not skip
+    # the serving-grain saturation check (review finding)
+    grain_out, grain_problems = _serving_grain_sweep(
+        spark, cap_s, app, out["queries"].get("z_sim_incremental")
+    )
+    out["sweeps_sf1"]["serving_grain"] = grain_out
+    violations.extend(grain_problems)
 
     out["violations"] = violations
     with open(os.path.join(REPO, "STRESS_registry.json"), "w") as f:

@@ -23,12 +23,12 @@ from d3d_etl_spark.pbp.parser import parse_pbp
 
 
 @pytest.fixture(scope="module")
-def corpus_plays(spark):
+def corpus_plays(spark, sf_dir):
     """A real multi-game corpus (not the 17-play fixture): enough rows per
     batter/event that a raw-double sum WOULD show order dependence."""
     from d3d_etl_spark.queries.domain import materialized_raw
 
-    parsed = parse_pbp(materialized_raw(spark, "/root/testdata/sf0.001"))
+    parsed = parse_pbp(materialized_raw(spark, sf_dir))
     return add_re24(parsed, expected_runs_long(parsed)).localCheckpoint()
 
 
