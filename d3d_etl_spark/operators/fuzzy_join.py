@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 # candidate set one scoring task may hold (same role as LSH_MAX_BUCKET in
 # operators/dedup.py — bounds the worst O(|block|^2) task losslessly)
 FUZZY_MAX_BLOCK = 4096
+# block-grain rows the sub-block map may hold driver-side (it is collected
+# once so the main job doesn't re-aggregate candidates in each join branch);
+# past this, keep the distributed map — correctness is identical either way
+_NSUB_DRIVER_CAP = 100_000
 
 
 def levenshtein_sim(a: Column, b: Column) -> Column:
@@ -100,9 +104,19 @@ def subblocked_pairs(
     nsub_map = candidates.groupBy(*block_keys).agg(
         F.ceil(F.count("*") / FUZZY_MAX_BLOCK).cast("int").alias("_nsub")
     )
-    n_slices = int(
-        nsub_map.agg(F.coalesce(F.sum("_nsub"), F.lit(0))).collect()[0][0]
-    )
+    # One candidates scan, not three (review finding, the _inc_probe_cand
+    # recipe): collect the block-grain map once, derive the slice count
+    # driver-side, and rejoin it as a broadcast literal — the main job no
+    # longer re-aggregates candidates under each join branch. Fuzzy blocks
+    # are domain-bounded (brand / (team, year) / team) so the map is a
+    # driver scalar; a pathological block-key cardinality falls back to
+    # the distributed map rather than a driver OOM.
+    nsub_rows = nsub_map.collect()
+    n_slices = sum(r["_nsub"] for r in nsub_rows)
+    if nsub_rows and len(nsub_rows) <= _NSUB_DRIVER_CAP:
+        nsub_map = F.broadcast(
+            probes.sparkSession.createDataFrame(nsub_rows, nsub_map.schema)
+        )
     parts = max(probes.sparkSession.sparkContext.defaultParallelism, n_slices)
     cands_s = (
         candidates.join(nsub_map, list(block_keys))

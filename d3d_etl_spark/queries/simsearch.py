@@ -681,9 +681,10 @@ _INC_NPROBE = 3
 # wall (110 -> 62 s) with the task peak unchanged at a fixed 96.4 MB
 # (bit-identical across 50k/100k/200k = saturated allocation, not data
 # state; 200k regressed wall to 127 s on straggling). The ADC path
-# expands each pair to M=8 code rows, so ITS best grain stays 50k —
-# 100k measured 144 s / 144 MB vs 97 s / 96 MB. Partitioning-only knobs:
-# the pair sets are identical, so both oracles are unaffected.
+# expands each pair to M=16 code rows (_PQ_M sub-quantizers), so ITS best
+# grain stays 50k — 100k measured 144 s / 144 MB vs 97 s / 96 MB.
+# Partitioning-only knobs: the pair sets are identical, so both oracles
+# are unaffected.
 _INC_PAIRS_PER_TASK = 100_000
 _PQ_INC_PAIRS_PER_TASK = 50_000
 # ADC-table broadcast bound (rows = |new batch| x M x ks): under the cap the
@@ -2728,17 +2729,28 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_pq_r5.py::test_pq_incremental_adc_cap).
     dt_rows = dt.count()
     if dt_rows <= _ADC_BC_ROWS:
+        # broadcast lookup leaves pair_codes' old_id partitioning intact:
+        # HashPartitioning([old_id]) satisfies the (vec_id, old_id)
+        # aggregate's clustering (subset rule), so no further exchange
         adc_joined = pair_codes.join(F.broadcast(dt), ["vec_id", "sub", "code"])
     else:
         adc_parts = max(
             spark.sparkContext.defaultParallelism,
             -(-max(dt_rows, n_pairs * _PQ_M) // _ADC_ROWS_PER_TASK),
         )
-        adc_joined = pair_codes.repartition(
-            adc_parts, "vec_id", "sub", "code"
-        ).join(
-            dt.repartition(adc_parts, "vec_id", "sub", "code").hint("shuffle_hash"),
-            ["vec_id", "sub", "code"],
+        # the (vec_id, sub, code) join partitioning does NOT satisfy the
+        # (vec_id, old_id) aggregate's clustering, so restore the
+        # count-scaled old_id layout explicitly before the groupBy — a
+        # planner-inserted exchange would run at the FIXED session
+        # shuffle-partition count, whose per-task group state grows with
+        # the corpus (review finding; the ride-one-partitioning rule)
+        adc_joined = (
+            pair_codes.repartition(adc_parts, "vec_id", "sub", "code")
+            .join(
+                dt.repartition(adc_parts, "vec_id", "sub", "code").hint("shuffle_hash"),
+                ["vec_id", "sub", "code"],
+            )
+            .repartition(score_parts, "old_id")
         )
     scored = adc_joined.groupBy("vec_id", "old_id").agg(
         F.sum("d").cast("long").alias("adist")

@@ -161,8 +161,11 @@ def _multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ev_in(evts) -> str:
-    """('A', 'B', ...) literal list for SQL IN, sorted for stability."""
-    return "(" + ", ".join(f"'{e}'" for e in sorted(evts)) + ")"
+    """('A', 'B', ...) literal list for SQL IN, sorted for stability —
+    delegates to the package's single SQL-literal renderer."""
+    from d3d_etl_spark.queries.domain import _sql_in
+
+    return _sql_in(tuple(sorted(evts)))
 
 
 def _er_re24_ctes() -> str:

@@ -329,8 +329,11 @@ def _task_maxima(app: str, stages: dict) -> dict:
 # sf1 task peaks ABOVE this get the benched tier's sf-pair flatness
 # treatment (VERDICT r8 missing #1): a tail query whose peak clears this is
 # one or two 10x steps from the 1 GiB bound if it is growing linearly, so
-# "big constant" vs "grower" must be measured, not argued
-TAIL_PAIR_MB = 96.0
+# "big constant" vs "grower" must be measured, not argued. Strictly BELOW
+# the ~96 MB fixed-profile plateau several serving shapes saturate at
+# (review finding: a peak landing exactly ON the old 96.0 threshold — the
+# highest-risk tail query — escaped the pair leg via `<=`)
+TAIL_PAIR_MB = 90.0
 # registry-tail sf-pair exemptions (same doctrine as MEM_FLAT_EXEMPT: the
 # growth is adjudicated ceiling-bounded / work-grain, with the argument).
 # The four below share ONE measured profile (round 9, /sql node metrics at
@@ -357,13 +360,14 @@ TAIL_PAIR_EXEMPT: dict[str, str] = {
 }
 
 
-def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
-    """Run one registry query to the noop sink under a wall-cap job group.
-    Returns (status, wall_s). Cancellation is detected from the EXCEPTION
-    TEXT (Spark's cancelJobGroup surfaces 'cancelled ... <group>'), never
-    inferred from elapsed time — a genuine failure at t=cap-1 must stay an
-    error, and a cancel that surfaces late must stay a wall_cap (ADVICE
-    r8 #2)."""
+def _capped(spark, group: str, cap_s: int, action):
+    """Run `action()` (any Spark job chain) under a wall-cap job group.
+    Returns (result | None, status, wall_s). Cancellation is detected from
+    the EXCEPTION TEXT (Spark's cancelJobGroup surfaces 'cancelled ...
+    <group>'), never inferred from elapsed time — a genuine failure at
+    t=cap-1 must stay an error, and a cancel that surfaces late must stay
+    a wall_cap (ADVICE r8 #2). The single home of the cancel-detection
+    predicate (review finding: it used to live in two copies)."""
     import threading
 
     sc = spark.sparkContext
@@ -372,8 +376,7 @@ def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
     timer.start()
     t0 = time.time()
     try:
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        status = "ok"
+        result, status = action(), "ok"
     except Exception as e:
         msg = str(e)
         # OUR cancel names the job group in Spark's message ("cancelled
@@ -383,35 +386,33 @@ def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
         cancelled = group in msg or (
             "cancel" in msg.lower() and "job group" in msg.lower()
         )
-        status = "wall_cap" if cancelled else f"error: {msg[:120]}"
+        result, status = None, ("wall_cap" if cancelled else f"error: {msg[:120]}")
     finally:
         timer.cancel()
         sc.setJobGroup("", "")
-    return status, round(time.time() - t0, 1)
+    return result, status, round(time.time() - t0, 1)
+
+
+def _run_capped(spark, fn, sf_dir: str, group: str, cap_s: int):
+    """One registry query to the noop sink under the wall cap ->
+    (status, wall_s)."""
+    _, status, wall = _capped(
+        spark,
+        group,
+        cap_s,
+        lambda: fn(spark, sf_dir).write.mode("overwrite").format("noop").save(),
+    )
+    return status, wall
 
 
 def _collect_capped(spark, qs: dict, name: str, cap_s: int):
     """collect() one registry query at the sf1 slice under the same
     wall-cap job group every audited run gets (a runaway sweep must record
     wall_cap, not hang the audit). Returns (rows | None, status)."""
-    import threading
-
-    sc = spark.sparkContext
-    group = f"sweep_{name}"
-    sc.setJobGroup(group, group)
-    timer = threading.Timer(cap_s, lambda g=group: sc.cancelJobGroup(g))
-    timer.start()
-    try:
-        return qs[name](spark, DST).collect(), "ok"
-    except Exception as e:
-        msg = str(e)
-        cancelled = group in msg or (
-            "cancel" in msg.lower() and "job group" in msg.lower()
-        )
-        return None, ("wall_cap" if cancelled else f"error: {msg[:120]}")
-    finally:
-        timer.cancel()
-        sc.setJobGroup("", "")
+    rows, status, _ = _capped(
+        spark, f"sweep_{name}", cap_s, lambda: qs[name](spark, DST).collect()
+    )
+    return rows, status
 
 
 def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
@@ -492,6 +493,11 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
 
     problems: list[str] = []
     grain_out: dict = {}
+    # the probe grain is DERIVED from the production grain (half), so the
+    # two legs can never collide on one dict key and vacuously compare a
+    # record with itself if the knob is ever retuned (review finding)
+    probe_grain = max(1, _INC_PAIRS_PER_TASK // 2)
+    assert probe_grain != _INC_PAIRS_PER_TASK
 
     def _leg(g: int) -> dict:
         before = set(_completed_stages(app))
@@ -506,7 +512,7 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
         peak = round(_task_maxima(app, new)["peak_exec_mem"] / 2**20, 1)
         return {"status": status, "wall_s": wall, "peak_mb": peak}
 
-    grain_out[50_000] = _leg(50_000)
+    grain_out[probe_grain] = _leg(probe_grain)
     if prod_rec is not None and prod_rec.get("status") == "ok":
         grain_out[_INC_PAIRS_PER_TASK] = {
             "status": "ok (audit leg reused)",
@@ -518,7 +524,7 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
     for g, rec in grain_out.items():
         if not rec["status"].startswith("ok"):
             problems.append(f"sf1 sweep: serving grain {g} leg not ok ({rec['status']})")
-    lo = grain_out[50_000]
+    lo = grain_out[probe_grain]
     hi = grain_out[_INC_PAIRS_PER_TASK]
     if lo["status"].startswith("ok") and hi["status"].startswith("ok"):
         if lo["peak_mb"] > 0 and hi["peak_mb"] > 1.3 * lo["peak_mb"]:
@@ -577,7 +583,7 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
 
     # (a) sf-pair flatness for the tail's top peaks (VERDICT r8 missing #1)
     for n, rec in sorted(out["queries"].items()):
-        if rec["status"] != "ok" or rec["max_task_peak_exec_mem_mb"] <= TAIL_PAIR_MB:
+        if rec["status"] != "ok" or rec["max_task_peak_exec_mem_mb"] < TAIL_PAIR_MB:
             continue
         before = set(_completed_stages(app))
         status01, wall01 = _run_capped(spark, qs[n], SRC, f"pair_{n}", cap_s)
