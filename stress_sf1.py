@@ -357,6 +357,15 @@ TAIL_PAIR_EXEMPT: dict[str, str] = {
     "z_corpus_lr_train": _PAGE_GRANULARITY,
     "z_graph_pagerank": _PAGE_GRANULARITY,
     "z_sim_pq_refine": _PAGE_GRANULARITY,
+    # caught by the round-9 TAIL_PAIR_MB tightening (90, strict <) and
+    # adjudicated with task-quantile data: the SMJ save stage reports
+    # min=med=max IDENTICAL peaks at BOTH scales (18.0 uniform @ sf0.1,
+    # 96.0 uniform @ sf1 across all 128 tasks) while per-task shuffle
+    # read is <0.05 MB — the sorter's page-acquisition quanta over KBs of
+    # data, the same allocation-granularity profile as the rows above
+    "z_join_salted": _PAGE_GRANULARITY
+    + " (SMJ sort pages; per-task shuffle bytes <0.05 MB at sf1, "
+    "min=med=max uniform at both scales)",
 }
 
 
