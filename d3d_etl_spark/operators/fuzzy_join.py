@@ -109,13 +109,23 @@ def subblocked_pairs(
     # driver-side, and rejoin it as a broadcast literal — the main job no
     # longer re-aggregates candidates under each join branch. Fuzzy blocks
     # are domain-bounded (brand / (team, year) / team) so the map is a
-    # driver scalar; a pathological block-key cardinality falls back to
-    # the distributed map rather than a driver OOM.
-    nsub_rows = nsub_map.collect()
-    n_slices = sum(r["_nsub"] for r in nsub_rows)
+    # driver scalar. The CAP GATES THE COLLECT ITSELF (ADVICE r9 #1): a
+    # limit(cap+1) probe decides first, so a pathological block-key
+    # cardinality never materializes the full map on the driver — the
+    # over-cap branch keeps the distributed map (re-aggregated per join
+    # branch, the pre-round-9 shape) and takes the slice total as a 1-row
+    # scalar aggregate.
+    nsub_rows = nsub_map.limit(_NSUB_DRIVER_CAP + 1).collect()
     if nsub_rows and len(nsub_rows) <= _NSUB_DRIVER_CAP:
+        n_slices = sum(r["_nsub"] for r in nsub_rows)
         nsub_map = F.broadcast(
             probes.sparkSession.createDataFrame(nsub_rows, nsub_map.schema)
+        )
+    else:
+        n_slices = (
+            nsub_map.agg(F.sum("_nsub").alias("s")).collect()[0]["s"] or 0
+            if nsub_rows
+            else 0
         )
     parts = max(probes.sparkSession.sparkContext.defaultParallelism, n_slices)
     cands_s = (

@@ -67,21 +67,22 @@ def guts_constants(
     # mean in IEEE — the weighted-integer form is identical on any engine
     from d3d_etl_spark.pbp.metrics import REACHING
 
+    _wnum = F.sum(
+        F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
+        * F.col("count")
+    )
+    # guarded against a zero weighted mean (ADVICE r9 #3) — same
+    # deterministic 0.0 fill as metrics.linear_weights and the oracles
     scale = (
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
         .agg(
-            (
-                F.lit(lg_obp)
-                / (
-                    F.sum(
-                        F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
-                        * F.col("count")
-                    ).cast("double")
-                    / F.sum("count")
-                    / 1e9
-                )
-            ).alias("woba_scale")
+            F.when(
+                _wnum != 0,
+                F.lit(lg_obp) / (_wnum.cast("double") / F.sum("count") / 1e9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("woba_scale")
         )
     )
     joined = (

@@ -130,18 +130,20 @@ def linear_weights(plays_with_re24: DataFrame, lg_obp: float) -> DataFrame:
     # the weighted numerator sums as exact 1e-9-scaled long·count products
     # (order-free), not raw double products
     reach = lw.where(F.col("events").isin(*REACHING))
+    _wnum = F.sum(
+        F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
+        * F.col("count")
+    )
+    # guarded: a degenerate league whose count-weighted reaching mean
+    # quantizes to exactly 0 gets a deterministic 0.0 scale, not +Infinity
+    # (ADVICE r9 #3); mirrored by the CASE guard in every oracle scale CTE
     scale = reach.groupBy("division", "year").agg(
-        (
-            F.lit(lg_obp)
-            / (
-                F.sum(
-                    F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
-                    * F.col("count")
-                ).cast("double")
-                / F.sum("count")
-                / 1e9
-            )
-        ).alias("_woba_scale")
+        F.when(
+            _wnum != 0,
+            F.lit(lg_obp) / (_wnum.cast("double") / F.sum("count") / 1e9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_woba_scale")
     )
     return (
         lw.join(F.broadcast(scale), ["division", "year"], "left")

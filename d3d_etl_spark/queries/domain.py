@@ -354,7 +354,9 @@ quant AS (
 ),
 scale AS (
   SELECT division, year,
-         {_LG_OBP} / (CAST(SUM(lwao_u * n) AS DOUBLE) / SUM(n) / 1000000.0) AS woba_scale
+         CASE WHEN SUM(lwao_u * n) != 0
+              THEN {_LG_OBP} / (CAST(SUM(lwao_u * n) AS DOUBLE) / SUM(n) / 1000000.0)
+              ELSE 0.0 END AS woba_scale
   FROM quant
   WHERE events IN {_sql_in(REACHING)}
   GROUP BY 1, 2
@@ -455,14 +457,17 @@ def domain_linear_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
         .agg(
-            (
+            F.when(
+                F.sum(F.col("lwao_u") * F.col("n")) != 0,
                 F.lit(_LG_OBP)
                 / (
                     F.sum(F.col("lwao_u") * F.col("n")).cast("double")
                     / F.sum("n")
                     / 1000000.0
-                )
-            ).alias("woba_scale")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("woba_scale")
         )
     )
     return (
@@ -679,14 +684,17 @@ def war_batting_from_parsed(parsed: DataFrame) -> DataFrame:
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
         .agg(
-            (
+            F.when(
+                F.sum(F.col("lwao_u") * F.col("n")) != 0,
                 F.lit(_LG_OBP)
                 / (
                     F.sum(F.col("lwao_u") * F.col("n")).cast("double")
                     / F.sum("n")
                     / 1000000.0
-                )
-            ).alias("woba_scale")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("woba_scale")
         )
     )
     wts = (

@@ -392,8 +392,10 @@ lw AS (
 ),
 scale AS (
   SELECT division, year,
-         0.360 / (CAST(SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) AS DOUBLE)
-                  / SUM(n) / 1e9) AS woba_scale
+         CASE WHEN SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) != 0
+              THEN 0.360 / (CAST(SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) AS DOUBLE)
+                            / SUM(n) / 1e9)
+              ELSE 0.0 END AS woba_scale
   FROM lw WHERE events IN {_in(REACHING)}
   GROUP BY 1, 2
 ),
