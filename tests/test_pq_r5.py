@@ -171,20 +171,15 @@ def test_pq_incremental_state_discipline(spark, sf_dir):
     near-total (16 subspaces make zero-collision vanishing), and the plan
     reads the old corpus's CODES parquet, with exactly one scan of the
     raw embeddings (the new batch) — the old floats are never read."""
-    from d3d_etl_spark.queries.simsearch import _INC_MOD, z_sim_pq_incremental
+    from d3d_etl_spark.queries.simsearch import serving_corpus, z_sim_pq_incremental
 
     df = z_sim_pq_incremental(spark, sf_dir)
     out = df.toPandas()
-    assert (out.vec_id % _INC_MOD == 0).all()
-    assert (out.nn_id % _INC_MOD != 0).all()
+    corp, bmod = serving_corpus(spark, sf_dir)
+    assert (out.vec_id % bmod == 0).all()
+    assert (out.nn_id % bmod != 0).all()
     # near-total coverage of the new batch
-    from d3d_etl_spark.io import load_table
-
-    n_new = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % _INC_MOD == 0)
-        .count()
-    )
+    n_new = corp.where(F.col("vec_id") % bmod == 0).count()
     assert len(out) >= 0.95 * n_new, (len(out), n_new)
     assert out.vec_id.is_unique
 

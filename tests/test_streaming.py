@@ -554,21 +554,21 @@ def test_streaming_ann_probe_matches_batch(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from d3d_etl_spark.queries.simsearch import (
-        _INC_MOD,
         _INC_NPROBE,
         ivf_index_state,
+        serving_corpus,
         z_sim_incremental,
     )
     from d3d_etl_spark.streaming.vectors import streaming_ann_probe
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    new = emb.where(F.col("vec_id") % _INC_MOD == 0).select("vec_id", "embedding")
+    corp, bmod = serving_corpus(spark, sf_dir)
+    new = corp.where(F.col("vec_id") % bmod == 0).select("vec_id", "embedding")
     staged = os.path.join(str(tmp_path), "vec_stream")
     new.write.parquet(staged)
     stream_src = spark.readStream.schema(new.schema).parquet(staged)
 
     cents, assign = ivf_index_state(spark, sf_dir)
-    old = emb.where(F.col("vec_id") % _INC_MOD != 0)
+    old = corp.where(F.col("vec_id") % bmod != 0)
 
     MIN_SIM = 0.2
     q = (
