@@ -37,6 +37,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from d3d_etl_spark import queries as qmod
@@ -81,6 +83,36 @@ def _task_mem_regressions(samples: dict, sf: float) -> list[str]:
         if cur > 32 and old > 0 and cur > 2 * old:
             regs.append(f"{name}: max task peak mem {old} -> {cur} MB (>2x)")
     return regs
+
+
+# Fixed-work calibration kernel (VERDICT r9 missing #3): two rounds have
+# burned adjudication effort proving +10% bench swings were host drift
+# (byte-identical task sidecars, idle-host re-runs). The anchor makes that
+# a data read: a constant-work Spark job — 48M-row xxhash64 + a 1024-key
+# partial-agg shuffle, zero data dependence, fully codegen — timed
+# min-of-3 alongside every bench run. Cross-round comparisons should read
+# value_calibrated (= value * _CAL_REF / calibration_sec): if raw totals
+# move but calibrated totals hold, the host moved, not the plans.
+# _CAL_REF is the round-10 idle-host anchor on the reference machine.
+_CAL_REF = 0.507  # seconds; pinned from the round-10 idle-host measurement
+
+
+def _calibration(spark) -> float:
+    """min-of-3 wall of the fixed-work kernel (noop sink, no collect)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 48_000_000, 1, 32)
+            .selectExpr("xxhash64(id) AS h")
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.count("*").alias("n"), F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -154,6 +186,7 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
+    cal = _calibration(spark)
     regressions = _task_mem_regressions(samples, sf)
     payload = {
         "metric": (
@@ -165,6 +198,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": cal,
+        "value_calibrated": round(total * _CAL_REF / cal, 3),
         "samples_file": "BENCH.json",
     }
     if regressions:  # keep the printed line compact when clean
