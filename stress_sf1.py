@@ -333,40 +333,68 @@ def _task_maxima(app: str, stages: dict) -> dict:
 # the ~96 MB fixed-profile plateau several serving shapes saturate at
 # (review finding: a peak landing exactly ON the old 96.0 threshold — the
 # highest-risk tail query — escaped the pair leg via `<=`)
+def _task_quantiles(app: str, stages: dict) -> dict:
+    """Top-memory stage's per-task min/med/max peak execution memory and
+    shuffle-read bytes — the measured basis of a tail-pair exemption
+    (uniform min=med=max = fixed page allocation; a data-sized max on one
+    task = a grower). Empty when the UI is unreachable."""
+    from d3d_etl_spark.plans import taskmetrics as tm
+
+    best: dict = {}
+    for (sid, att) in stages:
+        try:
+            q = tm.rest_get(
+                UI_PORT,
+                f"applications/{app}/stages/{sid}/{att}/taskSummary"
+                "?quantiles=0.0,0.5,1.0",
+            )
+        except Exception:
+            continue
+        peak = [int(v) for v in q.get("peakExecutionMemory", [0, 0, 0])]
+        shuf = [int(v) for v in q.get("shuffleReadMetrics", {}).get(
+            "readBytes", [0, 0, 0]
+        )]
+        if not best or peak[-1] > best["_peak_max"]:
+            mb = lambda v: round(v / 2**20, 2)  # noqa: E731
+            best = {
+                "_peak_max": peak[-1],
+                "stage": sid,
+                "peak_mem_mb": {"min": mb(peak[0]), "med": mb(peak[1]), "max": mb(peak[2])},
+                "shuffle_read_mb": {"min": mb(shuf[0]), "med": mb(shuf[1]), "max": mb(shuf[2])},
+            }
+    best.pop("_peak_max", None)
+    return best
+
+
 TAIL_PAIR_MB = 90.0
 # registry-tail sf-pair exemptions (same doctrine as MEM_FLAT_EXEMPT: the
 # growth is adjudicated ceiling-bounded / work-grain, with the argument).
-# The four below share ONE measured profile (round 9, /sql node metrics at
-# sf1): every hash-agg/sort operator in the query reports a UNIFORM
-# min=med=max ~16-24 MiB per task — the operator's fixed first-page
-# allocation, not data (per-task key counts are in the thousands, KBs of
-# real state). The stage-level task peak is the SUM of those fixed pages
-# across the 5-10 operators pipelined into one task, so the ceiling is
-# plan-structural (#operators x page granularity), corpus-independent;
-# the sf0.1 point sits below the page threshold, which is what trips the
-# ratio. A genuinely data-proportional grower shows a data-sized max on
-# ONE operator instead — that is what this table must never hide.
-_PAGE_GRANULARITY = (
-    "uniform min=med=max 16-24 MiB/operator (fixed agg/sort first-page "
-    "allocation); task peak = #pipelined operators x page, "
-    "plan-structural ceiling, per-task data state is KBs"
-)
+# The shared profile behind all six: every hash-agg/sort operator reports
+# a UNIFORM min=med=max task peak — the operator's fixed first-page
+# allocation, not data; the stage-level peak is the SUM of those fixed
+# pages across the operators pipelined into one task, so the ceiling is
+# plan-structural, corpus-independent. A genuinely data-proportional
+# grower shows a data-sized max on ONE operator instead. Since round 10
+# the EVIDENCE is not this prose: the audit captures each exempt query's
+# top-stage per-task quantiles (min/med/max peak memory + shuffle-read
+# bytes) at BOTH scales into STRESS_registry.json
+# (exempt_evidence_sf0.1/sf1, VERDICT r9 nit), and a measured sf1
+# max > EXEMPT_UNIFORMITY_FACTOR x median VOIDS the exemption as a
+# violation — the table can never hide a grower behind stale prose.
 TAIL_PAIR_EXEMPT: dict[str, str] = {
-    "set_ops": _PAGE_GRANULARITY + " (6 aggs: 3 distinct arms x partial+final)",
-    "z_corpus_lr_step": _PAGE_GRANULARITY,
-    "z_corpus_lr_train": _PAGE_GRANULARITY,
-    "z_graph_pagerank": _PAGE_GRANULARITY,
-    "z_sim_pq_refine": _PAGE_GRANULARITY,
-    # caught by the round-9 TAIL_PAIR_MB tightening (90, strict <) and
-    # adjudicated with task-quantile data: the SMJ save stage reports
-    # min=med=max IDENTICAL peaks at BOTH scales (18.0 uniform @ sf0.1,
-    # 96.0 uniform @ sf1 across all 128 tasks) while per-task shuffle
-    # read is <0.05 MB — the sorter's page-acquisition quanta over KBs of
-    # data, the same allocation-granularity profile as the rows above
-    "z_join_salted": _PAGE_GRANULARITY
-    + " (SMJ sort pages; per-task shuffle bytes <0.05 MB at sf1, "
-    "min=med=max uniform at both scales)",
+    "set_ops": "agg first-page quanta (6 aggs: 3 distinct arms x partial+final)",
+    "z_corpus_lr_step": "agg first-page quanta over KB-scale model state",
+    "z_corpus_lr_train": "agg first-page quanta over KB-scale model state",
+    "z_graph_pagerank": "agg first-page quanta over rank/degree tables",
+    "z_sim_pq_refine": "agg first-page quanta over codebook-grain tables",
+    # caught by the round-9 TAIL_PAIR_MB tightening (90, strict <):
+    # SMJ sort-page acquisition quanta over KBs of data per task
+    "z_join_salted": "SMJ sort pages; per-task shuffle bytes <0.05 MB at sf1",
 }
+# an "exempt" top stage whose sf1 max task peak exceeds this multiple of
+# its median has a data-sized outlier task, not uniform page quanta —
+# the exemption's stated basis is false and the audit fails
+EXEMPT_UNIFORMITY_FACTOR = 1.25
 
 
 def _capped(spark, group: str, cap_s: int, action):
@@ -424,6 +452,38 @@ def _collect_capped(spark, qs: dict, name: str, cap_s: int):
     return rows, status
 
 
+def _lsh_missed_pairs(spark) -> list[dict]:
+    """True near-dup pairs (exact Jaccard >= tau) the PRODUCTION (16, 4)
+    banding fails to bucket together at the sf1 slice, with their exact
+    Jaccard — the measured identity of the recall tail. Anti-join of the
+    truth set against the band candidates; the result is tail-sized
+    (measured 5 of 2560 at sf1), so the collect is bounded by the 99%
+    recall floor asserted alongside."""
+    from d3d_etl_spark.functions.text import tokens, word_shingles
+    from d3d_etl_spark.io import load_table
+    from d3d_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidates,
+        shingle_rows,
+    )
+    from d3d_etl_spark.queries.dedup import _JACCARD_T, _N_HASHES, _SHINGLE_N
+
+    docs = load_table(spark, DST, "documents")
+    sh = shingle_rows(
+        docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
+    ).localCheckpoint()
+    truth = jaccard_pairs(sh, _JACCARD_T)
+    cands = lsh_candidates(
+        lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=4)
+    )
+    missed = truth.join(cands, ["doc_a", "doc_b"], "left_anti")
+    return [
+        {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round(r["jaccard"], 6)}
+        for r in missed.collect()
+    ]
+
+
 def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     """VERDICT r8 #6: the LSH-banding and IVF-nprobe tuning curves at sf1 —
     the same knob invariants tests/test_sweeps_sf01_r8.py pins at sf0.1,
@@ -450,6 +510,35 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     # at the production knob + curve shape.
     if lsh[4]["hits"] < 0.99 * lsh[4]["n_true"]:
         problems.append(f"sf1 sweep: production banding (16,4) below 99% recall: {lsh[4]}")
+    # NAME the missed tail (VERDICT r9 next-round #6): a pair the
+    # production banding misses is NOT recovered downstream — the verify
+    # stage only filters band candidates — so the recall floor above is
+    # the near-dup flagships' contract at 10x, and this leg records WHICH
+    # pairs slipped and their exact Jaccard. The standing adjudication is
+    # that banding misses are tau-edge draws (recall of a pair at
+    # similarity s is 1-(1-s^4)^4 — ~0.39 at s=tau=0.3); a missed pair
+    # far above the edge would mean the banding itself is broken, so any
+    # miss with Jaccard >= tau + 0.1 fails the audit.
+    missed, st = _capped(
+        spark, "sweep_lsh_missed", cap_s, lambda: _lsh_missed_pairs(spark)
+    )
+    if missed is None:
+        problems.append(f"sf1 sweep lsh_missed_tail: {st}")
+    else:
+        out["lsh_missed_tail"] = missed
+        if len(missed) != lsh[4]["n_true"] - lsh[4]["hits"]:
+            problems.append(
+                f"sf1 sweep: missed-tail count {len(missed)} != "
+                f"n_true - hits = {lsh[4]['n_true'] - lsh[4]['hits']}"
+            )
+        from d3d_etl_spark.queries.dedup import _JACCARD_T
+
+        for m in missed:
+            if m["jaccard"] >= _JACCARD_T + 0.1:
+                problems.append(
+                    f"sf1 sweep: banding missed a NON-edge pair {m} "
+                    f"(jaccard >= tau + 0.1)"
+                )
     if not (lsh[2]["n_cand"] >= lsh[4]["n_cand"] >= lsh[8]["n_cand"]):
         problems.append("sf1 sweep: LSH candidate curve not monotone in band width")
     if not (lsh[2]["hits"] >= lsh[4]["hits"] >= lsh[8]["hits"]):
@@ -545,6 +634,13 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
     return grain_out, problems
 
 
+def _serving_profile(spark, sf_dir: str) -> dict:
+    """inc_serving_profile at `sf_dir` — counts only, no timing claims."""
+    from d3d_etl_spark.queries.simsearch import inc_serving_profile
+
+    return inc_serving_profile(spark, sf_dir)
+
+
 def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     """scope=registry: every NON-benched registered query once at the sf1
     slice under the absolute task bounds + a wall cap — the bound audit for
@@ -580,6 +676,8 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             "max_task_input_mb": round(mx["input_bytes"] / 2**20, 1),
             "max_task_shuffle_read_mb": round(mx["shuffle_read_bytes"] / 2**20, 1),
         }
+        if n in TAIL_PAIR_EXEMPT:
+            rec["exempt_evidence_sf1"] = _task_quantiles(app, new)
         out["queries"][n] = rec
         print(f"  {n}: {rec}", file=sys.stderr)
         for key, bound in (
@@ -590,8 +688,46 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             if mx[key] > bound:
                 violations.append(f"{n}: task {key} {mx[key]} over bound")
 
+    # COLD parse-path row for the corpus FSM (VERDICT r9 next-round #5):
+    # z_pbp_corpus_fsm's own registry leg reads the memoized parsed
+    # parquet (built by earlier domain_ legs — 0.6 s / 0.0 MB recorded, a
+    # cache read), so the FSM recompute itself had no sf1 task-bound row.
+    # This leg runs the parse chain (raw narration -> classifier -> FSM)
+    # to the noop sink BYPASSING the memo, under the same bounds.
+    def _fsm_cold(spk, d):
+        from d3d_etl_spark.pbp.parser import parse_pbp
+        from d3d_etl_spark.queries.domain import materialized_raw
+
+        return parse_pbp(materialized_raw(spk, d))
+
+    before = set(_completed_stages(app))
+    status, wall = _run_capped(spark, _fsm_cold, DST, "audit_fsm_cold", cap_s)
+    if status.startswith("error"):
+        violations.append(f"z_pbp_corpus_fsm_cold: {status}")
+    new = {k: v for k, v in _completed_stages(app).items() if k not in before}
+    mx = _task_maxima(app, new)
+    rec = {
+        "status": status,
+        "wall_s": wall,
+        "max_task_peak_exec_mem_mb": round(mx["peak_exec_mem"] / 2**20, 1),
+        "max_task_input_mb": round(mx["input_bytes"] / 2**20, 1),
+        "max_task_shuffle_read_mb": round(mx["shuffle_read_bytes"] / 2**20, 1),
+        "note": "parse path cold (memo bypassed); the registry leg above is a cache read",
+    }
+    out["queries"]["z_pbp_corpus_fsm_cold"] = rec
+    print(f"  z_pbp_corpus_fsm_cold: {rec}", file=sys.stderr)
+    for key, bound in (
+        ("peak_exec_mem", TASK_MEM_BOUND),
+        ("input_bytes", TASK_BYTES_BOUND),
+        ("shuffle_read_bytes", TASK_BYTES_BOUND),
+    ):
+        if mx[key] > bound:
+            violations.append(f"z_pbp_corpus_fsm_cold: task {key} {mx[key]} over bound")
+
     # (a) sf-pair flatness for the tail's top peaks (VERDICT r8 missing #1)
     for n, rec in sorted(out["queries"].items()):
+        if n not in qs:  # synthetic legs (the cold parse row) have no registry fn
+            continue
         if rec["status"] != "ok" or rec["max_task_peak_exec_mem_mb"] < TAIL_PAIR_MB:
             continue
         before = set(_completed_stages(app))
@@ -612,6 +748,17 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
         print(f"  pair {n}: {lo} MB @ sf0.1 -> {hi} MB @ sf1", file=sys.stderr)
         if n in TAIL_PAIR_EXEMPT:
             rec["mem_flat_exempt"] = TAIL_PAIR_EXEMPT[n]
+            rec["exempt_evidence_sf0.1"] = _task_quantiles(app, new)
+            # the exemption is SELF-AUDITING (VERDICT r9 nit): its basis
+            # is uniform per-task page allocation, so a data-sized
+            # outlier task at sf1 voids it
+            ev = rec.get("exempt_evidence_sf1") or {}
+            pm = ev.get("peak_mem_mb") or {}
+            if pm.get("med", 0) > 0 and pm["max"] > EXEMPT_UNIFORMITY_FACTOR * pm["med"]:
+                violations.append(
+                    f"{n}: exempt top stage not uniform at sf1 "
+                    f"(max {pm['max']} > {EXEMPT_UNIFORMITY_FACTOR}x med {pm['med']} MB)"
+                )
         elif lo > 0 and hi > MEM_FLAT_FLOOR_MB and hi > MEM_FLAT_FACTOR * lo:
             violations.append(
                 f"{n}: tail task peak scales with corpus "
@@ -628,6 +775,30 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     )
     out["sweeps_sf1"]["serving_grain"] = grain_out
     violations.extend(grain_problems)
+
+    # (c) scaled-K serving growth contract (VERDICT r9 missing #1/#2):
+    # candidate pairs per served vector must grow ~sqrt(10)x across the
+    # sf0.1 -> sf1 pair (Theta(nprobe * N/K), K = ceil(sqrt(N_old))), not
+    # the 10x a fixed-K index pays. 6x is the fail line: sqrt(10) ~ 3.2
+    # with headroom for cell-occupancy skew, well under linear.
+    prof = {}
+    for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        r, st = _capped(
+            spark, f"srv_prof_{tag}", cap_s,
+            lambda d=d: _serving_profile(spark, d),
+        )
+        if r is None:
+            violations.append(f"serving_scaledk profile {tag}: {st}")
+        prof[tag] = r
+    if prof.get("sf0.1") and prof.get("sf1"):
+        lo, hi = prof["sf0.1"]["cand_per_new"], prof["sf1"]["cand_per_new"]
+        prof["cand_per_new_ratio"] = round(hi / lo, 2) if lo else None
+        if lo and hi / lo > 6.0:
+            violations.append(
+                f"serving_scaledk: cand/new grew {hi / lo:.1f}x across the "
+                f"10x pair (> 6x — not the sqrt scaling the index promises)"
+            )
+    out["sweeps_sf1"]["serving_scaledk"] = prof
 
     out["violations"] = violations
     with open(os.path.join(REPO, "STRESS_registry.json"), "w") as f:
