@@ -856,10 +856,11 @@ def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
     Centroids: (label, pos, c) exact-integer-sum components over
     K = ceil(sqrt(N_old)) coarse cells LEARNED from the old serving-corpus
-    vectors alone (two hash-seeded Lloyd iterations — kmeans2_assign_emb
-    with corpus-derived k, the z_sim_ivf_scaledk doctrine; no planted
-    labels consumed); assignments: (vec_id, assigned_label, sim) from the
-    same nearest-centroid rule the steady-state query uses. The
+    vectors alone (_sample_seeded_cells: deterministic k-sample seeding +
+    Lloyd refinements — corpus-derived K per the z_sim_ivf_scaledk
+    doctrine; no planted labels consumed); assignments:
+    (vec_id, assigned_label, sim) from the same nearest-centroid rule the
+    steady-state query uses. The
     incremental oracle reads THIS persisted state, so training changes the
     index content, not the serving contract."""
     import math
@@ -3049,7 +3050,8 @@ def z_sim_ivf_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count: K = ceil(sqrt(N)) cells trained by two oracled Lloyd
     iterations, probed at nprobe = ceil(K/16 .. K/2). The constructive
     answer to the sf1 sweep finding that fixed K=8 cells under-partition
-    a growing corpus."""
+    a growing corpus — and, since round 10, the doctrine the incremental
+    serving family (ivf_index_state) actually serves with."""
     import math
 
     from d3d_etl_spark.functions.vectors import cosine
