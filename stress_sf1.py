@@ -354,6 +354,9 @@ def _task_quantiles(app: str, stages: dict) -> dict:
         shuf = [int(v) for v in q.get("shuffleReadMetrics", {}).get(
             "readBytes", [0, 0, 0]
         )]
+        inp = [int(v) for v in q.get("inputMetrics", {}).get(
+            "bytesRead", [0, 0, 0]
+        )]
         if not best or peak[-1] > best["_peak_max"]:
             mb = lambda v: round(v / 2**20, 2)  # noqa: E731
             best = {
@@ -361,6 +364,7 @@ def _task_quantiles(app: str, stages: dict) -> dict:
                 "stage": sid,
                 "peak_mem_mb": {"min": mb(peak[0]), "med": mb(peak[1]), "max": mb(peak[2])},
                 "shuffle_read_mb": {"min": mb(shuf[0]), "med": mb(shuf[1]), "max": mb(shuf[2])},
+                "input_mb": {"min": mb(inp[0]), "med": mb(inp[1]), "max": mb(inp[2])},
             }
     best.pop("_peak_max", None)
     return best
@@ -391,10 +395,14 @@ TAIL_PAIR_EXEMPT: dict[str, str] = {
     # SMJ sort-page acquisition quanta over KBs of data per task
     "z_join_salted": "SMJ sort pages; per-task shuffle bytes <0.05 MB at sf1",
 }
-# an "exempt" top stage whose sf1 max task peak exceeds this multiple of
-# its median has a data-sized outlier task, not uniform page quanta —
-# the exemption's stated basis is false and the audit fails
-EXEMPT_UNIFORMITY_FACTOR = 1.25
+# the discriminator that VOIDS an exemption: a page-quantized task holds
+# tens of MB of fixed allocation while ingesting KBs (measured: set_ops
+# max task 97.5 MB on 0.11 MB shuffled — 6 pipelined agg pages; the
+# median task touches one arm's page, so max/med is a page MULTIPLE, not
+# a data signal). A genuine grower's peak task ingests data commensurate
+# with its memory, so the gate is on the top stage's per-task max
+# shuffle-read/input bytes, never on peak-memory ratios.
+EXEMPT_DATA_MB = 8.0
 
 
 def _capped(spark, group: str, cap_s: int, action):
@@ -519,7 +527,7 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     # similarity s is 1-(1-s^4)^4 — ~0.39 at s=tau=0.3); a missed pair
     # far above the edge would mean the banding itself is broken, so any
     # miss with Jaccard >= tau + 0.1 fails the audit.
-    missed, st = _capped(
+    missed, st, _ = _capped(
         spark, "sweep_lsh_missed", cap_s, lambda: _lsh_missed_pairs(spark)
     )
     if missed is None:
@@ -657,10 +665,33 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     from d3d_etl_spark.queries.registry import REGISTRY
 
     cap_s = int(os.environ.get("SPARK_GRAFT_REGISTRY_CAP_S", "240"))
+    # Warm the persisted serving-state families at BOTH scales first and
+    # record the build walls: the registered incremental queries measure
+    # STEADY-STATE serving (in production the state persists across
+    # sessions; a cache-cold session would otherwise fold the one-time
+    # index build's task peaks into the serving rows and poison the
+    # pair-flatness and grain-saturation comparisons — observed when the
+    # round-10 family rename made the audit session cold). The build cost
+    # is recorded, never hidden.
+    from d3d_etl_spark.queries.simsearch import ivf_index_state, pq_index_state
+
+    state_build: dict = {}
+    for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        t0 = time.time()
+        ivf_index_state(spark, d)
+        pq_index_state(spark, d)
+        state_build[tag] = round(time.time() - t0, 1)
+    print(f"  serving state warm: {state_build}", file=sys.stderr)
+
     skip = {n for n, q in REGISTRY.items() if q.bench}
     # fixture queries are sf-independent planted inputs
     skip |= {n for n in REGISTRY if n.startswith("z_pbp_fixture")}
-    out: dict = {"cap_s": cap_s, "tail_pair_mb": TAIL_PAIR_MB, "queries": {}}
+    out: dict = {
+        "cap_s": cap_s,
+        "tail_pair_mb": TAIL_PAIR_MB,
+        "state_build_s": state_build,
+        "queries": {},
+    }
     violations: list[str] = []
     for n in sorted(set(REGISTRY) - skip):
         before = set(_completed_stages(app))
@@ -750,14 +781,17 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             rec["mem_flat_exempt"] = TAIL_PAIR_EXEMPT[n]
             rec["exempt_evidence_sf0.1"] = _task_quantiles(app, new)
             # the exemption is SELF-AUDITING (VERDICT r9 nit): its basis
-            # is uniform per-task page allocation, so a data-sized
-            # outlier task at sf1 voids it
+            # is fixed page allocation over KB-scale per-task data, so a
+            # top task that actually INGESTS data at memory scale voids it
             ev = rec.get("exempt_evidence_sf1") or {}
-            pm = ev.get("peak_mem_mb") or {}
-            if pm.get("med", 0) > 0 and pm["max"] > EXEMPT_UNIFORMITY_FACTOR * pm["med"]:
+            data_mb = max(
+                (ev.get("shuffle_read_mb") or {}).get("max", 0),
+                (ev.get("input_mb") or {}).get("max", 0),
+            )
+            if ev and data_mb > EXEMPT_DATA_MB:
                 violations.append(
-                    f"{n}: exempt top stage not uniform at sf1 "
-                    f"(max {pm['max']} > {EXEMPT_UNIFORMITY_FACTOR}x med {pm['med']} MB)"
+                    f"{n}: exempt top stage ingests {data_mb} MB/task at sf1 "
+                    f"(> {EXEMPT_DATA_MB}) — memory is data, not page quanta"
                 )
         elif lo > 0 and hi > MEM_FLAT_FLOOR_MB and hi > MEM_FLAT_FACTOR * lo:
             violations.append(
@@ -783,7 +817,7 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     # with headroom for cell-occupancy skew, well under linear.
     prof = {}
     for tag, d in (("sf0.1", SRC), ("sf1", DST)):
-        r, st = _capped(
+        r, st, _ = _capped(
             spark, f"srv_prof_{tag}", cap_s,
             lambda d=d: _serving_profile(spark, d),
         )
