@@ -460,13 +460,14 @@ def _collect_capped(spark, qs: dict, name: str, cap_s: int):
     return rows, status
 
 
-def _lsh_missed_pairs(spark) -> list[dict]:
-    """True near-dup pairs (exact Jaccard >= tau) the PRODUCTION (16, 4)
-    banding fails to bucket together at the sf1 slice, with their exact
-    Jaccard — the measured identity of the recall tail. Anti-join of the
-    truth set against the band candidates; the result is tail-sized
-    (measured 5 of 2560 at sf1), so the collect is bounded by the 99%
-    recall floor asserted alongside."""
+def _lsh_missed_pairs(spark) -> dict:
+    """{pairs, expected_misses}: the true near-dup pairs (exact Jaccard >=
+    tau) the PRODUCTION (16, 4) banding fails to bucket together at the
+    sf1 slice — each with its exact Jaccard and analytic miss probability
+    (1-s^r)^b — plus the S-curve's expected miss count over the WHOLE
+    truth set. Anti-join of the truth set against the band candidates;
+    the collect is tail-sized (measured 5 of 2560 at sf1), bounded by the
+    99% recall floor asserted alongside."""
     from d3d_etl_spark.functions.text import tokens, word_shingles
     from d3d_etl_spark.io import load_table
     from d3d_etl_spark.operators.dedup import (
@@ -477,19 +478,32 @@ def _lsh_missed_pairs(spark) -> list[dict]:
     )
     from d3d_etl_spark.queries.dedup import _JACCARD_T, _N_HASHES, _SHINGLE_N
 
+    rpb = 4
+    n_bands = _N_HASHES // rpb
     docs = load_table(spark, DST, "documents")
     sh = shingle_rows(
         docs, "doc_id", word_shingles(tokens(F.col("text")), _SHINGLE_N)
     ).localCheckpoint()
-    truth = jaccard_pairs(sh, _JACCARD_T)
+    truth = jaccard_pairs(sh, _JACCARD_T).localCheckpoint()
+    e_miss = truth.agg(
+        F.sum(F.pow(1 - F.pow("jaccard", rpb), n_bands)).alias("e")
+    ).collect()[0]["e"]
     cands = lsh_candidates(
-        lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=4)
+        lsh_band_keys(shingle_df=sh, n_hashes=_N_HASHES, rows_per_band=rpb)
     )
     missed = truth.join(cands, ["doc_a", "doc_b"], "left_anti")
-    return [
-        {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "jaccard": round(r["jaccard"], 6)}
-        for r in missed.collect()
-    ]
+    return {
+        "expected_misses": round(float(e_miss or 0.0), 2),
+        "pairs": [
+            {
+                "doc_a": r["doc_a"],
+                "doc_b": r["doc_b"],
+                "jaccard": round(r["jaccard"], 6),
+                "miss_prob": round((1 - r["jaccard"] ** rpb) ** n_bands, 6),
+            }
+            for r in missed.collect()
+        ],
+    }
 
 
 def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
@@ -522,11 +536,18 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     # production banding misses is NOT recovered downstream — the verify
     # stage only filters band candidates — so the recall floor above is
     # the near-dup flagships' contract at 10x, and this leg records WHICH
-    # pairs slipped and their exact Jaccard. The standing adjudication is
-    # that banding misses are tau-edge draws (recall of a pair at
-    # similarity s is 1-(1-s^4)^4 — ~0.39 at s=tau=0.3); a missed pair
-    # far above the edge would mean the banding itself is broken, so any
-    # miss with Jaccard >= tau + 0.1 fails the audit.
+    # pairs slipped, their exact Jaccard, and the ANALYTIC miss
+    # probability. The round-9 prose adjudication ("one tau-edge pair's
+    # draw") was FALSIFIED the first time this leg ran: the corpus has
+    # ZERO truth pairs below j=0.5, and the misses sit at j=0.8-0.91 —
+    # exactly where the (b=4, r=4) S-curve says they should
+    # (P(miss) = (1-s^4)^4 = 12% at s=0.8, ~1% at s=0.91; measured
+    # expected_misses 4.38 vs 5 observed at sf1). The contract is
+    # S-curve CONSISTENCY, not an edge heuristic: (a) the observed miss
+    # count stays within 2.5x the analytic expectation (+3 absolute
+    # slack for a small count), and (b) no individual miss has analytic
+    # probability under 1e-3 — a near-certain pair (j >= ~0.97) slipping
+    # the gate is a bucketing BUG, not a draw.
     missed, st, _ = _capped(
         spark, "sweep_lsh_missed", cap_s, lambda: _lsh_missed_pairs(spark)
     )
@@ -534,18 +555,23 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
         problems.append(f"sf1 sweep lsh_missed_tail: {st}")
     else:
         out["lsh_missed_tail"] = missed
-        if len(missed) != lsh[4]["n_true"] - lsh[4]["hits"]:
+        pairs = missed["pairs"]
+        if len(pairs) != lsh[4]["n_true"] - lsh[4]["hits"]:
             problems.append(
-                f"sf1 sweep: missed-tail count {len(missed)} != "
+                f"sf1 sweep: missed-tail count {len(pairs)} != "
                 f"n_true - hits = {lsh[4]['n_true'] - lsh[4]['hits']}"
             )
-        from d3d_etl_spark.queries.dedup import _JACCARD_T
-
-        for m in missed:
-            if m["jaccard"] >= _JACCARD_T + 0.1:
+        if len(pairs) > 2.5 * missed["expected_misses"] + 3:
+            problems.append(
+                f"sf1 sweep: {len(pairs)} banding misses vs analytic "
+                f"expectation {missed['expected_misses']} — above the "
+                "S-curve, not drawn from it"
+            )
+        for m in pairs:
+            if m["miss_prob"] < 1e-3:
                 problems.append(
-                    f"sf1 sweep: banding missed a NON-edge pair {m} "
-                    f"(jaccard >= tau + 0.1)"
+                    f"sf1 sweep: banding missed a near-certain pair {m} "
+                    "(analytic miss probability < 1e-3 — bucketing bug)"
                 )
     if not (lsh[2]["n_cand"] >= lsh[4]["n_cand"] >= lsh[8]["n_cand"]):
         problems.append("sf1 sweep: LSH candidate curve not monotone in band width")
