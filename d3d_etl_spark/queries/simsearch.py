@@ -2826,8 +2826,7 @@ def pq_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 # audit measured a 3.5 GiB task and a timeout at sf1 before this change).
 # The cell gate bounds candidates at nprobe x cell occupancy, and the ADC
 # half still never reads an old float.
-_PQ_INC_ORACLE = f"""
-WITH {_INC_PROBE_CTES},
+_PQ_INC_CTES = f"""{_INC_PROBE_CTES},
 cb AS (SELECT sub, code, pos, c_q FROM read_parquet('{_PQ_CB_GLOB}')),
 oldc AS (SELECT vec_id AS old_id, sub, code FROM read_parquet('{_PQ_CODES_GLOB}')),
 newe AS (
@@ -2850,6 +2849,10 @@ scored AS (
   JOIN dt ON dt.vec_id = c.vec_id AND dt.sub = o.sub AND dt.code = o.code
   GROUP BY 1, 2
 )
+"""
+
+_PQ_INC_ORACLE = f"""
+WITH {_PQ_INC_CTES}
 SELECT vec_id, old_id AS nn_id, adist FROM (
   SELECT vec_id, old_id, adist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adist, old_id) AS rn
@@ -2857,24 +2860,62 @@ SELECT vec_id, old_id AS nn_id, adist FROM (
 ) WHERE rn = 1
 """
 
+# ADC shortlist size for the refine arm — R = ks, one slot per code
+# level: within a probed cell, ADC cannot rank finer than code
+# granularity (in-cluster members share codes and tie), so the shortlist
+# must be wide enough to carry the tie set into the exact re-rank.
+# Measured exact-recall@1 at sf0.01: R=8 -> 99/125, R=16 -> 110/125,
+# R=32 -> 116/125 (the exact arm's 125/125 is the ceiling — candidates
+# always contain the true NN); R=16 is the knee, and the refine fetch
+# stays |new| x R floats — corpus-independent.
+_PQ_RERANK_R = 16
 
-@register("z_sim_pq_incremental", _PQ_INC_ORACLE, tags=("similarity", "incremental"))
-def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest indexed neighbor (by exact-integer ADC over stored codes)
-    for each new-batch vector — the FAISS IVFADC serving recipe over TWO
-    persisted states: the coarse-cell index gates candidates (probe
-    nprobe cells, fetch their members), the PQ codes score them (per-new
-    ADC table, M integer adds per candidate) — old floats never read.
-    Beyond-reference LLM-pipeline operator (compressed-index maintenance
-    + serving).
+_PQ_RERANK_ORACLE = f"""
+WITH {_PQ_INC_CTES},
+short AS (
+  SELECT vec_id, old_id FROM (
+    SELECT vec_id, old_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adist, old_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_PQ_RERANK_R}
+),
+soldv AS (
+  SELECT c.vec_id AS old_id, c.x AS y, c.pos
+  FROM cemb c CROSS JOIN srvp s
+  WHERE c.vec_id % s.bmod != 0
+    AND c.vec_id IN (SELECT old_id FROM short)
+),
+rnorm AS (SELECT vec_id, SUM(x * x) AS nx2 FROM newv GROUP BY 1),
+ronorm AS (SELECT old_id, SUM(y * y) AS ny2 FROM soldv GROUP BY 1),
+rdots AS (
+  SELECT sh.vec_id, sh.old_id, SUM(n.x * o.y) AS dot
+  FROM short sh
+  JOIN newv n ON n.vec_id = sh.vec_id
+  JOIN soldv o ON o.old_id = sh.old_id AND o.pos = n.pos
+  GROUP BY 1, 2
+),
+rsims AS (
+  SELECT d.vec_id, d.old_id,
+         ROUND(d.dot / (SQRT(nn.nx2) * SQRT(oo.ny2)), 6) AS sim
+  FROM rdots d
+  JOIN rnorm nn ON d.vec_id = nn.vec_id
+  JOIN ronorm oo ON d.old_id = oo.old_id
+)
+SELECT vec_id, old_id AS nn_id, sim AS nn_sim FROM (
+  SELECT vec_id, old_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, old_id) AS rn
+  FROM rsims
+) WHERE rn = 1
+"""
 
-    Round-8 registry audit: the previous candidate rule ("shares ANY code
-    with the new vector's encoding") admits ~1-(15/16)^M of the ENTIRE
-    old corpus at ks=16 — all-pairs-grade, measured as a 3.5 GiB task +
-    timeout at sf1. The cell gate bounds candidates at nprobe x cell
-    occupancy and shares its definition (engine helper + oracle CTEs)
-    with z_sim_incremental."""
-    from pyspark.sql import Window
+
+def _pq_inc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, old_id, adist): the IVFADC candidate scores — cell-gated
+    candidates x exact-integer ADC over stored codes — shared by the pure
+    ADC serving arm (z_sim_pq_incremental) and the exact-refine arm
+    (z_sim_pq_rerank). The engine twin of the _PQ_INC_CTES `scored`
+    table."""
+    from pyspark.sql import Window  # noqa: F401 (parity with callers)
 
     from d3d_etl_spark.operators.pq import pq_subspace_comps
 
@@ -2951,14 +2992,91 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .repartition(score_parts, "old_id")
         )
-    scored = adc_joined.groupBy("vec_id", "old_id").agg(
+    return adc_joined.groupBy("vec_id", "old_id").agg(
         F.sum("d").cast("long").alias("adist")
     )
+
+
+@register("z_sim_pq_incremental", _PQ_INC_ORACLE, tags=("similarity", "incremental"))
+def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest indexed neighbor (by exact-integer ADC over stored codes)
+    for each new-batch vector — the FAISS IVFADC serving recipe over TWO
+    persisted states: the coarse-cell index gates candidates (probe
+    nprobe cells, fetch their members), the PQ codes score them (per-new
+    ADC table, M integer adds per candidate) — old floats never read.
+    Beyond-reference LLM-pipeline operator (compressed-index maintenance
+    + serving).
+
+    Round-8 registry audit: the previous candidate rule ("shares ANY code
+    with the new vector's encoding") admits ~1-(15/16)^M of the ENTIRE
+    old corpus at ks=16 — all-pairs-grade, measured as a 3.5 GiB task +
+    timeout at sf1. The cell gate bounds candidates at nprobe x cell
+    occupancy and shares its definition (engine helper + oracle CTEs)
+    with z_sim_incremental."""
+    from pyspark.sql import Window
+
+    scored = _pq_inc_scored(spark, sf_dir)
     w_top = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w_top))
         .where("rn = 1")
         .select("vec_id", F.col("old_id").alias("nn_id"), "adist")
+    )
+
+
+@register("z_sim_pq_rerank", _PQ_RERANK_ORACLE, tags=("similarity", "incremental"))
+def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + REFINE (round 10): the ADC arm's top-R shortlist re-ranked
+    by exact cosine — FAISS's IndexRefine recipe, the standard answer to
+    PQ quantization aliasing (ks=16 codes per subspace < G planted
+    neighborhoods makes aliased clusters TIE in ADC; the ADC arm's
+    in-true-cluster rate is pinned at its honest 0.6-0.7 level in
+    tests/test_serving_scaledk_r10.py, this arm recovers exact-arm
+    quality). Old floats are read ONLY for the R-per-new shortlist — a
+    selective semi-join fetch exactly like z_sim_incremental's, but over
+    |new| x R rows instead of the full candidate set, so the refine cost
+    is corpus-independent. Shares the scored chain (engine helper +
+    oracle CTEs) with the ADC arm — the two arms can never drift on WHO
+    is scored."""
+    from pyspark.sql import Window
+
+    from d3d_etl_spark.functions.vectors import cosine
+
+    corp, bmod = serving_corpus(spark, sf_dir)
+    scored = _pq_inc_scored(spark, sf_dir)
+    w_adc = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _PQ_RERANK_R)
+        .select("vec_id", "old_id")
+        .localCheckpoint()  # |new| x R rows — batch-grain, reused twice
+    )
+    new_vecs = corp.where(F.col("vec_id") % bmod == 0).select(
+        "vec_id", F.col("embedding").alias("xv")
+    )
+    old_vecs = (
+        corp.where(F.col("vec_id") % bmod != 0)
+        .join(
+            short.select(F.col("old_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_semi",
+        )
+        .select(F.col("vec_id").alias("old_id"), F.col("embedding").alias("yv"))
+    )
+    sims = (
+        short.join(new_vecs.hint("shuffle_hash"), "vec_id")
+        .join(old_vecs.hint("shuffle_hash"), "old_id")
+        .select(
+            "vec_id",
+            "old_id",
+            F.round(cosine(F.col("xv"), F.col("yv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("vec_id", F.col("old_id").alias("nn_id"), F.col("sim").alias("nn_sim"))
     )
 
 
