@@ -1109,10 +1109,12 @@ def z_sim_incremental(
         .select("vec_id", F.col("embedding").alias("xv"))
     )
     # selective fetch: only candidate old vectors are ever read back
+    # (the candidate-id set is the semi join's build side — pair-bounded,
+    # and the hint keeps the planner off a sorting SMJ)
     old_vecs = (
         corp.where(F.col("vec_id") % bmod != 0)
         .join(
-            cand.select(F.col("old_id").alias("vec_id")).distinct(),
+            cand.select(F.col("old_id").alias("vec_id")).distinct().hint("shuffle_hash"),
             "vec_id",
             "left_semi",
         )
@@ -1132,7 +1134,10 @@ def z_sim_incremental(
     sw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
     top1 = sims.withColumn("rn", F.row_number().over(sw)).where("rn = 1")
     return (
-        top1.join(probe.where(F.col("rn") == 1).select("vec_id", "label"), "vec_id")
+        top1.join(
+            probe.where(F.col("rn") == 1).select("vec_id", "label").hint("shuffle_hash"),
+            "vec_id",
+        )
         .select(
             "vec_id",
             F.col("label").alias("assigned_label"),
@@ -3057,7 +3062,7 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_vecs = (
         corp.where(F.col("vec_id") % bmod != 0)
         .join(
-            short.select(F.col("old_id").alias("vec_id")).distinct(),
+            short.select(F.col("old_id").alias("vec_id")).distinct().hint("shuffle_hash"),
             "vec_id",
             "left_semi",
         )

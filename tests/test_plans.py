@@ -373,6 +373,8 @@ def test_round5_queries_no_shuffling_sortmerge(spark, sf_dir):
         "z_io_zorder",
         "z_graph_pagerank",
         "z_sim_pq_incremental",
+        "z_sim_incremental",
+        "z_sim_pq_rerank",
         "z_corpus_dsir_threshold",
         "z_sim_contrastive_ann",
         "z_io_zorder_read",
