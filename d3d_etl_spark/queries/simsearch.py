@@ -1078,7 +1078,9 @@ def _inc_probe_cand(
     return probe, cand
 
 
-@register("z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"))
+@register(
+    "z_sim_incremental", _INC_ORACLE, tags=("similarity", "incremental"), bench=True
+)
 def z_sim_incremental(
     spark: SparkSession, sf_dir: str, pairs_per_task: int = _INC_PAIRS_PER_TASK
 ) -> DataFrame:
@@ -3029,7 +3031,9 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("z_sim_pq_rerank", _PQ_RERANK_ORACLE, tags=("similarity", "incremental"))
+@register(
+    "z_sim_pq_rerank", _PQ_RERANK_ORACLE, tags=("similarity", "incremental"), bench=True
+)
 def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC + REFINE (round 10): the ADC arm's top-R shortlist re-ranked
     by exact cosine — FAISS's IndexRefine recipe, the standard answer to
