@@ -155,6 +155,16 @@ def main() -> None:
         _identity, "id long"
     ).count()
 
+    # warm the persisted serving-state families (the benched incremental
+    # arms measure STEADY-STATE serving; a cache-cold checkout would
+    # otherwise fold the one-time index build into run 1's wall AND into
+    # the max_task stage window, poisoning the cross-round regression
+    # guard — the same fix run_registry_audit got this round)
+    from d3d_etl_spark.queries.simsearch import ivf_index_state, pq_index_state
+
+    ivf_index_state(spark, sf_dir)
+    pq_index_state(spark, sf_dir)
+
     timings: dict[str, float] = {}
     samples: dict[str, dict] = {}
     # Three timed executions per query, report the min: run 1 carries

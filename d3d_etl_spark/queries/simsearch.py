@@ -2916,17 +2916,23 @@ SELECT vec_id, old_id AS nn_id, sim AS nn_sim FROM (
 """
 
 
-def _pq_inc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_inc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    corp: DataFrame | None = None,
+    bmod: int | None = None,
+) -> DataFrame:
     """(vec_id, old_id, adist): the IVFADC candidate scores — cell-gated
     candidates x exact-integer ADC over stored codes — shared by the pure
     ADC serving arm (z_sim_pq_incremental) and the exact-refine arm
     (z_sim_pq_rerank). The engine twin of the _PQ_INC_CTES `scored`
-    table."""
-    from pyspark.sql import Window  # noqa: F401 (parity with callers)
-
+    table. Callers that already derived the serving corpus pass
+    (corp, bmod) so the count job and derivation lineage aren't planned
+    twice (review finding)."""
     from d3d_etl_spark.operators.pq import pq_subspace_comps
 
-    corp, bmod = serving_corpus(spark, sf_dir)
+    if corp is None or bmod is None:
+        corp, bmod = serving_corpus(spark, sf_dir)
     cb, old_codes = pq_index_state(spark, sf_dir)
     old_codes = old_codes.select(F.col("vec_id").alias("old_id"), "sub", "code")
     cents, assign = ivf_index_state(spark, sf_dir)
@@ -3052,7 +3058,7 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.vectors import cosine
 
     corp, bmod = serving_corpus(spark, sf_dir)
-    scored = _pq_inc_scored(spark, sf_dir)
+    scored = _pq_inc_scored(spark, sf_dir, corp, bmod)
     w_adc = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
     short = (
         scored.withColumn("rn", F.row_number().over(w_adc))

@@ -382,9 +382,12 @@ TAIL_PAIR_MB = 90.0
 # the EVIDENCE is not this prose: the audit captures each exempt query's
 # top-stage per-task quantiles (min/med/max peak memory + shuffle-read
 # bytes) at BOTH scales into STRESS_registry.json
-# (exempt_evidence_sf0.1/sf1, VERDICT r9 nit), and a measured sf1
-# max > EXEMPT_UNIFORMITY_FACTOR x median VOIDS the exemption as a
-# violation — the table can never hide a grower behind stale prose.
+# (exempt_evidence_sf0.1/sf1, VERDICT r9 nit), and an exempt top stage
+# whose max task actually INGESTS data at memory scale (shuffle/input
+# > EXEMPT_DATA_MB) is VOIDED as a violation — the table can never hide
+# a grower behind stale prose. (Peak-memory max/median is NOT the gate:
+# measured set_ops shows max/med = 97.5/17.5 MB as a pipelined-page
+# MULTIPLE — 6 agg pages vs 1 — on 0.11 MB of data.)
 TAIL_PAIR_EXEMPT: dict[str, str] = {
     "set_ops": "agg first-page quanta (6 aggs: 3 distinct arms x partial+final)",
     "z_corpus_lr_step": "agg first-page quanta over KB-scale model state",
@@ -603,7 +606,7 @@ def _sweep_curves_sf1(spark, qs: dict, cap_s: int) -> tuple[dict, list[str]]:
     return out, problems
 
 
-def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> tuple[dict, list[str]]:
+def _serving_grain_sweep(spark, cap_s: int, app: str) -> tuple[dict, list[str]]:
     """(round 9) serving-grain saturation sweep: the incremental-serving
     task peak must be a FIXED allocation — grain-independent at and above
     the production pairs-per-task knob (measured bit-identical 96.4 MB
@@ -616,11 +619,11 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
 
     Runs from run_registry_audit INDEPENDENTLY of the tuning-curve legs
     (a capped LSH/IVF sweep must not skip this check — review finding).
-    `prod_rec` is the audit loop's own z_sim_incremental row: when it is
-    ok it already measured the production (100k) grain at DST in this
-    session, so only the 50k leg runs — no duplicate sf1 run. The ratio
-    is asserted only when BOTH legs are ok (a wall-capped leg records a
-    partial peak; adjudicating on it would be misleading either way)."""
+    z_sim_incremental is bench-tagged since round 10 (so the registry
+    loop no longer measures it), and the sweep runs BOTH grain legs
+    itself. The ratio is asserted only when BOTH legs are ok (a
+    wall-capped leg records a partial peak; adjudicating on it would be
+    misleading either way)."""
     from d3d_etl_spark.queries.simsearch import _INC_PAIRS_PER_TASK, z_sim_incremental
 
     problems: list[str] = []
@@ -645,14 +648,7 @@ def _serving_grain_sweep(spark, cap_s: int, app: str, prod_rec: dict | None) -> 
         return {"status": status, "wall_s": wall, "peak_mb": peak}
 
     grain_out[probe_grain] = _leg(probe_grain)
-    if prod_rec is not None and prod_rec.get("status") == "ok":
-        grain_out[_INC_PAIRS_PER_TASK] = {
-            "status": "ok (audit leg reused)",
-            "wall_s": prod_rec["wall_s"],
-            "peak_mb": prod_rec["max_task_peak_exec_mem_mb"],
-        }
-    else:
-        grain_out[_INC_PAIRS_PER_TASK] = _leg(_INC_PAIRS_PER_TASK)
+    grain_out[_INC_PAIRS_PER_TASK] = _leg(_INC_PAIRS_PER_TASK)
     for g, rec in grain_out.items():
         if not rec["status"].startswith("ok"):
             problems.append(f"sf1 sweep: serving grain {g} leg not ok ({rec['status']})")
@@ -830,9 +826,7 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     violations.extend(sweep_problems)
     # independent of the curve legs: a capped LSH/IVF sweep must not skip
     # the serving-grain saturation check (review finding)
-    grain_out, grain_problems = _serving_grain_sweep(
-        spark, cap_s, app, out["queries"].get("z_sim_incremental")
-    )
+    grain_out, grain_problems = _serving_grain_sweep(spark, cap_s, app)
     out["sweeps_sf1"]["serving_grain"] = grain_out
     violations.extend(grain_problems)
 
