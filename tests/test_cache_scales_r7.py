@@ -22,7 +22,7 @@ def test_resolve_cache_globs_rewrites_every_family():
         "FROM read_parquet('/x/.domain_cache/parsed_pbp_*/*.parquet') a "
         "JOIN read_parquet('/x/.domain_cache/lsh_bands_*/*.parquet') b "
         "JOIN read_parquet('/x/.domain_cache/ivf_cents_s_*/*.parquet') c "
-        "JOIN read_parquet('/x/.domain_cache/pq_codes_s_*/*.parquet') d "
+        "JOIN read_parquet('/x/.domain_cache/pq_codes_r_*/*.parquet') d "
         "JOIN read_parquet('/x/.domain_cache/bucketed_spine_*/*.parquet') e"
     )
     out = resolve_cache_globs(sql, "/root/testdata/sf0.01")
@@ -30,7 +30,7 @@ def test_resolve_cache_globs_rewrites_every_family():
     assert "bucketed_spine_30/" in out
     assert "lsh_bands_0p01/" in out
     assert "ivf_cents_s_0p01/" in out
-    assert "pq_codes_s_0p01/" in out
+    assert "pq_codes_r_0p01/" in out
     assert "_*/" not in out  # nothing left ambiguous
     # a different scale resolves differently (side-by-side is meaningful)
     assert "parsed_pbp_300/" in resolve_cache_globs(sql, "/root/testdata/sf0.1")
