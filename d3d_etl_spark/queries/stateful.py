@@ -395,7 +395,7 @@ scale AS (
          CASE WHEN SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) != 0
               THEN 0.360 / (CAST(SUM(CAST(ROUND(lwao * 1000000000) AS BIGINT) * n) AS DOUBLE)
                             / SUM(n) / 1e9)
-              ELSE 0.0 END AS woba_scale
+              ELSE NULL END AS woba_scale
   FROM lw WHERE events IN {_in(REACHING)}
   GROUP BY 1, 2
 ),
