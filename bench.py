@@ -85,23 +85,53 @@ def _task_mem_regressions(samples: dict, sf: float) -> list[str]:
     return regs
 
 
-# Fixed-work calibration kernel (VERDICT r9 missing #3): two rounds have
-# burned adjudication effort proving +10% bench swings were host drift
-# (byte-identical task sidecars, idle-host re-runs). The anchor makes that
-# a data read: a constant-work Spark job — 48M-row xxhash64 + a 1024-key
-# partial-agg shuffle, zero data dependence, fully codegen — timed
+# Fixed-work calibration kernels (VERDICT r9 missing #3; split into TWO
+# profiles per VERDICT r10 next #6): two rounds have burned adjudication
+# effort proving +10% bench swings were host drift (byte-identical task
+# sidecars, idle-host re-runs). The anchors make that a data read:
+# constant-work Spark jobs, zero data dependence, fully codegen, timed
 # min-of-3 alongside every bench run. Cross-round comparisons should read
 # value_calibrated (= value * _CAL_REF / calibration_sec): if raw totals
 # move but calibrated totals hold, the host moved, not the plans.
-# _CAL_REF is the round-10 idle-host anchor on the reference machine.
+# A single shuffle-heavy kernel is shape-biased — a host change that hits
+# only shuffle I/O (disk, page cache) would mis-normalize CPU-bound
+# queries — so two kernels are timed and both published:
+#   calibration_sec      48M-row xxhash64 + 1024-key partial-agg SHUFFLE
+#   calibration_cpu_sec  192M-row xxhash64 fold into ONE global sum — no
+#                        exchange beyond the single final row (pure
+#                        whole-stage-codegen CPU)
+# Cross-round reads should normalize a regressed query by whichever
+# kernel matches its profile (shuffle-bound vs CPU-bound per its
+# max_task sidecar). value_calibrated stays on the shuffle kernel (the
+# round-10 series' contract).
 _CAL_REF = 0.507  # seconds; pinned from the round-10 idle-host measurement
+# round-11 anchor for the CPU kernel; measured min-of-6 on the round-11
+# build host while its shuffle kernel read 0.78-0.87 s (i.e. a ~1.5x-slow
+# host vs the 0.507 reference) — CPU-kernel host sensitivity is visibly
+# smaller than the shuffle kernel's, which is exactly why both exist
+_CAL_CPU_REF = 0.342  # seconds
+
+# a degenerate calibration read (near-0 from a broken noop path, or a
+# partially-warm JVM inflating it) must not silently rescale the headline
+# (ADVICE r10 #3): outside this band the calibrated value is omitted and
+# the anomaly is published instead
+_CAL_SANE = (0.05, 10.0)
 
 
-def _calibration(spark) -> float:
-    """min-of-3 wall of the fixed-work kernel (noop sink, no collect)."""
+def _min3(job) -> float:
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def _calibration(spark) -> tuple[float, float]:
+    """(shuffle_sec, cpu_sec): min-of-3 walls of the two fixed-work
+    kernels (noop sink, no collect)."""
+
+    def shuffle_kernel():
         (
             spark.range(0, 48_000_000, 1, 32)
             .selectExpr("xxhash64(id) AS h")
@@ -111,8 +141,18 @@ def _calibration(spark) -> float:
             .format("noop")
             .save()
         )
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+
+    def cpu_kernel():
+        (
+            spark.range(0, 192_000_000, 1, 32)
+            .selectExpr("xxhash64(id) AS h")
+            .agg(F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    return _min3(shuffle_kernel), _min3(cpu_kernel)
 
 
 def main() -> None:
@@ -196,7 +236,7 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 3)
-    cal = _calibration(spark)
+    cal, cal_cpu = _calibration(spark)
     regressions = _task_mem_regressions(samples, sf)
     payload = {
         "metric": (
@@ -204,14 +244,22 @@ def main() -> None:
             "(joins/aggs/windows/dedup/simsearch/text), noop sink, "
             "steady-state (min of 3 runs per query)"
         ),
-        "value": total,
+        "value": total,  # the PRIMARY metric; calibrated values are
+        # host-relative normalizations for cross-round reads
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "calibration_sec": cal,
-        "value_calibrated": round(total * _CAL_REF / cal, 3),
+        "calibration_cpu_sec": cal_cpu,
         "samples_file": "BENCH.json",
     }
+    if _CAL_SANE[0] < cal < _CAL_SANE[1]:
+        payload["value_calibrated"] = round(total * _CAL_REF / cal, 3)
+    else:
+        payload["calibration_anomaly"] = (
+            f"shuffle kernel {cal}s outside sane band {_CAL_SANE} — "
+            "value_calibrated omitted; read the raw value"
+        )
     if regressions:  # keep the printed line compact when clean
         payload["task_mem_regressions"] = regressions
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
