@@ -97,16 +97,30 @@ def pq_codebooks(
 
 
 def pq_encode_comps(
-    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id",
+    enc_parts: int | None = None,
 ) -> DataFrame:
     """(id, sub, code, dist) from an (id, sub, pos, xs) component table:
     nearest sub-centroid per subspace by exact integer squared-L2,
     tie-break code asc. The codebook is broadcast; per-vector work is ks
-    candidate sums per subspace."""
+    candidate sums per subspace.
+
+    `enc_parts`: optional count-scaled partition count for the candidate
+    (id, sub, code) table. The encode chain's agg + argmin-window
+    otherwise exchange at the FIXED session shuffle-partition count, so
+    per-task agg/sort state grows linearly with the corpus (the round-10
+    registry audit measured z_sim_pq_refine's top task 49 -> 164 MB
+    across the 10x pair). A user repartition on (id, sub) satisfies BOTH
+    the aggregate's and the window's clustering (subset rule), so one
+    exchange serves the whole chain and per-task state is vectors-per-
+    task-bounded. Partitioning-only — results identical."""
     from pyspark.sql import Window
 
+    fan = comps.join(F.broadcast(codebooks), ["sub", "pos"])
+    if enc_parts:
+        fan = fan.repartition(enc_parts, id_col, "sub")
     d = (
-        comps.join(F.broadcast(codebooks), ["sub", "pos"])
+        fan
         .groupBy(id_col, "sub", "code")
         .agg(
             F.sum(
@@ -114,11 +128,21 @@ def pq_encode_comps(
             ).alias("dist")
         )
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("dist"), F.asc("code"))
+    # argmin as a HASH AGGREGATE, not a row_number window: min_by over the
+    # total order (dist, code) picks exactly the window's (dist asc, code
+    # asc) first row — same result, deterministic (code is unique within
+    # the group, so the struct order has no ties) — but the plan swaps the
+    # window's per-task SORT for dimension-bounded hash-agg state, and a
+    # hash partitioning on (id, sub) from either the d agg above (subset
+    # rule) or the caller's enc_parts repartition satisfies its
+    # clustering, so no further exchange. The window form's sort pages
+    # were the round-10 registry audit's 49 -> 164 MB task-peak grower on
+    # z_sim_pq_refine.
+    best = F.min_by(F.struct("code", "dist"), F.struct("dist", "code")).alias("_b")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(id_col, "sub", "code", "dist")
+        d.groupBy(id_col, "sub")
+        .agg(best)
+        .select(id_col, "sub", F.col("_b.code").alias("code"), F.col("_b.dist").alias("dist"))
     )
 
 
@@ -137,7 +161,8 @@ def pq_encode(
 
 
 def pq_refine_step(
-    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+    comps: DataFrame, codebooks: DataFrame, id_col: str = "vec_id",
+    enc_parts: int | None = None, assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One Lloyd iteration of the PQ codebooks: re-assign every vector to
     its nearest sub-centroid (pq_encode_comps), then re-mean each
@@ -148,9 +173,20 @@ def pq_refine_step(
     the encode path argmins over present codes only. One shuffle per
     iteration (the (id, sub, code) re-assignment agg); the re-mean output
     stays M*ks*dsub-row dimension-sized."""
-    assigned = pq_encode_comps(comps, codebooks, id_col).select(id_col, "sub", "code")
+    # `assigned`: a caller that already materialized this iteration's
+    # encode (e.g. for an error readout) passes it so the step re-means
+    # WITHOUT re-encoding — halves the work and keeps the stage from
+    # pipelining two full encode chains' agg state into one task
+    if assigned is None:
+        assigned = pq_encode_comps(comps, codebooks, id_col, enc_parts=enc_parts)
+    assigned = assigned.select(id_col, "sub", "code")
     return (
-        comps.join(assigned, [id_col, "sub"])
+        # shuffle-hash, never SMJ: both sides are corpus-grain (comps
+        # n*dim rows, assigned n*m rows off a checkpoint whose stats
+        # Catalyst can't see) and an SMJ's per-task sort pages were the
+        # last 95 MB of z_sim_pq_refine's audited task peak; the build
+        # side (assigned) is the narrower table
+        comps.join(assigned.hint("shuffle_hash"), [id_col, "sub"])
         .groupBy("sub", "code", "pos")
         .agg(F.round(F.sum("xs") / F.count("*")).cast("long").alias("c_q"))
     )
