@@ -1092,8 +1092,6 @@ def z_sim_incremental(
     `pairs_per_task` exposes the fan/score grain for the stress tier's
     serving-grain saturation sweep (partitioning-only; the result set is
     grain-independent)."""
-    from pyspark.sql import Window
-
     corp, bmod = serving_corpus(spark, sf_dir)
     cents, assign = ivf_index_state(spark, sf_dir)
     assign = assign.select(F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label"))
@@ -1136,8 +1134,23 @@ def z_sim_incremental(
             F.round(cosine(F.col("xv"), F.col("yv")), 6).alias("sim"),
         )
     )
-    sw = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
-    top1 = sims.withColumn("rn", F.row_number().over(sw)).where("rn = 1")
+    # top-1 as a HASH AGGREGATE, not a row_number window (round 11, the
+    # pq_encode_comps argmin recipe): min_by over the total order
+    # (-sim, old_id) is exactly the window's (sim desc, old_id asc) first
+    # row — sim is already 6-dp rounded so its negation is exact, and
+    # old_id is unique within the group so the order has no ties. The agg
+    # rides cand's count-scaled vec_id partitioning (subset rule, zero
+    # further exchange) and drops the window's per-task SORT of the
+    # pair-grain table — per-task state becomes batch-grain group slots.
+    top1 = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("old_id", "sim"), F.struct((-F.col("sim")).alias("k"), "old_id")
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.old_id").alias("old_id"), F.col("_b.sim").alias("sim"))
+    )
     return (
         top1.join(
             probe.where(F.col("rn") == 1).select("vec_id", "label").hint("shuffle_hash"),
@@ -3249,14 +3262,14 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout at sf1. The cell gate bounds candidates at nprobe x cell
     occupancy and shares its definition (engine helper + oracle CTEs)
     with z_sim_incremental."""
-    from pyspark.sql import Window
-
     scored = _pq_inc_scored(spark, sf_dir)
-    w_top = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
+    # top-1 as a min_by hash aggregate over the (adist, old_id) total
+    # order — the exact arm's sort-free argmin recipe; adist is an exact
+    # integer and old_id unique per group, so no ties
     return (
-        scored.withColumn("rn", F.row_number().over(w_top))
-        .where("rn = 1")
-        .select("vec_id", F.col("old_id").alias("nn_id"), "adist")
+        scored.groupBy("vec_id")
+        .agg(F.min_by(F.struct("old_id", "adist"), F.struct("adist", "old_id")).alias("_b"))
+        .select("vec_id", F.col("_b.old_id").alias("nn_id"), F.col("_b.adist").alias("adist"))
     )
 
 
@@ -3311,11 +3324,17 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("xv"), F.col("yv")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("old_id"))
+    # re-rank winner as a min_by hash aggregate (the exact arm's sort-free
+    # argmin): min over (-sim, old_id) = (sim desc, old_id asc) first row;
+    # the shortlist window above keeps its row_number (top-R needs ranks)
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("vec_id", F.col("old_id").alias("nn_id"), F.col("sim").alias("nn_sim"))
+        sims.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("old_id", "sim"), F.struct((-F.col("sim")).alias("k"), "old_id")
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.old_id").alias("nn_id"), F.col("_b.sim").alias("nn_sim"))
     )
 
 
