@@ -3174,14 +3174,19 @@ def _pq_inc_scored(
             (F.col("xs") - F.col("c_int")).alias("rs"),
         )
     )
-    # per-new-vector ADC table: EXACTLY |new| x nprobe x M x ks integer rows
+    # per-new-vector ADC table: EXACTLY |new| x nprobe x M x ks integer
+    # rows (every (vec, label) carries a full residual, the cb join is
+    # complete, and the groupBy emits every (sub, code) cell) — so the
+    # broadcast-cap row count is ANALYTIC from the checkpointed probe's
+    # count, and dt itself needs no checkpoint/count job of its own
+    # (round 11: the residual tables are nprobe x bigger, so the round-10
+    # materialize-then-count pass stopped being free)
     dt = (
         qres.join(F.broadcast(cb), ["sub", "pos"])
         .groupBy("vec_id", "label", "sub", "code")
         .agg(
             F.sum((F.col("rs") - F.col("c_q")) * (F.col("rs") - F.col("c_q"))).alias("d")
         )
-        .localCheckpoint()
     )
     # The scoring chain rides ONE candidate-count-scaled old_id
     # partitioning: cand repartitions by old_id (pair-grain, scaled in
@@ -3211,7 +3216,7 @@ def _pq_inc_scored(
     # or per-task stream volume would grow with corpus occupancy). Same
     # pair set, same sums — oracle-neutral (parity pinned in
     # tests/test_pq_r5.py::test_pq_incremental_adc_cap).
-    dt_rows = dt.count()
+    dt_rows = probe.count() * _PQ_M * _PQ_KS  # exact (see dt comment)
     if dt_rows <= _ADC_BC_ROWS:
         # broadcast lookup leaves pair_codes' old_id partitioning intact:
         # HashPartitioning([old_id]) satisfies the (vec_id, old_id)
