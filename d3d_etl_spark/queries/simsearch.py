@@ -3288,7 +3288,12 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-cell: residuals are near-noise, so in-cell members tie at code
     granularity; the shortlist carries the tie set into the exact
     re-rank — measured 123/125 recall@1 at the shipped R=16, pinned >=
-    0.95 in tests/test_serving_scaledk_r10.py). Old floats are read ONLY
+    0.95 in tests/test_serving_scaledk_r10.py). The residual tables cost
+    wall and task memory honestly: BENCH r11 5.1 -> 7.5 s and max-task
+    18.6 -> 45.2 MB vs the raw-code round 10 — the ADC table is nprobe x
+    bigger and its lookup shuffle-hashes past the broadcast cap — both
+    batch-grain BOUNDED (fixed |new|), the price of recall 0.88 -> 0.98.
+    Old floats are read ONLY
     for the R-per-new shortlist — a
     selective semi-join fetch exactly like z_sim_incremental's, but over
     |new| x R rows instead of the full candidate set, so the refine cost
