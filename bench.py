@@ -46,7 +46,23 @@ from d3d_etl_spark.queries.registry import REGISTRY
 from d3d_etl_spark.session import get_spark
 
 
-def _task_mem_regressions(samples: dict, sf: float) -> list[str]:
+# Intentional, adjudicated task-memory growth (same doctrine as the
+# stress tier's exemptions: named, justified, and self-expiring — once
+# the new level is the committed baseline the entry is dead weight and
+# should be dropped). An entry moves its >2x flag from
+# task_mem_regressions (a shipped-regression gate, pinned empty by
+# tests/test_plans.py) to task_mem_acknowledged (visible, not fatal).
+_TASK_MEM_ACK = {
+    "z_sim_pq_rerank": (
+        "round 11 residual encoding: the ADC table is nprobe x bigger and "
+        "its lookup shuffle-hashes past the broadcast cap — batch-grain "
+        "BOUNDED (sf-pair flat 51.2 -> 51.2 MB in STRESS_sf1.json), the "
+        "price of recall@1 0.88 -> 0.98"
+    ),
+}
+
+
+def _task_mem_regressions(samples: dict, sf: float) -> tuple[list[str], list[str]]:
     """Cross-round task-maxima regression guard (VERDICT r7 #5): diff this
     run's per-query max-task peak execution memory against the COMMITTED
     BENCH.json (HEAD — i.e. the previous round's accepted numbers) and
@@ -67,22 +83,26 @@ def _task_mem_regressions(samples: dict, sf: float) -> list[str]:
         ).stdout
         prev = json.loads(raw) if raw else {}
     except Exception:
-        return []
+        return [], []
     # task maxima are only comparable at the SAME scale: a run at a
     # different SPARK_GRAFT_SF_DIR than the committed round would either
     # write spurious regressions or silently mask real ones (ADVICE r8 #1)
     if prev.get("sf") != sf:
-        return []
+        return [], []
     prev_s = prev.get("samples", {})
-    regs = []
+    regs, acked = [], []
     for name, s in sorted(samples.items()):
         cur = (s.get("max_task") or {}).get("peak_exec_mem_mb", 0)
         old = ((prev_s.get(name) or {}).get("max_task") or {}).get(
             "peak_exec_mem_mb", 0
         )
         if cur > 32 and old > 0 and cur > 2 * old:
-            regs.append(f"{name}: max task peak mem {old} -> {cur} MB (>2x)")
-    return regs
+            line = f"{name}: max task peak mem {old} -> {cur} MB (>2x)"
+            if name in _TASK_MEM_ACK:
+                acked.append(f"{line} — ACK: {_TASK_MEM_ACK[name]}")
+            else:
+                regs.append(line)
+    return regs, acked
 
 
 # Fixed-work calibration kernels (VERDICT r9 missing #3; split into TWO
@@ -237,7 +257,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cal, cal_cpu = _calibration(spark)
-    regressions = _task_mem_regressions(samples, sf)
+    regressions, acknowledged = _task_mem_regressions(samples, sf)
     payload = {
         "metric": (
             f"e2e wall-clock, {len(timings)} headline queries "
@@ -262,10 +282,13 @@ def main() -> None:
         )
     if regressions:  # keep the printed line compact when clean
         payload["task_mem_regressions"] = regressions
+    if acknowledged:
+        payload["task_mem_acknowledged"] = acknowledged
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
     with open(sidecar, "w") as f:
         json.dump(
-            {**payload, "task_mem_regressions": regressions, "samples": samples},
+            {**payload, "task_mem_regressions": regressions,
+             "task_mem_acknowledged": acknowledged, "samples": samples},
             f,
             indent=1,
         )

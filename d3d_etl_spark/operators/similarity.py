@@ -80,7 +80,6 @@ def assign_nearest_centroid(
     `centroids` that restrict each vector's candidate set to centroids
     sharing those keys (the re-split guard assigns within a PARENT cluster
     this way). Output carries them alongside (id, assigned_label, sim)."""
-    from pyspark.sql import Window
 
     comps = emb.select(
         id_col, *restrict_cols, F.posexplode(vec_col).alias("pos", "x")
@@ -94,16 +93,29 @@ def assign_nearest_centroid(
     # NOTE: these per-vector sums are 64-term reductions; rounding to 6dp
     # below absorbs fold-order noise exactly as in cosine_topk.
     sim = F.round(F.col("dot") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6)
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(label_col))
+    # argmax as a min_by HASH AGGREGATE over the (-sim, label) total order
+    # — exactly the old row_number window's (sim desc, label asc) first
+    # row (sim is already 6-dp rounded, so negation is exact; label is
+    # unique within a group, so no ties), without the window's per-task
+    # sort of the corpus x K score table (round 11, the pq_encode_comps
+    # argmin recipe). restrict_cols join the ORDER key after label: the
+    # window never ordered on them, so any cross-restrict tie was
+    # nondeterministic before — this makes it deterministic.
+    best = F.min_by(
+        F.struct(*restrict_cols, F.col(label_col), F.col("sim")),
+        F.struct(
+            (-F.col("sim")).alias("k"), F.col(label_col), *[F.col(c) for c in restrict_cols]
+        ),
+    ).alias("_b")
     return (
         scores.select(id_col, *restrict_cols, F.col(label_col), sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
+        .groupBy(id_col)
+        .agg(best)
         .select(
             id_col,
-            *restrict_cols,
-            F.col(label_col).alias("assigned_label"),
-            F.col("sim").alias("sim"),
+            *[F.col(f"_b.{c}").alias(c) for c in restrict_cols],
+            F.col(f"_b.{label_col}").alias("assigned_label"),
+            F.col("_b.sim").alias("sim"),
         )
     )
 
