@@ -524,9 +524,13 @@ def test_task_mem_comparator_scale_guard():
             }
         }
     }
-    assert _task_mem_regressions(inflated, committed["sf"]), (
+    # round 11: the comparator returns (regressions, acknowledged) — a
+    # 100x jump must flag in ONE of them (acknowledged if the query has
+    # an adjudicated _TASK_MEM_ACK entry, fatal otherwise)
+    regs, acked = _task_mem_regressions(inflated, committed["sf"])
+    assert regs or acked, (
         "a 100x task-memory jump at the committed scale must flag"
     )
-    assert _task_mem_regressions(inflated, committed["sf"] * 10) == [], (
+    assert _task_mem_regressions(inflated, committed["sf"] * 10) == ([], []), (
         "a run at a different scale must skip the comparison"
     )
