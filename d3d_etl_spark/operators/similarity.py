@@ -100,11 +100,16 @@ def assign_nearest_centroid(
     # sort of the corpus x K score table (round 11, the pq_encode_comps
     # argmin recipe). restrict_cols join the ORDER key after label: the
     # window never ordered on them, so any cross-restrict tie was
-    # nondeterministic before — this makes it deterministic.
+    # nondeterministic before — this makes it deterministic. The `+ 0.0`
+    # on the negated key normalizes IEEE -0.0 to +0.0: Spark's struct
+    # ordering is Double.compare (distinguishes the zeros) while both
+    # engines' window/ORDER BY semantics treat them as EQUAL — without
+    # the normalization a -0.0/+0.0 top tie would pick the zeros apart
+    # instead of falling to the id tie-break.
     best = F.min_by(
         F.struct(*restrict_cols, F.col(label_col), F.col("sim")),
         F.struct(
-            (-F.col("sim")).alias("k"), F.col(label_col), *[F.col(c) for c in restrict_cols]
+            (-F.col("sim") + F.lit(0.0)).alias("k"), F.col(label_col), *[F.col(c) for c in restrict_cols]
         ),
     ).alias("_b")
     return (

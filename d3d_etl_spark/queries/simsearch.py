@@ -1146,7 +1146,7 @@ def z_sim_incremental(
         sims.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("old_id", "sim"), F.struct((-F.col("sim")).alias("k"), "old_id")
+                F.struct("old_id", "sim"), F.struct((-F.col("sim") + F.lit(0.0)).alias("k"), "old_id")
             ).alias("_b")
         )
         .select("vec_id", F.col("_b.old_id").alias("old_id"), F.col("_b.sim").alias("sim"))
@@ -3341,7 +3341,7 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("old_id", "sim"), F.struct((-F.col("sim")).alias("k"), "old_id")
+                F.struct("old_id", "sim"), F.struct((-F.col("sim") + F.lit(0.0)).alias("k"), "old_id")
             ).alias("_b")
         )
         .select("vec_id", F.col("_b.old_id").alias("nn_id"), F.col("_b.sim").alias("nn_sim"))
