@@ -23,7 +23,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm
+    # vector would otherwise THROW (DIVIDE_BY_ZERO) and kill the whole
+    # job on one degenerate row; try_divide yields NULL — exactly what
+    # DuckDB's `/` gives the oracles — and every ranking site orders
+    # NULL sims last (coalesce-to-+inf min_by keys / desc NULLS LAST),
+    # so a zero-norm vector loses every comparison instead of crashing
+    # or winning (VERDICT r11 finding 2).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def sql_dot(a: str, b: str) -> str:

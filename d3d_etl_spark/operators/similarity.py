@@ -91,8 +91,12 @@ def assign_nearest_centroid(
         F.sum(F.col("c") * F.col("c")).alias("nc2"),
     )
     # NOTE: these per-vector sums are 64-term reductions; rounding to 6dp
-    # below absorbs fold-order noise exactly as in cosine_topk.
-    sim = F.round(F.col("dot") / (F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6)
+    # below absorbs fold-order noise exactly as in cosine_topk. try_divide
+    # = DuckDB's NULL on a zero-norm vector/centroid (ANSI `/` would
+    # throw); the min_by key below orders that NULL last.
+    sim = F.round(
+        F.try_divide(F.col("dot"), F.sqrt(F.col("nx2")) * F.sqrt(F.col("nc2"))), 6
+    )
     # argmax as a min_by HASH AGGREGATE over the (-sim, label) total order
     # — exactly the old row_number window's (sim desc, label asc) first
     # row (sim is already 6-dp rounded, so negation is exact; label is
@@ -105,11 +109,18 @@ def assign_nearest_centroid(
     # ordering is Double.compare (distinguishes the zeros) while both
     # engines' window/ORDER BY semantics treat them as EQUAL — without
     # the normalization a -0.0/+0.0 top tie would pick the zeros apart
-    # instead of falling to the id tie-break.
+    # instead of falling to the id tie-break. The coalesce reproduces the
+    # window's NULLS-LAST: a zero-norm vector or centroid makes sim NULL
+    # (non-ANSI x/0.0), and struct ordering would sort that NULL key
+    # FIRST — i.e. a degenerate all-zero centroid would capture every
+    # vector instead of none (VERDICT r11 finding 2); keying it +inf
+    # makes NULL-sim candidates lose exactly as they did under desc(sim).
     best = F.min_by(
         F.struct(*restrict_cols, F.col(label_col), F.col("sim")),
         F.struct(
-            (-F.col("sim") + F.lit(0.0)).alias("k"), F.col(label_col), *[F.col(c) for c in restrict_cols]
+            F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+            F.col(label_col),
+            *[F.col(c) for c in restrict_cols],
         ),
     ).alias("_b")
     return (

@@ -975,6 +975,7 @@ def _inc_probe_cand(
     cents: DataFrame,
     assign: DataFrame,
     pairs_per_task: int = _INC_PAIRS_PER_TASK,
+    nprobe: int = _INC_NPROBE,
 ) -> tuple[DataFrame, DataFrame]:
     """probe (vec_id, label, rn) and candidate pairs (vec_id, old_id) for
     the ingest batch `new_batch` (vec_id, embedding) off the persisted IVF
@@ -982,7 +983,10 @@ def _inc_probe_cand(
     and the ADC incremental serving paths. `cand` comes back checkpointed
     with pair-count-scaled partitioning (bounds every downstream per-task
     state; fixed-width partitioning of a pair-grain table was the round-8
-    registry audit's 2.2 GB-task finding)."""
+    registry audit's 2.2 GB-task finding). `nprobe` defaults to the
+    serving contract's _INC_NPROBE; the raw-corpus recall sweep (round
+    12) passes other values to publish the recall/cost trade curve —
+    every REGISTERED query keeps the default."""
     from pyspark.sql import Window
 
     new_comps = (
@@ -999,12 +1003,14 @@ def _inc_probe_cand(
             F.sum(F.col("c") * F.col("c")).alias("nc2"),
         )
     )
-    psim = F.round(F.col("dot") / (F.sqrt("nx2") * F.sqrt("nc2")), 6)
+    # try_divide = DuckDB's NULL on a zero-norm probe (ANSI `/` throws);
+    # desc(psim) orders a NULL probe score last, as the oracle does
+    psim = F.round(F.try_divide(F.col("dot"), F.sqrt("nx2") * F.sqrt("nc2")), 6)
     pw = Window.partitionBy("vec_id").orderBy(F.desc("psim"), F.asc("label"))
     probe = (
         pscore.select("vec_id", "label", psim.alias("psim"))
         .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") <= _INC_NPROBE)
+        .where(F.col("rn") <= nprobe)
         .select("vec_id", "label", "rn")
         .localCheckpoint()
     )
@@ -1142,11 +1148,17 @@ def z_sim_incremental(
     # rides cand's count-scaled vec_id partitioning (subset rule, zero
     # further exchange) and drops the window's per-task SORT of the
     # pair-grain table — per-task state becomes batch-grain group slots.
+    # coalesce-to-+inf = the window's NULLS-LAST for a zero-norm pair's
+    # NULL sim (VERDICT r11 finding 2; see assign_nearest_centroid).
     top1 = (
         sims.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("old_id", "sim"), F.struct((-F.col("sim") + F.lit(0.0)).alias("k"), "old_id")
+                F.struct("old_id", "sim"),
+                F.struct(
+                    F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                    "old_id",
+                ),
             ).alias("_b")
         )
         .select("vec_id", F.col("_b.old_id").alias("old_id"), F.col("_b.sim").alias("sim"))
@@ -1195,9 +1207,16 @@ def inc_serving_profile(spark: SparkSession, sf_dir: str) -> dict:
 def _bruteforce_nn(corp_rows: list, bmod: int) -> dict[int, int]:
     """True nearest OLD neighbor per new-batch vector by chunked numpy
     brute force — 6-dp-rounded cosine, (sim desc, old_id asc) tie-break,
-    the engine/oracle ranking contract. Driver-side audit machinery (the
-    corpus collects are 2k/20k rows at the audited scales)."""
+    the engine/oracle ranking contract. Rounding is HALF-AWAY (the shared
+    _np_round6_half_away helper), matching F.round/DuckDB ROUND — np.round
+    is banker's, so a sim on an exact 5e-7 boundary would otherwise give
+    the auditor a different "true NN" than the engine's own tie-break
+    contract and turn the recall floors into noise (ADVICE r11 #3).
+    Driver-side audit machinery (the corpus collects are 2k/20k rows at
+    the audited scales)."""
     import numpy as np
+
+    from d3d_etl_spark.operators.similarity import _np_round6_half_away
 
     vid = np.array([r["vec_id"] for r in corp_rows])
     X = np.array([r["embedding"] for r in corp_rows])
@@ -1207,7 +1226,7 @@ def _bruteforce_nn(corp_rows: list, bmod: int) -> dict[int, int]:
     out: dict[int, int] = {}
     new_ids, new_X = vid[new_m], Xn[new_m]
     for i0 in range(0, len(new_ids), 256):
-        S = np.round(new_X[i0 : i0 + 256] @ old_X.T, 6)
+        S = _np_round6_half_away(new_X[i0 : i0 + 256] @ old_X.T)
         for j in range(S.shape[0]):
             best = S[j].max()
             out[int(new_ids[i0 + j])] = int(old_ids[S[j] == best].min())
@@ -1236,7 +1255,9 @@ def serving_recall_profile(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
-def raw_serving_recall(spark: SparkSession, sf_dir: str) -> dict:
+def raw_serving_recall(
+    spark: SparkSession, sf_dir: str, nprobe: int = _INC_NPROBE
+) -> dict:
     """Worst-case serving recall row (ADVICE r10 #1): the SAME scaled-K
     train/probe/verify machinery served over the PROVIDED embeddings
     table — no planted neighborhoods, ephemeral state (nothing
@@ -1245,9 +1266,13 @@ def raw_serving_recall(spark: SparkSession, sf_dir: str) -> dict:
     barely clusterable and nprobe=3 of K=ceil(sqrt(N)) cells fetches
     ~3*sqrt(N) of N candidates — THIS row documents what that candidate
     cut costs in recall on unstructured data, next to the planted-corpus
-    floors the tests pin. Scale shape: identical to the planted serving
-    arm (same helpers); the only driver-side extra is the audit's
-    brute-force reference."""
+    floors the tests pin. `nprobe` (round 12, VERDICT r11 next #5) lets
+    the stress tier publish the full recall/cost knob curve
+    (nprobe in {3, 8, 16, K}); the nprobe=K point probes every cell, so
+    its candidates are ALL old vectors and recall@1 must be exactly 1.0
+    — a brute-force-equivalence sanity check on the whole chain. Scale
+    shape: identical to the planted serving arm (same helpers); the only
+    driver-side extra is the audit's brute-force reference."""
     from pyspark.sql import Window
 
     from d3d_etl_spark.functions.vectors import cosine
@@ -1266,7 +1291,9 @@ def raw_serving_recall(spark: SparkSession, sf_dir: str) -> dict:
     ).localCheckpoint()
     cents = label_centroids(old.join(cells.hint("shuffle_hash"), "vec_id"), "label")
     assign = cells.select(F.col("vec_id").alias("old_id"), "label")
-    probe, cand = _inc_probe_cand(spark, new, cents, assign)
+    probe, cand = _inc_probe_cand(
+        spark, new, cents, assign, nprobe=min(nprobe, k_cells)
+    )
     new_vecs = new.select("vec_id", F.col("embedding").alias("xv"))
     old_vecs = (
         old.join(
@@ -1293,6 +1320,8 @@ def raw_serving_recall(spark: SparkSession, sf_dir: str) -> dict:
     hits = sum(1 for v, nid in got.items() if true_nn.get(v) == nid)
     return {
         "n": n,
+        "nprobe": min(nprobe, k_cells),
+        "k_cells": k_cells,
         "n_new": len(true_nn),
         "served": len(got),
         "cand_per_new": round(n_pairs / max(1, len(true_nn)), 1),
@@ -3078,30 +3107,56 @@ SELECT vec_id, old_id AS nn_id, adist FROM (
 ) WHERE rn = 1
 """
 
-# ADC shortlist size for the refine arm — R = ks, one slot per code
-# level: within a probed cell, ADC cannot rank finer than code
-# granularity (in-cluster members share codes and tie), so the shortlist
-# must be wide enough to carry the tie set into the exact re-rank.
-# Re-measured under RESIDUAL codes (round 11, at sf0.001 AND sf0.01 —
-# identical curves): R=2 -> 65/125, R=4 -> 71/125, R=8 -> 90/125,
-# R=16 -> 123/125, R=32 -> 124/125 (the exact arm's 125/125 is the
-# ceiling — candidates always contain the true NN). The knee STAYS at
-# R=16 — residuals kill the cross-cell aliasing (in-true-cluster 87 ->
-# 123/125) but within-cell residuals are near-noise, so the fine ranking
-# still needs the full tie set; what residuals buy at the same R is the
-# lift 110 -> 123/125. Raw-code curve for the record: R=8 -> 99,
-# R=16 -> 110, R=32 -> 116. The refine fetch stays |new| x R floats —
-# corpus-independent.
-_PQ_RERANK_R = 16
+# ADC shortlist size for the refine arm. Within a probed cell, ADC
+# cannot rank finer than code granularity (in-cluster members share
+# codes and tie), so the shortlist must carry the TIE SET into the exact
+# re-rank — and the tie set is a slice of the true cell's OCCUPANCY,
+# which grows ~sqrt(N) under the scaled-K index. Round 11 shipped a
+# FIXED R=16 and measured the predicted decay where the walls are
+# quoted: recall@1 0.924 @ sf0.1 -> 0.861 @ sf1 as the covered fraction
+# of a cell fell 42% -> 12%; linear extrapolation crossed the 0.8 audit
+# floor within another ~10x (VERDICT r11 next #3). Round 12 scales R
+# with occupancy: R = max(16, ceil(0.4 * N_old / K)) with
+# K = ceil(sqrt(N_old)) — the covered fraction stays ~0.4 at every
+# scale, the knee the R-sweep measured (R=2/4/8/16/32 ->
+# 65/71/90/123/124 of 125 at sf0.001/sf0.01, where occupancy ~= 19/38
+# puts the knee R=16 at exactly this fraction). Integer ceil-division on
+# both engines (python // and DuckDB //), so the SQL image is exact.
+# Cost shape: the refine fetch becomes |new| x R with R ~ 0.4*sqrt(N_old)
+# — sqrt-growth, not corpus-proportional (at 10^10 vectors R ~ 40k of
+# 10^10 — five orders under the candidate set it re-ranks). At the
+# shipped scales R stays 16 through sf0.1 (occupancy 38: ceil(0.4*38) =
+# 16) and becomes 54 at the sf1 slice (occupancy ~133), which restores
+# the sf0.1-level covered fraction — measured recall back over the 0.9
+# floor (STRESS_registry.json round 12).
+_PQ_RERANK_R_MIN = 16
+
+
+def rerank_r(n_old: int) -> int:
+    """Occupancy-scaled exact-refine shortlist size (see block comment):
+    max(16, ceil(2*N_old / (5*K))), K = ceil(sqrt(N_old)) — the same
+    integer arithmetic as the oracle's rparams CTE."""
+    import math
+
+    k = math.ceil(math.sqrt(n_old))
+    return max(_PQ_RERANK_R_MIN, (2 * n_old + 5 * k - 1) // (5 * k))
+
 
 _PQ_RERANK_ORACLE = f"""
 WITH {_PQ_INC_CTES},
+rparams AS (
+  SELECT GREATEST({_PQ_RERANK_R_MIN}, (2 * n_old + 5 * k - 1) // (5 * k)) AS r_eff
+  FROM (
+    SELECT COUNT(*) AS n_old, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k
+    FROM embeddings e CROSS JOIN srvp s WHERE e.vec_id % s.bmod != 0
+  )
+),
 short AS (
   SELECT vec_id, old_id FROM (
     SELECT vec_id, old_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY adist, old_id) AS rn
     FROM scored
-  ) WHERE rn <= {_PQ_RERANK_R}
+  ) WHERE rn <= (SELECT r_eff FROM rparams)
 ),
 soldv AS (
   SELECT c.vec_id AS old_id, c.x AS y, c.pos
@@ -3296,8 +3351,11 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Old floats are read ONLY
     for the R-per-new shortlist — a
     selective semi-join fetch exactly like z_sim_incremental's, but over
-    |new| x R rows instead of the full candidate set, so the refine cost
-    is corpus-independent. Shares the scored chain (engine helper +
+    |new| x R rows instead of the full candidate set; R is
+    OCCUPANCY-SCALED since round 12 (R = max(16, ceil(0.4 * N_old / K)),
+    see _PQ_RERANK_R_MIN) so recall holds at scale while the refine
+    fetch grows only ~sqrt(N_old), five orders under the candidate set
+    it re-ranks. Shares the scored chain (engine helper +
     oracle CTEs) with the ADC arm — the two arms can never drift on WHO
     is scored."""
     from pyspark.sql import Window
@@ -3306,10 +3364,15 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corp, bmod = serving_corpus(spark, sf_dir)
     scored = _pq_inc_scored(spark, sf_dir, corp, bmod)
+    # occupancy-scaled shortlist width (round 12; see _PQ_RERANK_R_MIN):
+    # the count is column-pruned to vec_id (the corpus transform never
+    # evaluates) and n_old is a driver scalar shared with the oracle's
+    # rparams CTE via the exact integer rerank_r rule
+    n_old = corp.where(F.col("vec_id") % bmod != 0).count()
     w_adc = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
     short = (
         scored.withColumn("rn", F.row_number().over(w_adc))
-        .where(F.col("rn") <= _PQ_RERANK_R)
+        .where(F.col("rn") <= rerank_r(n_old))
         .select("vec_id", "old_id")
         .localCheckpoint()  # |new| x R rows — batch-grain, reused twice
     )
@@ -3336,12 +3399,18 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # re-rank winner as a min_by hash aggregate (the exact arm's sort-free
     # argmin): min over (-sim, old_id) = (sim desc, old_id asc) first row;
-    # the shortlist window above keeps its row_number (top-R needs ranks)
+    # the shortlist window above keeps its row_number (top-R needs ranks).
+    # coalesce-to-+inf = the window's NULLS-LAST for a zero-norm pair's
+    # NULL sim (VERDICT r11 finding 2; see assign_nearest_centroid).
     return (
         sims.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("old_id", "sim"), F.struct((-F.col("sim") + F.lit(0.0)).alias("k"), "old_id")
+                F.struct("old_id", "sim"),
+                F.struct(
+                    F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                    "old_id",
+                ),
             ).alias("_b")
         )
         .select("vec_id", F.col("_b.old_id").alias("nn_id"), F.col("_b.sim").alias("nn_sim"))

@@ -897,22 +897,24 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
             )
     # recall AT SCALE (VERDICT r10 next #3): the sqrt-N candidate cut must
     # not silently trade recall where the walls are quoted from. Floors:
-    # exact 0.9 (measured 1.0 at both scales); rerank 0.8 — measured
-    # 0.924 @ sf0.1 / 0.861 @ sf1: the FIXED R=16 shortlist covers a
-    # shrinking fraction of a cell as occupancy (~sqrt(N)) grows, so the
-    # compressed arm decays slowly by design while the exact arm carries
-    # full recall (the serving family's recall carrier). Plus the
+    # exact 0.9 (measured 1.0 at both scales); rerank 0.9 since round 12
+    # — the round-11 FIXED R=16 shortlist covered a shrinking fraction of
+    # a cell as occupancy (~sqrt(N)) grew (measured decay 0.924 @ sf0.1
+    # -> 0.861 @ sf1, extrapolating through the old 0.8 floor within
+    # ~another 10x), so R is now OCCUPANCY-SCALED
+    # (simsearch._PQ_RERANK_R_MIN: R = max(16, ceil(0.4 * N_old / K)))
+    # and the compressed arm must hold >= 0.9 at BOTH scales. Plus the
     # raw-corpus worst-case row (ADVICE r10 #1): the same machinery over
     # the PROVIDED near-isotropic embeddings — recall there documents
-    # what the sqrt-N candidate cut costs on unclusterable data
-    # (measured 0.342 @ sf0.1, 0.216 @ sf1); the pinned floors apply
-    # ONLY to the planted clusterable corpus.
+    # what the sqrt-N candidate cut costs on unclusterable data; the
+    # pinned floors apply ONLY to the planted clusterable corpus, and the
+    # raw row carries its nprobe TRADE CURVE (VERDICT r11 next #5) below.
     from d3d_etl_spark.queries.simsearch import (
         raw_serving_recall,
         serving_recall_profile,
     )
 
-    _RECALL_FLOORS = {"exact": 0.9, "rerank": 0.8}
+    _RECALL_FLOORS = {"exact": 0.9, "rerank": 0.9}
     for tag, d in (("sf0.1", SRC), ("sf1", DST)):
         r, st, _ = _capped(
             spark, f"srv_recall_{tag}", cap_s,
@@ -942,6 +944,38 @@ def run_registry_audit(spark: SparkSession, qs: dict, app: str) -> int:
                     f"raw-corpus serving {tag}: served 0 vectors — the "
                     "machinery must run on unstructured data too"
                 )
+    # the raw-corpus KNOB CURVE (VERDICT r11 next #5): a real user with
+    # unclusterable embeddings needs the recall/cost trade, not one
+    # point. Sweep nprobe in {3, 8, 16, K} at sf0.1 and publish
+    # (recall@1, cand_per_new) per point; the nprobe=K leg probes every
+    # cell, so its candidate set IS the old corpus and recall@1 must be
+    # exactly 1.0 — a brute-force-equivalence sanity check on the whole
+    # serve-audit chain. Recall must be monotone in nprobe (same index,
+    # nested candidate sets).
+    curve = []
+    for np_ in (3, 8, 16, 10**9):  # 10**9 clamps to K inside
+        r, st, _ = _capped(
+            spark, f"srv_raw_curve_np{np_}", cap_s,
+            lambda np_=np_: raw_serving_recall(spark, SRC, nprobe=np_),
+        )
+        if r is None:
+            violations.append(f"raw-corpus nprobe curve (nprobe={np_}): {st}")
+        else:
+            curve.append(
+                {k: r[k] for k in ("nprobe", "k_cells", "recall@1", "cand_per_new")}
+            )
+    if curve:
+        prof["raw_corpus_curve_sf0.1"] = curve
+        recalls = [c["recall@1"] for c in curve]
+        if any(b < a for a, b in zip(recalls, recalls[1:])):
+            violations.append(
+                f"raw-corpus curve: recall not monotone in nprobe: {recalls}"
+            )
+        if curve[-1]["nprobe"] == curve[-1]["k_cells"] and recalls[-1] != 1.0:
+            violations.append(
+                f"raw-corpus curve: nprobe=K leg recall {recalls[-1]} != 1.0 — "
+                "probing every cell must equal brute force"
+            )
     out["sweeps_sf1"]["serving_scaledk"] = prof
 
     out["violations"] = violations
