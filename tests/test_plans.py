@@ -524,13 +524,32 @@ def test_task_mem_comparator_scale_guard():
             }
         }
     }
-    # round 11: the comparator returns (regressions, acknowledged) — a
-    # 100x jump must flag in ONE of them (acknowledged if the query has
-    # an adjudicated _TASK_MEM_ACK entry, fatal otherwise)
+    # round 12 (ADVICE r11 #1): _TASK_MEM_ACK is empty and entries carry
+    # a CEILING — with no (in-ceiling) entry, a 100x jump must flag as a
+    # FATAL regression, never as acknowledged
     regs, acked = _task_mem_regressions(inflated, committed["sf"])
-    assert regs or acked, (
-        "a 100x task-memory jump at the committed scale must flag"
+    assert regs and not acked, (
+        "a 100x un-acknowledged task-memory jump at the committed scale "
+        "must flag fatally"
     )
     assert _task_mem_regressions(inflated, committed["sf"] * 10) == ([], []), (
         "a run at a different scale must skip the comparison"
     )
+    # ceiling mechanics: an adjudicated entry diverts the flag to
+    # acknowledged ONLY while the measured peak stays under its ceiling —
+    # past the ceiling the old adjudication cannot mask the new jump
+    import bench as _bench
+
+    cur_mb = inflated[name]["max_task"]["peak_exec_mem_mb"]
+    old_ack = _bench._TASK_MEM_ACK
+    try:
+        _bench._TASK_MEM_ACK = {name: (cur_mb + 1.0, "test: within ceiling")}
+        regs, acked = _task_mem_regressions(inflated, committed["sf"])
+        assert acked and not regs, "an in-ceiling ack entry must divert the flag"
+        _bench._TASK_MEM_ACK = {name: (cur_mb / 2.0, "test: ceiling exceeded")}
+        regs, acked = _task_mem_regressions(inflated, committed["sf"])
+        assert regs and not acked, (
+            "a jump past its ack ceiling must flag fatally again"
+        )
+    finally:
+        _bench._TASK_MEM_ACK = old_ack
