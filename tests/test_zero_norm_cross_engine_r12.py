@@ -41,6 +41,15 @@ def _corpora():
             {4: [2.0, 2.0, 0.0, 0.0], 6: [1.0, 1.0, 0.0, 0.0], 8: [0.0] * dims},
         )
     )
+    # case 3b: an EMPTY embedding array — posexplode yields no component
+    # rows, so the vector must be ABSENT from the output on both engines
+    # (the SQL image has no e rows for it), not present with NULL sim
+    cases.append(
+        (
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [])],
+            {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0]},
+        )
+    )
     # cases 4+: seeded random with planted zeros and magnitude extremes
     for _ in range(4):
         vecs = []
