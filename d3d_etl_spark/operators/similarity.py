@@ -111,7 +111,7 @@ def assign_nearest_centroid(
     # the normalization a -0.0/+0.0 top tie would pick the zeros apart
     # instead of falling to the id tie-break. The coalesce reproduces the
     # window's NULLS-LAST: a zero-norm vector or centroid makes sim NULL
-    # (non-ANSI x/0.0), and struct ordering would sort that NULL key
+    # (try_divide above), and struct ordering would sort that NULL key
     # FIRST — i.e. a degenerate all-zero centroid would capture every
     # vector instead of none (VERDICT r11 finding 2); keying it +inf
     # makes NULL-sim candidates lose exactly as they did under desc(sim).
