@@ -115,6 +115,61 @@ def _duck_assign(vecs, cents):
         con.close()
 
 
+def test_serving_top1_min_by_matches_sql_window(spark):
+    """The serving top-1 min_by shape (z_sim_incremental /
+    z_sim_pq_rerank) vs the oracle's ROW_NUMBER(ORDER BY sim DESC,
+    old_id) on seeded random pair tables with NULL sims mixed in —
+    including groups that are entirely NULL and exact sim ties."""
+    from pyspark.sql import functions as F
+
+    r = random.Random(0x701)
+    rows = []
+    for vec in range(30):
+        n_cand = r.randint(1, 6)
+        for c in range(n_cand):
+            kind = r.randrange(6)
+            sim = None if kind == 0 else round(r.choice([0.5, -0.25, 0.9, r.uniform(-1, 1)]), 6)
+            rows.append((vec, 100 + c * 7 + vec, sim))
+    # one all-NULL group and one all-tied group
+    rows += [(98, 1, None), (98, 2, None)]
+    rows += [(99, 5, 0.5), (99, 3, 0.5), (99, 9, 0.5)]
+
+    sims = spark.createDataFrame(rows, "vec_id long, old_id long, sim double")
+    got = {
+        x["vec_id"]: (x["old_id"], x["sim"])
+        for x in sims.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("old_id", "sim"),
+                F.struct(
+                    F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                    "old_id",
+                ),
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.old_id").alias("old_id"), F.col("_b.sim").alias("sim"))
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE s (vec_id BIGINT, old_id BIGINT, sim DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+        want = {
+            int(v): (int(o), sim)
+            for v, o, sim in con.execute(
+                """SELECT vec_id, old_id, sim FROM (
+                     SELECT vec_id, old_id, sim,
+                            ROW_NUMBER() OVER (
+                              PARTITION BY vec_id ORDER BY sim DESC, old_id
+                            ) AS rn
+                     FROM s) WHERE rn = 1"""
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+
+
 def test_assign_nearest_centroid_zero_norm_parity(spark):
     from d3d_etl_spark.operators.similarity import assign_nearest_centroid
 
