@@ -677,7 +677,11 @@ def ivf_probe_labels(
             F.sum(F.col("qx") * F.col("qx")).alias("nq2"),
         )
     )
-    sim = F.round(F.col("dot") / (F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6)
+    # try_divide = DuckDB's NULL on a zero-norm cell/query (ANSI `/`
+    # throws); desc(sim) orders the NULL last, as the oracle does
+    sim = F.round(
+        F.try_divide(F.col("dot"), F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6
+    )
     return (
         scores.select(F.col(label_col), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc(label_col))
@@ -707,7 +711,11 @@ def ivf_ranked_cells(
             F.sum(F.col("qx") * F.col("qx")).alias("nq2"),
         )
     )
-    sim = F.round(F.col("dot") / (F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6)
+    # try_divide = DuckDB's NULL on a zero-norm cell/query (ANSI `/`
+    # throws); desc(sim) orders the NULL last, as the oracle does
+    sim = F.round(
+        F.try_divide(F.col("dot"), F.sqrt(F.col("nc2")) * F.sqrt(F.col("nq2"))), 6
+    )
     w = Window.orderBy(F.desc("sim"), F.asc(label_col))
     return (
         scores.select(F.col(label_col), sim.alias("sim"))

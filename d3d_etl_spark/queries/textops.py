@@ -2178,7 +2178,9 @@ def z_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "shared_terms",
-            F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6).alias("sim"),
+            # try_divide: a zero-norm doc vector (every shared term at
+            # weight 0) yields NULL like the oracle, not an ANSI throw
+            F.round(F.try_divide(F.col("dot"), F.sqrt("na2") * F.sqrt("nb2")), 6).alias("sim"),
         )
     )
     # mirror each unordered pair into both directions with ONE explode —
