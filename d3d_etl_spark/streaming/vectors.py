@@ -78,8 +78,13 @@ def streaming_ann_probe(
         *[
             F.struct(
                 F.round(
-                    _dot_with_lit(F.col("embedding"), vectors[lab])
-                    / (vnorm * F.lit(norms[lab])),
+                    # try_divide = the batch arm's zero-norm NULL (round
+                    # 12): an all-zero embedding or stored centroid must
+                    # not ANSI-throw inside the stream
+                    F.try_divide(
+                        _dot_with_lit(F.col("embedding"), vectors[lab]),
+                        vnorm * F.lit(norms[lab]),
+                    ),
                     6,
                 ).alias("sim"),
                 F.lit(lab).alias("label"),
@@ -88,10 +93,16 @@ def streaming_ann_probe(
         ]
     )
     # descending sim, ascending label — the same probe order as the batch
-    # ivf ranking (array_sort is ascending, so flip the sim sign)
+    # ivf ranking (array_sort is ascending, so flip the sim sign). The
+    # key mirrors the batch min_by exactly: +0.0 normalizes IEEE -0.0,
+    # coalesce-to-+inf = NULLS LAST for a zero-norm cell's NULL sim
     ranked = F.array_sort(
         F.transform(
-            cell_scores, lambda s: F.struct((-s["sim"]).alias("k"), s["label"].alias("label"))
+            cell_scores,
+            lambda s: F.struct(
+                F.coalesce(-s["sim"] + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                s["label"].alias("label"),
+            ),
         )
     )
     probes = vec_stream.select(
@@ -117,7 +128,9 @@ def streaming_ann_probe(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sim = F.round(dot / (_norm(F.col("v_new")) * _norm(F.col("v_old"))), 6)
+    # try_divide: a zero-norm pair's NULL sim fails the >= min_sim cut
+    # below (never qualifies), the batch arm's exact semantics
+    sim = F.round(F.try_divide(dot, _norm(F.col("v_new")) * _norm(F.col("v_old"))), 6)
     return (
         cand.join(old, "old_id")
         .where(F.col("vec_id") != F.col("old_id"))
