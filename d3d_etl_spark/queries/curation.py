@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.sampling import sql_hash_bucket
 from d3d_etl_spark.functions.text import sql_tokens, sql_word_shingles
-from d3d_etl_spark.io import load_table
+from d3d_etl_spark.io import fan_out, load_table
 from d3d_etl_spark.queries.registry import register
 from d3d_etl_spark.queries.sampling import (
     _MIX_U_MOD,
@@ -95,7 +95,7 @@ GROUP BY s.lang
 
 @register("z_corpus_curation", _CURATION_ORACLE, tags=("corpus", "pipeline"), bench=True)
 def z_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     lm = z_corpus_lm_score(spark, sf_dir).select("doc_id", "nll")
     span = z_corpus_span_dedup(spark, sf_dir).select("doc_id", "would_trim")
 
@@ -219,7 +219,9 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.strings import md5_int
     from d3d_etl_spark.functions.text import tokens, word_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan the thin scan: the bigram explode + per-shingle md5 is the
+    # heavy map of this family and would serialize on a single split (r13)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = word_shingles(tokens(F.col("text")), 2)
     feat = (
         docs.select("doc_id", "lang", F.explode(sh).alias("s"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.money import cents
 from d3d_etl_spark.functions.text import sql_tokens, sql_word_shingles, tokens, word_shingles
-from d3d_etl_spark.io import load_table
+from d3d_etl_spark.io import fan_out, load_table
 from d3d_etl_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
@@ -383,10 +383,15 @@ def z_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_base(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Checkpointed (doc_id, distinct-shingle-array) base pass."""
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    """Checkpointed (doc_id, distinct-shingle-array) base pass.
+
+    fan_out (r13) replaces the unconditional repartition: same rebalance
+    of a thin bench-scale scan, but a production-scale scan (or a caller
+    that already fanned the frame) passes through with NO exchange —
+    guide-§2.4 shuffle removal, values unchanged (the shingle map is
+    row-local)."""
     return (
-        docs.repartition(n_parts)
+        fan_out(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d3d_etl_spark.io import load_table
+from d3d_etl_spark.io import fan_out, load_table, table_count
 from d3d_etl_spark.operators.similarity import (
     assign_nearest_centroid,
     cosine_topk,
@@ -777,9 +777,13 @@ def clustered_corpus(emb: DataFrame, g: int) -> DataFrame:
 
 
 def serving_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
-    """(corpus, bmod) for the incremental serving family at this scale."""
+    """(corpus, bmod) for the incremental serving family at this scale.
+
+    The table count feeding (g, bmod) is memoized per scale (r13): every
+    serving query re-derived the same scalar with a fresh count job on
+    every invocation — pure driver-job tax, identical value each time."""
     emb = load_table(spark, sf_dir, "embeddings")
-    g, bmod = serving_params(emb.count())
+    g, bmod = serving_params(table_count(spark, sf_dir, "embeddings"))
     return clustered_corpus(emb, g), bmod
 
 
@@ -976,21 +980,38 @@ def _inc_probe_cand(
     assign: DataFrame,
     pairs_per_task: int = _INC_PAIRS_PER_TASK,
     nprobe: int = _INC_NPROBE,
-) -> tuple[DataFrame, DataFrame]:
-    """probe (vec_id, label, rn) and candidate pairs (vec_id, old_id) for
-    the ingest batch `new_batch` (vec_id, embedding) off the persisted IVF
-    state — the engine twin of _INC_PROBE_CTES, shared by the exact-cosine
-    and the ADC incremental serving paths. `cand` comes back checkpointed
-    with pair-count-scaled partitioning (bounds every downstream per-task
-    state; fixed-width partitioning of a pair-grain table was the round-8
-    registry audit's 2.2 GB-task finding). `nprobe` defaults to the
-    serving contract's _INC_NPROBE; the raw-corpus recall sweep (round
-    12) passes other values to publish the recall/cost trade curve —
-    every REGISTERED query keeps the default."""
+) -> tuple[DataFrame, DataFrame, dict]:
+    """probe (vec_id, label, rn), candidate pairs (vec_id, old_id) and a
+    stats dict for the ingest batch `new_batch` (vec_id, embedding) off
+    the persisted IVF state — the engine twin of _INC_PROBE_CTES, shared
+    by the exact-cosine and the ADC incremental serving paths. `cand`
+    comes back checkpointed with pair-count-scaled partitioning (bounds
+    every downstream per-task state; fixed-width partitioning of a
+    pair-grain table was the round-8 registry audit's 2.2 GB-task
+    finding). `nprobe` defaults to the serving contract's _INC_NPROBE;
+    the raw-corpus recall sweep (round 12) passes other values to publish
+    the recall/cost trade curve — every REGISTERED query keeps the
+    default.
+
+    stats (r13): {"n_pairs", "n_probe_rows", "n_old"} — exact scalars the
+    fan-out collect already pays for. n_pairs == cand.count() (every
+    (probe, old) pair of a shared label meets exactly once by
+    construction), n_probe_rows == probe.count() (sum of per-label probe
+    counts over ALL probe labels), n_old == assign.count() (sum of
+    per-label occupancies over ALL assign labels — the outer join below
+    keeps labels the probes missed). Callers that previously re-counted
+    these tables (three extra driver jobs per invocation, one of them
+    VERDICT r12 finding 2's n_old count) read the dict instead."""
     from pyspark.sql import Window
 
     new_comps = (
-        new_batch
+        # the batch rides the embeddings scan's split — a single split at
+        # bench scale, which would serialize the probe scoring chain's
+        # map side on one core (r13; fan_out's guard keeps production
+        # scans untouched). Vectors move whole, so each vector's
+        # components stay contiguous and per-group fold order is
+        # unchanged.
+        fan_out(new_batch)
         .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
     )
@@ -1038,12 +1059,29 @@ def _inc_probe_cand(
     # carries one balanced partitioning through the downstream pair
     # joins + top-1 window (the ride-one-partitioning pattern).
     fan = spark.sparkContext.defaultParallelism
-    sizes = (
+    # FULL OUTER on label (r13): the inner join this replaces dropped
+    # probe labels with no members and assign labels no probe reached —
+    # fine for the pair fan (their pair load is zero) but it meant the
+    # batch/corpus totals had to be re-counted downstream. With both
+    # sides kept, sum(np) == probe.count() and sum(no) == assign.count()
+    # exactly; the fan tables below filter back to the inner rows, so the
+    # emitted pair set and its partitioning are byte-identical.
+    all_sizes = (
         probe.groupBy("label").agg(F.count("*").alias("np"))
-        .join(assign.groupBy("label").agg(F.count("*").alias("no")), "label")
+        .join(
+            assign.groupBy("label").agg(F.count("*").alias("no")),
+            "label",
+            "full_outer",
+        )
         .collect()
     )  # K rows — dimension-bounded driver scalar
-    n_pairs = sum(r.np * r.no for r in sizes)
+    stats = {
+        "n_pairs": sum((r.np or 0) * (r.no or 0) for r in all_sizes),
+        "n_probe_rows": sum(r.np or 0 for r in all_sizes),
+        "n_old": sum(r.no or 0 for r in all_sizes),
+    }
+    sizes = [r for r in all_sizes if r.np and r.no]
+    n_pairs = stats["n_pairs"]
     cand_parts = max(fan, -(-n_pairs // pairs_per_task))
     nsub = spark.createDataFrame(
         [
@@ -1084,7 +1122,7 @@ def _inc_probe_cand(
         .repartition(cand_parts, "vec_id")
         .localCheckpoint()
     )
-    return probe, cand
+    return probe, cand, stats
 
 
 @register(
@@ -1109,7 +1147,7 @@ def z_sim_incremental(
     # intermediate at pair grain; the 6-dp rounding contract absorbs the
     # <1e-13 fold divergence vs the oracle's exploded SUM, exactly as in
     # the brute-force arm.
-    probe, cand = _inc_probe_cand(
+    probe, cand, _ = _inc_probe_cand(
         spark, corp.where(F.col("vec_id") % bmod == 0), cents, assign, pairs_per_task
     )
 
@@ -1184,15 +1222,15 @@ def inc_serving_profile(spark: SparkSession, sf_dir: str) -> dict:
     pair (Theta(nprobe * N/K) with K = ceil(sqrt(N_old))), and the batch
     row count must be ~_SRV_BATCH_ROWS once the corpus clears 4x that."""
     corp, bmod = serving_corpus(spark, sf_dir)
-    n = corp.count()
+    n = table_count(spark, sf_dir, "embeddings")  # corp is row-for-row the table
     cents, assign = ivf_index_state(spark, sf_dir)
     assign_l = assign.select(
         F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label")
     )
     new_batch = corp.where(F.col("vec_id") % bmod == 0)
-    probe, cand = _inc_probe_cand(spark, new_batch, cents, assign_l)
-    n_batch = new_batch.count()
-    n_pairs = cand.count()
+    probe, cand, stats = _inc_probe_cand(spark, new_batch, cents, assign_l)
+    n_batch = n - stats["n_old"]
+    n_pairs = stats["n_pairs"]
     return {
         "n": n,
         "n_old": n - n_batch,
@@ -1278,7 +1316,7 @@ def raw_serving_recall(
     from d3d_etl_spark.functions.vectors import cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
+    n = table_count(spark, sf_dir, "embeddings")
     _, bmod = serving_params(n)
     old = emb.where(F.col("vec_id") % bmod != 0)
     new = emb.where(F.col("vec_id") % bmod == 0)
@@ -1291,7 +1329,7 @@ def raw_serving_recall(
     ).localCheckpoint()
     cents = label_centroids(old.join(cells.hint("shuffle_hash"), "vec_id"), "label")
     assign = cells.select(F.col("vec_id").alias("old_id"), "label")
-    probe, cand = _inc_probe_cand(
+    probe, cand, rstats = _inc_probe_cand(
         spark, new, cents, assign, nprobe=min(nprobe, k_cells)
     )
     new_vecs = new.select("vec_id", F.col("embedding").alias("xv"))
@@ -1316,7 +1354,7 @@ def raw_serving_recall(
         for r in sims.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     true_nn = _bruteforce_nn(emb.collect(), bmod)
-    n_pairs = cand.count()
+    n_pairs = rstats["n_pairs"]
     hits = sum(1 for v, nid in got.items() if true_nn.get(v) == nid)
     return {
         "n": n,
@@ -2253,12 +2291,15 @@ def residual_comps(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return icents, res
 
 
-def _ivfpq_residual_search(emb: DataFrame) -> DataFrame:
+def _ivfpq_residual_search(emb: DataFrame, n_vec: int | None = None) -> DataFrame:
     """Residual IVF-PQ search over `emb` (vec_id, label, embedding):
     residual codebook training + encoding, nprobe coarse probe, per-cell
     ADC, exact-integer ranking. `label` is whatever coarse-cell column the
     caller provides — planted cells (z_sim_ivfpq_residual) or cells
-    LEARNED by the k-means machinery (z_sim_ivfpq_trained)."""
+    LEARNED by the k-means machinery (z_sim_ivfpq_trained). Callers that
+    already know the vector count pass `n_vec` (r13: both registered
+    callers read the memoized table count — the per-invocation count job
+    is gone)."""
     from d3d_etl_spark.operators.pq import pq_codebooks_from_comps, pq_encode_comps
     from d3d_etl_spark.operators.similarity import ivf_probe_labels, label_centroids
 
@@ -2268,9 +2309,9 @@ def _ivfpq_residual_search(emb: DataFrame) -> DataFrame:
     # candidate codes and partial-aggregates on (vec, sub, code), so
     # per-task state is proportional to vectors per task — inheriting the
     # scan's fixed partitioning held it flat only until the corpus grew
-    # (measured 49 -> 161 MB task peak at the 10x stress pair). The count
-    # is a checkpoint/parquet-metadata action — no recompute.
-    n_vec = emb.count()
+    # (measured 49 -> 161 MB task peak at the 10x stress pair).
+    if n_vec is None:
+        n_vec = emb.count()
     n_parts = max(
         emb.sparkSession.sparkContext.defaultParallelism,
         -(-n_vec // _VECS_PER_ENCODE_TASK),
@@ -2340,7 +2381,10 @@ def z_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to (vector - coarse centroid) integer residuals; ADC scores
     against a per-probed-cell distance table. Beyond-reference operator
     (the FAISS IVF-PQ §IV default)."""
-    return _ivfpq_residual_search(load_table(spark, sf_dir, "embeddings"))
+    return _ivfpq_residual_search(
+        load_table(spark, sf_dir, "embeddings"),
+        n_vec=table_count(spark, sf_dir, "embeddings"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2387,7 +2431,9 @@ def z_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = (
         emb.drop("label").join(cells.hint("shuffle_hash"), "vec_id").localCheckpoint()
     )
-    return _ivfpq_residual_search(trained)
+    # trained joins the full assignment back onto the full table — row
+    # count is the table's (memoized; the count job is gone since r13)
+    return _ivfpq_residual_search(trained, n_vec=table_count(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -2601,7 +2647,7 @@ def z_sim_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the oracle is unaffected.
     n_parts = max(
         spark.sparkContext.defaultParallelism,
-        -(-emb.count() // 64),
+        -(-table_count(spark, sf_dir, "embeddings") // 64),
     )
     comps = (
         pq_subspace_comps(emb, _DIM, _PQ_M).repartition(n_parts).localCheckpoint()
@@ -3193,14 +3239,17 @@ def _pq_inc_scored(
     sf_dir: str,
     corp: DataFrame | None = None,
     bmod: int | None = None,
-) -> DataFrame:
-    """(vec_id, old_id, adist): the IVFADC candidate scores — cell-gated
-    candidates x exact-integer ADC over stored codes — shared by the pure
-    ADC serving arm (z_sim_pq_incremental) and the exact-refine arm
-    (z_sim_pq_rerank). The engine twin of the _PQ_INC_CTES `scored`
-    table. Callers that already derived the serving corpus pass
-    (corp, bmod) so the count job and derivation lineage aren't planned
-    twice (review finding)."""
+) -> tuple[DataFrame, dict]:
+    """((vec_id, old_id, adist), stats): the IVFADC candidate scores —
+    cell-gated candidates x exact-integer ADC over stored codes — shared
+    by the pure ADC serving arm (z_sim_pq_incremental) and the
+    exact-refine arm (z_sim_pq_rerank). The engine twin of the
+    _PQ_INC_CTES `scored` table. Callers that already derived the serving
+    corpus pass (corp, bmod) so the count job and derivation lineage
+    aren't planned twice (review finding). `stats` is _inc_probe_cand's
+    scalar dict (r13) — the rerank arm reads n_old from it instead of
+    running the per-invocation corpus count job VERDICT r12 finding 2
+    flagged."""
     from d3d_etl_spark.operators.pq import pq_subspace_comps
 
     if corp is None or bmod is None:
@@ -3211,8 +3260,12 @@ def _pq_inc_scored(
     assign = assign.select(
         F.col("vec_id").alias("old_id"), F.col("assigned_label").alias("label")
     )
-    new = corp.where(F.col("vec_id") % bmod == 0)
-    probe, cand = _inc_probe_cand(
+    # fan the thin single-split batch once; _inc_probe_cand's own fan_out
+    # then sees >= session parallelism and passes it through, so the qres
+    # residual chain below shares the rebalance instead of re-serializing
+    # on the scan split (r13: the dt map side ran as ONE 1.5 s task)
+    new = fan_out(corp.where(F.col("vec_id") % bmod == 0))
+    probe, cand, stats = _inc_probe_cand(
         spark, new, cents, assign, pairs_per_task=_PQ_INC_PAIRS_PER_TASK
     )
     # per-PROBED-CELL new residual (round 11): the stored codes quantize
@@ -3246,7 +3299,7 @@ def _pq_inc_scored(
     # The scoring chain rides ONE candidate-count-scaled old_id
     # partitioning: cand repartitions by old_id (pair-grain, scaled in
     # _inc_probe_cand), the corpus-grain old_codes shuffle-hashes to match.
-    n_pairs = cand.count()  # checkpoint count — cheap
+    n_pairs = stats["n_pairs"]  # exact, from the fan-out collect — no job
     score_parts = max(
         spark.sparkContext.defaultParallelism,
         -(-n_pairs // _PQ_INC_PAIRS_PER_TASK),
@@ -3271,7 +3324,7 @@ def _pq_inc_scored(
     # or per-task stream volume would grow with corpus occupancy). Same
     # pair set, same sums — oracle-neutral (parity pinned in
     # tests/test_pq_r5.py::test_pq_incremental_adc_cap).
-    dt_rows = probe.count() * _PQ_M * _PQ_KS  # exact (see dt comment)
+    dt_rows = stats["n_probe_rows"] * _PQ_M * _PQ_KS  # exact (see dt comment)
     if dt_rows <= _ADC_BC_ROWS:
         # broadcast lookup leaves pair_codes' old_id partitioning intact:
         # HashPartitioning([old_id]) satisfies the (vec_id, old_id)
@@ -3298,9 +3351,10 @@ def _pq_inc_scored(
             )
             .repartition(score_parts, "old_id")
         )
-    return adc_joined.groupBy("vec_id", "old_id").agg(
+    scored = adc_joined.groupBy("vec_id", "old_id").agg(
         F.sum("d").cast("long").alias("adist")
     )
+    return scored, stats
 
 
 @register("z_sim_pq_incremental", _PQ_INC_ORACLE, tags=("similarity", "incremental"))
@@ -3322,7 +3376,7 @@ def z_sim_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout at sf1. The cell gate bounds candidates at nprobe x cell
     occupancy and shares its definition (engine helper + oracle CTEs)
     with z_sim_incremental."""
-    scored = _pq_inc_scored(spark, sf_dir)
+    scored, _ = _pq_inc_scored(spark, sf_dir)
     # top-1 as a min_by hash aggregate over the (adist, old_id) total
     # order — the exact arm's sort-free argmin recipe; adist is an exact
     # integer and old_id unique per group, so no ties
@@ -3363,12 +3417,15 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.functions.vectors import cosine
 
     corp, bmod = serving_corpus(spark, sf_dir)
-    scored = _pq_inc_scored(spark, sf_dir, corp, bmod)
+    scored, stats = _pq_inc_scored(spark, sf_dir, corp, bmod)
     # occupancy-scaled shortlist width (round 12; see _PQ_RERANK_R_MIN):
-    # the count is column-pruned to vec_id (the corpus transform never
-    # evaluates) and n_old is a driver scalar shared with the oracle's
-    # rparams CTE via the exact integer rerank_r rule
-    n_old = corp.where(F.col("vec_id") % bmod != 0).count()
+    # n_old is a driver scalar shared with the oracle's rparams CTE via
+    # the exact integer rerank_r rule. Since r13 it comes from the probe
+    # fan-out's label-grain collect (sum of per-cell occupancies of the
+    # persisted assignment — every old vector is assigned exactly once,
+    # so the sum IS the old-corpus count), closing VERDICT r12 finding 2:
+    # the per-invocation corpus count job is gone from the plan.
+    n_old = stats["n_old"]
     w_adc = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("old_id"))
     short = (
         scored.withColumn("rn", F.row_number().over(w_adc))
@@ -3513,7 +3570,7 @@ def z_sim_ivf_scaledk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d3d_etl_spark.operators.similarity import ivf_ranked_cells, label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet-footer count — drives K on both engines
+    n = table_count(spark, sf_dir, "embeddings")  # memoized — drives K on both engines
     k_cells = math.ceil(math.sqrt(n))
     _, asgn2 = kmeans2_assign_emb(emb, k=k_cells)
     relabeled = emb.join(

@@ -236,7 +236,7 @@ FROM (
 def corpus_tfidf_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
 
     # part='tfidf'
@@ -637,7 +637,10 @@ FROM scored
 
 @register("z_corpus_lm_score", _LM_ORACLE, tags=("textops", "corpus"), bench=True)
 def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # thin single-split scan would serialize the tokenize+zip+explode
+    # map side of the bi checkpoint on one core (r13; the span query's
+    # fan_out rationale, same numbers)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = tokens(F.lower(F.col("text")))
     toks = docs.select("doc_id", tok.alias("w"))
 
@@ -1454,7 +1457,7 @@ def z_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, duplicate-{2,3}-gram char fraction (both exact-integer,
     quantized at 1e-6), and the combined keep verdict. Beyond-reference
     LLM-pipeline operator (corpus quality filtering)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     base = (
         docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
         .where(F.size("toks") >= 2)
@@ -1794,7 +1797,7 @@ def bm25_corpus_state(
     (doc_id, dl); tf is (doc_id, tok, tf) restricted to the query terms;
     stats is the 1-row (n_docs, t_tokens); idf is the term-dimensional
     (tok, idf_q) table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w")).where(
         F.size("w") > 0
     )
