@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -192,10 +193,13 @@ def _cal_probe(spark, runs: dict, position: str) -> None:
 
 
 def _cal_summary(vals: list[float]) -> dict:
+    # statistics.median averages the two middle order statistics on the
+    # even run counts this harness produces; the upper-middle pick biased
+    # the published spread median upward (ADVICE r12, telemetry-only)
     s = sorted(vals)
     return {
         "min": s[0],
-        "median": s[len(s) // 2],
+        "median": round(statistics.median(s), 3),
         "max": s[-1],
         "runs": vals,
     }

@@ -114,9 +114,9 @@ def zscore_from_stats(col_int: Column, s1: Column, s2: Column, n: Column) -> Col
     The two degenerate-group divisions are try_divide (round 12, the
     zero-norm doctrine): a SINGLE-MEMBER group (n-1 = 0) or a CONSTANT
     group (var exactly 0 — the moments are exact integers) would throw
-    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, killing the job on
-    input pandas maps to NaN and the SQL oracle's plain `/` maps to
-    NULL; try_divide yields that same NULL. n itself is >= 1 by
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, killing the job —
+    on such input pandas maps to NaN and the SQL oracle's plain `/` maps
+    to NULL; try_divide yields that same NULL. n itself is >= 1 by
     construction (the group has a row), so mean and s1*s1/n keep `/`."""
     s1d, s2d, nd = s1.cast("double"), s2.cast("double"), n
     mean = s1d / nd

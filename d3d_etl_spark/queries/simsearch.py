@@ -1002,37 +1002,55 @@ def _inc_probe_cand(
     keeps labels the probes missed). Callers that previously re-counted
     these tables (three extra driver jobs per invocation, one of them
     VERDICT r12 finding 2's n_old count) read the dict instead."""
-    from pyspark.sql import Window
+    from d3d_etl_spark.operators.similarity import centroid_arrays
 
-    new_comps = (
-        # the batch rides the embeddings scan's split — a single split at
-        # bench scale, which would serialize the probe scoring chain's
-        # map side on one core (r13; fan_out's guard keeps production
-        # scans untouched). Vectors move whole, so each vector's
-        # components stay contiguous and per-group fold order is
-        # unchanged.
-        fan_out(new_batch)
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    # ARRAY-NATIVE probe ranking (r13): the previous shape posexploded the
+    # batch, broadcast-joined the centroid components (|new| x dim x K
+    # rows through a hash aggregate) and ranked with a row_number window
+    # — two exchanges plus a per-task sort. Broadcasting the centroid
+    # list as ONE row of array<struct<label, c_arr, nc2>> turns the whole
+    # chain into a single projection: per vector, fold each centroid's
+    # dot sequentially (ascending pos — the same effective order as the
+    # replaced SUMs), sort the K-entry key array, slice nprobe, explode.
+    # The sort key struct (coalesce(-psim + 0.0, +inf), label) is the
+    # window's (psim DESC NULLS LAST, label ASC) exactly — the committed
+    # min_by-key contract (VERDICT r11 finding 2) — so probe membership
+    # AND rn ranks are unchanged. fan_out: the batch otherwise rides the
+    # embeddings scan's single split at bench scale and the fold chain
+    # would run on one core; production-sized scans pass through.
+    clist = centroid_arrays(cents, "label").agg(
+        F.array_sort(F.collect_list(F.struct("label", "c_arr", "nc2"))).alias("_cents")
     )
-    pscore = (
-        new_comps.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.col("x") * F.col("c")).alias("dot"),
-            F.sum(F.col("x") * F.col("x")).alias("nx2"),
-            F.sum(F.col("c") * F.col("c")).alias("nc2"),
+    x = F.col("embedding")
+    nx2 = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+
+    def _pkey(s):
+        prod = F.zip_with(x, s["c_arr"], lambda a, b: a.cast("double") * b)
+        d = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        psim = F.round(F.try_divide(d, F.sqrt(F.col("_nx2")) * F.sqrt(s["nc2"])), 6)
+        return F.struct(
+            F.coalesce(F.nanvl(-psim + F.lit(0.0), F.lit(float("-inf"))), F.lit(float("inf"))).alias("k"),
+            s["label"].alias("label"),
         )
-    )
-    # try_divide = DuckDB's NULL on a zero-norm probe (ANSI `/` throws);
-    # desc(psim) orders a NULL probe score last, as the oracle does
-    psim = F.round(F.try_divide(F.col("dot"), F.sqrt("nx2") * F.sqrt("nc2")), 6)
-    pw = Window.partitionBy("vec_id").orderBy(F.desc("psim"), F.asc("label"))
+
     probe = (
-        pscore.select("vec_id", "label", psim.alias("psim"))
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") <= nprobe)
-        .select("vec_id", "label", "rn")
+        fan_out(new_batch)
+        .where(x.isNotNull() & (F.size(x) > 0))
+        .crossJoin(F.broadcast(clist))
+        .withColumn("_nx2", nx2)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.slice(F.array_sort(F.transform(F.col("_cents"), _pkey)), 1, nprobe)
+            ).alias("_rn0", "_p"),
+        )
+        .select(
+            "vec_id",
+            F.col("_p.label").alias("label"),
+            (F.col("_rn0") + 1).cast("int").alias("rn"),
+        )
         .localCheckpoint()
     )
     # DETERMINISTIC, SKEW-PROOF fan-out (round 9, ADVICE r8 + two audit
@@ -1194,7 +1212,7 @@ def z_sim_incremental(
             F.min_by(
                 F.struct("old_id", "sim"),
                 F.struct(
-                    F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                    F.coalesce(F.nanvl(-F.col("sim") + F.lit(0.0), F.lit(float("-inf"))), F.lit(float("inf"))).alias("k"),
                     "old_id",
                 ),
             ).alias("_b")
@@ -3465,7 +3483,7 @@ def z_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by(
                 F.struct("old_id", "sim"),
                 F.struct(
-                    F.coalesce(-F.col("sim") + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                    F.coalesce(F.nanvl(-F.col("sim") + F.lit(0.0), F.lit(float("-inf"))), F.lit(float("inf"))).alias("k"),
                     "old_id",
                 ),
             ).alias("_b")

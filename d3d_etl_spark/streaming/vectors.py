@@ -100,7 +100,7 @@ def streaming_ann_probe(
         F.transform(
             cell_scores,
             lambda s: F.struct(
-                F.coalesce(-s["sim"] + F.lit(0.0), F.lit(float("inf"))).alias("k"),
+                F.coalesce(F.nanvl(-s["sim"] + F.lit(0.0), F.lit(float("-inf"))), F.lit(float("inf"))).alias("k"),
                 s["label"].alias("label"),
             ),
         )
