@@ -29,6 +29,37 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-(path, mtime) parquet SCHEMAS. Every `spark.read.parquet(path)`
+# runs a 1-task schema-inference job (the "parquet at <unknown>" jobs in
+# the UI) before the driver can even plan — a serialized ~0.1 s driver
+# round-trip that every query invocation re-pays for every immutable
+# table it touches (profiled: 8 such jobs, ~1.6 s, at the head of every
+# z_sim_pq_rerank invocation; 1-6 per query across the bench). Supplying
+# the schema skips exactly that job. ONLY the schema is memoized — the
+# file listing is re-done per call and the data is re-read from parquet
+# at execution, so this is orchestration de-duplication, not result
+# caching. The mtime in the key invalidates on rebuild (the persisted
+# state families' LRU sweep can replace a directory mid-process).
+_PARQUET_SCHEMAS: dict = {}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet` with the schema-inference job memoized per
+    (path, mtime) — see _PARQUET_SCHEMAS. For immutable tables (testdata,
+    persisted per-scale state) the footer job runs once per process
+    instead of once per query invocation."""
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)  # globs/missing: no memo
+    schema = _PARQUET_SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet, schema embedded).
 
@@ -51,7 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # would silently shift every instant and break oracle parity.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):

@@ -135,10 +135,16 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
 
-    # part='conditional' (A4/A5)
+    # part='conditional' (A4/A5). ONE events aggregate serves BOTH this arm
+    # and the unpivot arm below (guide §2.4 — the unpivot's clicks/
+    # purchases/errors are exactly _c/_p/_e): the localCheckpoint pins the
+    # shared scan+shuffle (without it, per-branch column pruning splits the
+    # partial-agg subtrees and exchange reuse never fires, so events was
+    # scanned AND shuffled twice). The checkpoint is user-grain — the
+    # aggregate's own output, never the event rows.
     vc = cents(F.col("value"))
     n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-    conditional = (
+    ev_base = (
         ev.groupBy("user_id")
         .agg(
             F.count("*").alias("_n"),
@@ -149,12 +155,13 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.sum(F.when(F.col("value") <= 10, vc)), F.lit(0)).cast("double") / 100.0).alias("_small"),
             (n_err.cast("double") / F.count("*")).alias("_rate"),
         )
-        .select(
-            *_agg_row(
-                "conditional", F.col("user_id"),
-                i1=F.col("_n"), i2=F.col("_c"), i3=F.col("_p"), i4=F.col("_e"),
-                d1=F.col("_big"), d2=F.col("_small"), d3=F.col("_rate"),
-            )
+        .localCheckpoint()
+    )
+    conditional = ev_base.select(
+        *_agg_row(
+            "conditional", F.col("user_id"),
+            i1=F.col("_n"), i2=F.col("_c"), i3=F.col("_p"), i4=F.col("_e"),
+            d1=F.col("_big"), d2=F.col("_small"), d3=F.col("_rate"),
         )
     )
 
@@ -218,11 +225,13 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # part='unpivot' (A9) — real .unpivot over the wide conditional counts
-    wide = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+    # part='unpivot' (A9) — real .unpivot over the wide conditional counts,
+    # read from the SHARED events aggregate (same sums, zero extra scan)
+    wide = ev_base.select(
+        "user_id",
+        F.col("_c").alias("clicks"),
+        F.col("_p").alias("purchases"),
+        F.col("_e").alias("errors"),
     )
     unpivot = wide.unpivot(["user_id"], ["clicks", "purchases", "errors"], "metric", "n").select(
         *_agg_row("unpivot", F.col("user_id"), k2=F.col("metric"), i1=F.col("n"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.money import cents
 from d3d_etl_spark.functions.text import sql_tokens, sql_word_shingles, tokens, word_shingles
-from d3d_etl_spark.io import fan_out, load_table
+from d3d_etl_spark.io import fan_out, load_table, read_parquet
 from d3d_etl_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
@@ -697,7 +697,7 @@ def batch1_band_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(tmp)
 
     _ensure_state(path, marker, _STATE_PATH_TPL.format(tag="*"), build)
-    return spark.read.parquet(path)
+    return read_parquet(spark, path)
 
 
 def _incremental_oracle() -> str:

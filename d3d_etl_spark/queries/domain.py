@@ -174,7 +174,9 @@ def materialized_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries and their DuckDB oracles read THIS parquet, so the comparison
     is over identical FSM output by construction.
     """
-    return spark.read.parquet(ensure_parsed(spark, sf_dir))
+    from d3d_etl_spark.io import read_parquet
+
+    return read_parquet(spark, ensure_parsed(spark, sf_dir))
 
 
 def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +200,9 @@ def materialized_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows back out so the parse runs at session parallelism (the thin-scan
     # pitfall from the scale doctrine, README)
     n_parts = spark.sparkContext.defaultParallelism
-    return spark.read.parquet(path).repartition(n_parts, "contest_id")
+    from d3d_etl_spark.io import read_parquet
+
+    return read_parquet(spark, path).repartition(n_parts, "contest_id")
 
 
 # ---------------------------------------------------------------------------

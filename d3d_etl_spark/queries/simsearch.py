@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d3d_etl_spark.io import fan_out, load_table, table_count
+from d3d_etl_spark.io import fan_out, load_table, read_parquet, table_count
 from d3d_etl_spark.operators.similarity import (
     assign_nearest_centroid,
     cosine_topk,
@@ -890,7 +890,7 @@ def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     _ensure_ivf_state(
         cents_path, cents_path + ".done", _IVF_CENTS_TPL.format(tag="*"), build_cents
     )
-    cents = spark.read.parquet(cents_path)
+    cents = read_parquet(spark, cents_path)
 
     def build_assign(tmp: str) -> None:
         assign_nearest_centroid(old_batch(), cents, "label").write.mode(
@@ -900,7 +900,7 @@ def ivf_index_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     _ensure_ivf_state(
         assign_path, assign_path + ".done", _IVF_ASSIGN_TPL.format(tag="*"), build_assign
     )
-    return cents, spark.read.parquet(assign_path)
+    return cents, read_parquet(spark, assign_path)
 
 
 # The IVF-state probe -> candidate CTE chain, shared by z_sim_incremental
@@ -3067,7 +3067,7 @@ def pq_index_state(
     _ensure_ivf_state(
         ic_path, ic_path + ".done", _PQ_ICENTS_TPL.format(tag="*"), build_icents
     )
-    icents = spark.read.parquet(ic_path)
+    icents = read_parquet(spark, ic_path)
 
     def res_comps() -> DataFrame:
         # (vec_id, sub, pos, xs): exact-integer residuals vs the assigned
@@ -3105,7 +3105,7 @@ def pq_index_state(
         cb.write.mode("overwrite").parquet(tmp)
 
     _ensure_ivf_state(cb_path, cb_path + ".done", _PQ_CB_TPL.format(tag="*"), build_cb)
-    cb = spark.read.parquet(cb_path)
+    cb = read_parquet(spark, cb_path)
 
     def build_codes(tmp: str) -> None:
         from d3d_etl_spark.operators.pq import pq_encode_comps
@@ -3117,7 +3117,7 @@ def pq_index_state(
     _ensure_ivf_state(
         codes_path, codes_path + ".done", _PQ_CODES_TPL.format(tag="*"), build_codes
     )
-    return icents, cb, spark.read.parquet(codes_path)
+    return icents, cb, read_parquet(spark, codes_path)
 
 
 # Candidates come from the persisted IVF cell state (the _INC_PROBE_CTES

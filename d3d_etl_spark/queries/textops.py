@@ -34,7 +34,7 @@ from d3d_etl_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from d3d_etl_spark.io import fan_out, load_table
+from d3d_etl_spark.io import fan_out, load_table, read_parquet
 from d3d_etl_spark.queries.registry import register
 
 _TOK = sql_tokens("text")
@@ -1644,7 +1644,7 @@ def materialized_longdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_materialized(
         path, path + ".done", os.path.join(_CACHE_DIR, "longdocs_*"), build
     )
-    return spark.read.parquet(path)
+    return read_parquet(spark, path)
 
 
 @register(

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.money import cents
-from d3d_etl_spark.io import load_table
+from d3d_etl_spark.io import load_table, read_parquet
 from d3d_etl_spark.queries.registry import register
 
 _Z_BITS = 16        # grid resolution per dimension
@@ -211,7 +211,7 @@ def _zorder_layout(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     _ensure_materialized(
         path, marker, os.path.join(_CACHE_DIR, "zordered_events_*"), build
     )
-    return os.path.join(path, "data"), spark.read.parquet(os.path.join(path, "stats"))
+    return os.path.join(path, "data"), read_parquet(spark, os.path.join(path, "stats"))
 
 
 _ZREAD_ORACLE = """
@@ -249,7 +249,7 @@ def z_io_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(srows)} buckets for user band [{lo}, {hi}]"
         )
     out = (
-        spark.read.parquet(layout)
+        read_parquet(spark, layout)
         .where(F.col("zbucket").isin(cands))
         .where(F.col("user_id").between(lo, hi))
         .groupBy("event_type")
