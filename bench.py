@@ -56,9 +56,34 @@ from d3d_etl_spark.session import get_spark
 # task_mem_acknowledged (visible, not fatal) ONLY while the measured
 # peak stays under the ceiling; past it the flag is a regression again,
 # so an unbounded future jump (45 -> 500 MB) can never hide behind an
-# old adjudication. Empty since round 12: z_sim_pq_rerank's 45.2 MB
-# residual-ADC level is the committed BENCH.json baseline now.
-_TASK_MEM_ACK: dict[str, tuple[float, str]] = {}
+# old adjudication. Round 13: the driver heap moved off Spark's 1 GB
+# local-mode default to 0.5 GB/core (session.py, guide §5 — measured
+# faster on the interleaved full-bench pair), so operators that used to
+# SPILL EARLY now keep their hash/sort state in memory: per-task peaks
+# rise 2-10x on 18 queries (32-81 MB absolute) while the
+# input_mb/shuffle_read_mb sidecars are byte-identical — less spill, not
+# more state per row. Each entry's 128 MB ceiling is ~1.6-4x the
+# measured new level: a query that blows past it is growing state with
+# the corpus again (the round-8 2.2 GB failure mode), which must
+# re-escalate to fatal. DROP these entries next round, when the r13
+# BENCH.json baseline already carries the new levels.
+_R13_HEAP_REBASE = (
+    128.0,
+    "r13 driver-heap re-baseline (1g -> 0.5 GB/core): spill-early "
+    "operators now hold state in memory; input/shuffle sidecars unchanged",
+)
+_TASK_MEM_ACK: dict[str, tuple[float, str]] = {
+    name: _R13_HEAP_REBASE
+    for name in (
+        "corpus_pipeline", "corpus_tfidf_hist", "fuzzy_match_family",
+        "sessionize_events", "sim_assign_family", "sim_near_dedup",
+        "z_bucketed_spine", "z_corpus_curation", "z_corpus_repetition",
+        "z_corpus_repetition_long", "z_corpus_span_scrub", "z_pbp_dag",
+        "z_sim_contrastive_ann", "z_sim_d4", "z_sim_incremental",
+        "z_sim_ivfpq_trained", "z_sim_pipeline", "z_sim_pq_rerank",
+        "z_text_tfidf_topk",
+    )
+}
 
 
 def _task_mem_regressions(samples: dict, sf: float) -> tuple[list[str], list[str]]:

@@ -95,7 +95,10 @@ GROUP BY s.lang
 
 @register("z_corpus_curation", _CURATION_ORACLE, tags=("corpus", "pipeline"), bench=True)
 def z_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NO fan_out on the scan (r13 final): quiet-host A/B measured it +69%
+    # on this query at bench scale (3.22 -> 5.44 s min-of-cycles) — the
+    # doc-grain maps here are too light for the payload rebalance to pay.
+    docs = load_table(spark, sf_dir, "documents")
     lm = z_corpus_lm_score(spark, sf_dir).select("doc_id", "nll")
     span = z_corpus_span_dedup(spark, sf_dir).select("doc_id", "would_trim")
 

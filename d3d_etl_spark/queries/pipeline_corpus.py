@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from d3d_etl_spark.functions.sampling import hash_split, sql_hash_split
 from d3d_etl_spark.functions.text import tokens
-from d3d_etl_spark.io import fan_out, load_table
+from d3d_etl_spark.io import load_table
 from d3d_etl_spark.operators.dedup import connected_components
 from d3d_etl_spark.queries.dedup import (
     _LSH_PAIR_CTES,
@@ -76,10 +76,11 @@ GROUP BY split
 
 @register("corpus_pipeline", _PIPELINE_ORACLE, tags=("dedup", "sampling", "text"), bench=True)
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one rebalance of the thin scan serves BOTH consumers: shingle_base
-    # (whose own fan_out then no-ops) and the `kept` tokenize pass, which
-    # otherwise serialized on the single bench-scale split (r13)
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NO fan_out on the scan (r13 final): quiet-host A/B kept this query
+    # elevated (~5.5 s vs the 4.2 s r12 baseline) with the scan fanned;
+    # shingle_base applies its own guard where the rebalance pays, and the
+    # `kept` tokenize pass is too light to amortize a payload exchange.
+    docs = load_table(spark, sf_dir, "documents")
 
     # 1-2: LSH-gated near-dup pairs -> transitive clusters -> drop
     # non-representatives. The gate (MinHash bands -> candidates -> exact

@@ -236,7 +236,12 @@ FROM (
 def corpus_tfidf_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NO fan_out here (r13 final): interleaved quiet-host A/B measured the
+    # round-robin rebalance of the text rows costing +60% on this query at
+    # bench scale (1.01 -> 1.60 s min-of-cycles) — the tokenize map is too
+    # light to amortize the exchange + sort-before-repartition of the
+    # payload; at production split counts the guard no-ops anyway.
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
 
     # part='tfidf'
@@ -637,10 +642,11 @@ FROM scored
 
 @register("z_corpus_lm_score", _LM_ORACLE, tags=("textops", "corpus"), bench=True)
 def z_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # thin single-split scan would serialize the tokenize+zip+explode
-    # map side of the bi checkpoint on one core (r13; the span query's
-    # fan_out rationale, same numbers)
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NO fan_out here (r13 final): the quiet-host interleaved A/B measured
+    # the rebalance at +115% on this query at bench scale (1.08 -> 2.34 s
+    # min-of-cycles) — the bigram map is cheaper than shuffling the text
+    # payload; production split counts make the guard a no-op regardless.
+    docs = load_table(spark, sf_dir, "documents")
     tok = tokens(F.lower(F.col("text")))
     toks = docs.select("doc_id", tok.alias("w"))
 
@@ -1796,8 +1802,12 @@ def bm25_corpus_state(
     streaming twin (streaming/retrieval.py) collects to literals. dl is
     (doc_id, dl); tf is (doc_id, tok, tf) restricted to the query terms;
     stats is the 1-row (n_docs, t_tokens); idf is the term-dimensional
-    (tok, idf_q) table."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    (tok, idf_q) table.
+
+    NO fan_out on the scan (r13 final): quiet-host A/B measured it +56%
+    on z_text_bm25 at bench scale (1.17 -> 1.82 s min-of-cycles); the
+    guard is a production no-op, so it bought nothing at scale either."""
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w")).where(
         F.size("w") > 0
     )

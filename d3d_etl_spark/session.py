@@ -36,6 +36,24 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # Driver JVM sizing (guide §5): in local[N] mode the driver IS the
+    # executor — one JVM hosts all N task slots, plus every broadcast,
+    # localCheckpoint block and listener-bus state. Spark's 1g default is
+    # a laptop constant: at N=32 it leaves ~13 MB of unified memory per
+    # concurrent task, forcing spill/GC on plans that a production
+    # executor (typically provisioned 0.5-1 GB per core) would never
+    # spill. Scale the heap with the core count (0.5 GB/core, floor 4g)
+    # so the driver's low-core bench runs stay proportionally provisioned
+    # — a derivation, not a local[32] constant. Env-overridable; on a
+    # real cluster spark-submit sizes the already-launched JVM and a
+    # builder-level driver-memory conf is inert.
+    try:
+        _n_local = int(master.split("[")[1].rstrip("]*") or "32") if "local[" in master else 0
+    except ValueError:
+        _n_local = 0
+    driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(4, _n_local // 2)}g" if _n_local else ""
+    )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
@@ -66,6 +84,8 @@ def get_spark(
         # type for; read as long and convert at the scan (io.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
