@@ -167,6 +167,15 @@ def _task_mem_regressions(samples: dict, sf: float) -> tuple[list[str], list[str
 _CAL_REF = 5.31  # seconds; round-12 idle-host pin (4.8B rows, min-of-5)
 _CAL_CPU_REF = 5.31  # seconds; same pin (10.24B rows, min-of-5 — the two
 # kernels landing on the same wall is coincidence, not a shared constant)
+# Both pins were measured at local[32]: the kernels are fixed TOTAL work,
+# so at a lower SPARK_GRAFT_CPUS the wall rises ~(32/N)x BY DESIGN and
+# calibration_vs_pin >> 1 does NOT mean a loaded host there. The payload
+# carries calibration_pin_cores so a reader of a low-core run (the
+# driver's scaling legs) can tell core-count dilation from real load
+# instead of inventing a per-core normalization (the retired
+# value_calibrated lesson: never normalize without an idle pin at the
+# same configuration).
+_CAL_PIN_CORES = 32
 
 # a degenerate telemetry read (near-0 from a broken noop path, or a
 # stuck executor inflating it) is flagged, not published bare (ADVICE
@@ -341,6 +350,10 @@ def main() -> None:
             "shuffle": round(cal / _CAL_REF, 3),
             "cpu": round(cal_cpu / _CAL_CPU_REF, 3),
         },
+        # the pins are local[32] idle measurements of FIXED-work kernels:
+        # a run at fewer cores dilates them ~(pin_cores/N)x by design —
+        # read vs_pin only against runs at the same core count
+        "calibration_pin_cores": _CAL_PIN_CORES,
         # per-kernel spread across the 3 interleaved probes: max/min >>
         # 1.3 means the host was CHURNING (not just loaded) mid-session.
         # The PRINTED line carries only min/median/max per kernel — the
