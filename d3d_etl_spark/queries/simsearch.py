@@ -980,6 +980,8 @@ def _inc_probe_cand(
     assign: DataFrame,
     pairs_per_task: int = _INC_PAIRS_PER_TASK,
     nprobe: int = _INC_NPROBE,
+    cand_key: str = "vec_id",
+    checkpoint_cand: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """probe (vec_id, label, rn), candidate pairs (vec_id, old_id) and a
     stats dict for the ingest batch `new_batch` (vec_id, embedding) off
@@ -988,7 +990,15 @@ def _inc_probe_cand(
     comes back checkpointed with pair-count-scaled partitioning (bounds
     every downstream per-task state; fixed-width partitioning of a
     pair-grain table was the round-8 registry audit's 2.2 GB-task
-    finding). `nprobe` defaults to the serving contract's _INC_NPROBE;
+    finding). `cand_key`/`checkpoint_cand` (r14): the ADC serving path
+    consumes cand exactly ONCE and immediately re-keys it on old_id for
+    the codes join — for it, the vec_id exchange was a pure waste (two
+    back-to-back exchanges of the pair table) and the eager checkpoint a
+    pure barrier (guide §2.4: remove the exchange; §2.6: a single-consumer
+    checkpoint only serializes stages AQE would otherwise overlap). The
+    exact arm keeps the defaults: its cand feeds two differently-pruned
+    consumers, so the barrier is what keeps the fan join computed once.
+    `nprobe` defaults to the serving contract's _INC_NPROBE;
     the raw-corpus recall sweep (round 12) passes other values to publish
     the recall/cost trade curve — every REGISTERED query keeps the
     default.
@@ -1137,9 +1147,10 @@ def _inc_probe_cand(
         # label rides along: the residual-ADC path scores each candidate
         # against the new vector's residual IN THE OLD VECTOR'S CELL
         .select("vec_id", "old_id", "label")
-        .repartition(cand_parts, "vec_id")
-        .localCheckpoint()
+        .repartition(cand_parts, cand_key)
     )
+    if checkpoint_cand:
+        cand = cand.localCheckpoint()
     return probe, cand, stats
 
 
@@ -2440,12 +2451,14 @@ def z_sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the end-to-end unlabeled index build + search."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, asgn2 = _kmeans2_assign(spark, sf_dir)
-    # materialize the learned assignment (it feeds every downstream stage),
-    # then stamp it on as the coarse-cell column; shuffle-hash after the
-    # checkpoint per the repo's lost-stats convention
-    cells = asgn2.select(
-        "vec_id", F.col("assigned_label").alias("label")
-    ).localCheckpoint()
+    # stamp the learned assignment on as the coarse-cell column and
+    # materialize the RESULT once (it feeds every downstream stage).
+    # r14: the intermediate `cells` localCheckpoint is gone — its single
+    # consumer was this join, so the barrier only serialized the asgn2
+    # reassignment against the join that immediately consumed it (guide
+    # §2.6: a single-consumer checkpoint cannot be reused, only waited on);
+    # the trained checkpoint keeps the one-materialization contract.
+    cells = asgn2.select("vec_id", F.col("assigned_label").alias("label"))
     trained = (
         emb.drop("label").join(cells.hint("shuffle_hash"), "vec_id").localCheckpoint()
     )
@@ -2836,9 +2849,13 @@ def z_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered, drops = _semdedup_parts(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     # the index is built on the SURVIVORS: codebooks trained and codes
-    # encoded post-dedup (the drop set is pair-bounded -> broadcast anti)
+    # encoded post-dedup (the drop set is pair-bounded -> broadcast anti).
+    # r14: cb's localCheckpoint is gone — pq_encode broadcasts the codebook
+    # exactly once, so the checkpoint was a single-consumer barrier; the
+    # training agg now runs inside the encode's broadcast-build job and the
+    # scoring stages overlap with it instead of waiting (guide §2.6)
     surv = emb.join(F.broadcast(drops), "vec_id", "left_anti")
-    cb = pq_codebooks(surv, _DIM, _PQ_M, _PQ_KS).localCheckpoint()
+    cb = pq_codebooks(surv, _DIM, _PQ_M, _PQ_KS)
     codes = pq_encode(surv, cb, _DIM, _PQ_M)
     sig = codes.groupBy("vec_id").agg(
         F.array_join(
@@ -3283,8 +3300,22 @@ def _pq_inc_scored(
     # residual chain below shares the rebalance instead of re-serializing
     # on the scan split (r13: the dt map side ran as ONE 1.5 s task)
     new = fan_out(corp.where(F.col("vec_id") % bmod == 0))
+    # cand_key="old_id": the ONLY consumer below is the codes join, keyed
+    # on old_id — asking _inc_probe_cand for the vec_id layout meant the
+    # pair table crossed two exchanges back to back (vec_id, then old_id).
+    # checkpoint_cand=False: single consumer, so the eager barrier only
+    # serialized the fan join against the dt/codes subtrees AQE happily
+    # materializes concurrently inside the one scoring job (r14; guide
+    # §2.4/§2.6). Pair-count-scaled partitioning is unchanged — the
+    # repartition inside _inc_probe_cand now lands directly on old_id.
     probe, cand, stats = _inc_probe_cand(
-        spark, new, cents, assign, pairs_per_task=_PQ_INC_PAIRS_PER_TASK
+        spark,
+        new,
+        cents,
+        assign,
+        pairs_per_task=_PQ_INC_PAIRS_PER_TASK,
+        cand_key="old_id",
+        checkpoint_cand=False,
     )
     # per-PROBED-CELL new residual (round 11): the stored codes quantize
     # residuals, so the query side must too — r = x_new - c_int(probed
@@ -3315,16 +3346,16 @@ def _pq_inc_scored(
         )
     )
     # The scoring chain rides ONE candidate-count-scaled old_id
-    # partitioning: cand repartitions by old_id (pair-grain, scaled in
-    # _inc_probe_cand), the corpus-grain old_codes shuffle-hashes to match.
+    # partitioning: cand arrives already repartitioned by old_id (pair-
+    # grain, scaled in _inc_probe_cand — same ceil(n_pairs/pairs_per_task)
+    # formula as score_parts), the corpus-grain old_codes shuffle-hashes
+    # to match.
     n_pairs = stats["n_pairs"]  # exact, from the fan-out collect — no job
     score_parts = max(
         spark.sparkContext.defaultParallelism,
         -(-n_pairs // _PQ_INC_PAIRS_PER_TASK),
     )
-    pair_codes = cand.repartition(score_parts, "old_id").join(
-        old_codes.hint("shuffle_hash"), "old_id"
-    )
+    pair_codes = cand.join(old_codes.hint("shuffle_hash"), "old_id")
     # ADC lookup: the round-8 code ALWAYS broadcast dt, arguing "ingest-batch
     # grain" — but the round-8 batch rule (vec_id % 4 == 0) made the
     # batch 25% of the CORPUS, so the broadcast grew linearly with corpus
