@@ -56,34 +56,13 @@ from d3d_etl_spark.session import get_spark
 # task_mem_acknowledged (visible, not fatal) ONLY while the measured
 # peak stays under the ceiling; past it the flag is a regression again,
 # so an unbounded future jump (45 -> 500 MB) can never hide behind an
-# old adjudication. Round 13: the driver heap moved off Spark's 1 GB
-# local-mode default to 0.5 GB/core (session.py, guide §5 — measured
-# faster on the interleaved full-bench pair), so operators that used to
-# SPILL EARLY now keep their hash/sort state in memory: per-task peaks
-# rise 2-10x on 18 queries (32-81 MB absolute) while the
-# input_mb/shuffle_read_mb sidecars are byte-identical — less spill, not
-# more state per row. Each entry's 128 MB ceiling is ~1.6-4x the
-# measured new level: a query that blows past it is growing state with
-# the corpus again (the round-8 2.2 GB failure mode), which must
-# re-escalate to fatal. DROP these entries next round, when the r13
-# BENCH.json baseline already carries the new levels.
-_R13_HEAP_REBASE = (
-    128.0,
-    "r13 driver-heap re-baseline (1g -> 0.5 GB/core): spill-early "
-    "operators now hold state in memory; input/shuffle sidecars unchanged",
-)
-_TASK_MEM_ACK: dict[str, tuple[float, str]] = {
-    name: _R13_HEAP_REBASE
-    for name in (
-        "corpus_pipeline", "corpus_tfidf_hist", "fuzzy_match_family",
-        "sessionize_events", "sim_assign_family", "sim_near_dedup",
-        "z_bucketed_spine", "z_corpus_curation", "z_corpus_repetition",
-        "z_corpus_repetition_long", "z_corpus_span_scrub", "z_pbp_dag",
-        "z_sim_contrastive_ann", "z_sim_d4", "z_sim_incremental",
-        "z_sim_ivfpq_trained", "z_sim_pipeline", "z_sim_pq_rerank",
-        "z_text_tfidf_topk",
-    )
-}
+# old adjudication. Round 14: EMPTY again — the 19 round-13 entries
+# (driver-heap re-baseline, 1g -> 0.5 GB/core: spill-early operators
+# started holding state in memory) expired when the r13 BENCH.json
+# committed the post-heap peaks as the comparison baseline; keeping them
+# would mask the next real sub-128 MB regression on those queries
+# (VERDICT r13 next #2 / ADVICE r13 medium — the guard is live again).
+_TASK_MEM_ACK: dict[str, tuple[float, str]] = {}
 
 
 def _task_mem_regressions(samples: dict, sf: float) -> tuple[list[str], list[str]]:
@@ -278,6 +257,33 @@ def main() -> None:
     spark.range(n_workers).repartition(n_workers).mapInPandas(
         _identity, "id long"
     ).count()
+
+    # r14 (VERDICT r13 next #7): compile one representative WIDE
+    # conditional aggregate before the timed loop. The alphabetically
+    # first benched query (agg_family) otherwise absorbs the session's
+    # first whole-stage-codegen wave — Janino compiler classloading + JIT
+    # of the compiler itself — in its run 1 (r13 committed run: 8.6 s
+    # run-1 vs 1.56 s quiet-window min). Generated classes are
+    # plan-specific, so this warms the COMPILER infrastructure, not any
+    # benched plan; the timed methodology below is unchanged (still 3
+    # runs per query, min reported).
+    w = spark.range(300_000).selectExpr(
+        "id", "id % 97 AS k", "CAST(id % 7 AS STRING) AS e"
+    )
+    (
+        w.groupBy("k")
+        .agg(
+            *[
+                F.sum(F.when(F.col("e") == str(i), F.col("id")).otherwise(F.lit(0))).alias(f"c{i}")
+                for i in range(7)
+            ],
+            F.count("*").alias("n"),
+            F.avg("id").alias("a"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     # warm the persisted serving-state families (the benched incremental
     # arms measure STEADY-STATE serving; a cache-cold checkout would

@@ -48,7 +48,14 @@ def get_spark(
     # real cluster spark-submit sizes the already-launched JVM and a
     # builder-level driver-memory conf is inert.
     try:
-        _n_local = int(master.split("[")[1].rstrip("]*") or "32") if "local[" in master else 0
+        if "local[" in master:
+            _spec = master.split("[")[1].rstrip("]")
+            # `local[*]` means "all cores" — resolve it via os.cpu_count()
+            # instead of a hardcoded fallback, so a small machine asking
+            # for * gets a heap sized to ITS cores, not to 32 (ADVICE r13)
+            _n_local = (os.cpu_count() or 1) if _spec == "*" else int(_spec)
+        else:
+            _n_local = 0
     except ValueError:
         _n_local = 0
     driver_mem = os.environ.get(
@@ -88,4 +95,20 @@ def get_spark(
         builder = builder.config("spark.driver.memory", driver_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # spark.driver.memory only takes effect at JVM launch: a get_spark()
+    # after an existing session silently keeps the old heap, so warn when
+    # the live value differs from the request (ADVICE r13 — tests sharing
+    # a session may otherwise run under a different memory profile than
+    # the bench without any signal).
+    if driver_mem:
+        live = spark.conf.get("spark.driver.memory", None)
+        if live is not None and live != driver_mem:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: active session keeps spark.driver.memory={live}; "
+                f"requested {driver_mem} applies only to a fresh JVM",
+                stacklevel=2,
+            )
+    return spark
