@@ -135,13 +135,20 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem")
 
-    # part='conditional' (A4/A5). ONE events aggregate serves BOTH this arm
-    # and the unpivot arm below (guide §2.4 — the unpivot's clicks/
-    # purchases/errors are exactly _c/_p/_e): the localCheckpoint pins the
-    # shared scan+shuffle (without it, per-branch column pruning splits the
-    # partial-agg subtrees and exchange reuse never fires, so events was
-    # scanned AND shuffled twice). The checkpoint is user-grain — the
-    # aggregate's own output, never the event rows.
+    # part='conditional' (A4/A5). ONE events aggregate expression serves
+    # BOTH this arm and the unpivot arm below (the unpivot's clicks/
+    # purchases/errors are exactly _c/_p/_e). r13 pinned the shared
+    # subtree behind an eager localCheckpoint so the events scan+shuffle
+    # ran once; r14 re-adjudicated it per VERDICT r13 next #4 with a
+    # three-way interleaved A/B (eager ckpt / lazy ckpt / none, min-of-3
+    # x 3 cycles): NONE won (1.64/2.10/2.58 s vs ckpt 1.76/2.58/2.61,
+    # lazy worst) — the checkpoint's materialization job + barrier costs
+    # more than the second pass it saves, and per-branch column pruning
+    # means AQE exchange reuse never fires either way (§2.4 reuse is not
+    # free). The recomputation is one extra scan + MAP-SIDE partial agg +
+    # a user-grain exchange; the per-branch aggregates stay
+    # partial-aggregated, so the double pass is bandwidth-shaped, never
+    # state-shaped, at any corpus size.
     vc = cents(F.col("value"))
     n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
     ev_base = (
@@ -155,7 +162,6 @@ def agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.sum(F.when(F.col("value") <= 10, vc)), F.lit(0)).cast("double") / 100.0).alias("_small"),
             (n_err.cast("double") / F.count("*")).alias("_rate"),
         )
-        .localCheckpoint()
     )
     conditional = ev_base.select(
         *_agg_row(
